@@ -1,0 +1,197 @@
+"""YAML playbook model: load → defaults → validate, before any data is
+read — mirroring the reference's plan-time semantic analysis
+(internal/config/load.go:12-80, internal/config/validation.go:52-795):
+expression pre-compilation, regex pre-compilation, enum checks, duplicate
+target detection, cross-field rules (min ≤ max, dedup strategyField
+requirements, FIPS md5 rejection)."""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from etl_tool_spark.expr import ExprError, translate
+from etl_tool_spark.functions.registry import TRANSFORMS, _SHORTHAND_PATTERN
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class EndpointConfig:
+    type: str
+    file: str | None = None
+    query: str | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+    loader: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class FlatteningConfig:
+    sourceField: str
+    targetField: str
+    includeParent: bool = True
+    errorOnNonList: bool = False
+    conditionField: str | None = None
+    conditionValue: str | None = None
+
+
+@dataclass
+class DedupConfig:
+    keys: list[str]
+    strategy: str = "first"
+    strategyField: str | None = None
+
+
+@dataclass
+class ErrorHandlingConfig:
+    mode: str = "halt"  # halt | skip (defaults per load.go:50-60)
+    logErrors: bool = True
+    errorFile: str | None = None
+
+
+@dataclass
+class PlaybookConfig:
+    source: EndpointConfig
+    destination: EndpointConfig | None = None
+    filter: str | None = None
+    mappings: list[dict] = field(default_factory=list)
+    flattening: FlatteningConfig | None = None
+    dedup: DedupConfig | None = None
+    errorHandling: ErrorHandlingConfig = field(default_factory=ErrorHandlingConfig)
+    fipsMode: bool = False
+    dryRun: bool = False
+
+
+_VALID_TYPES = {"csv", "json", "parquet", "orc", "yaml", "yml", "xml", "xlsx",
+                "postgres", "jdbc"}
+_VALID_DEDUP = {"first", "last", "min", "max"}
+_VALID_ERROR_MODES = {"halt", "skip"}
+
+
+def expand_env(value: str) -> str:
+    """$V / ${V} / %V% env expansion, unset → "" (internal/util/util.go:12-34)."""
+    def repl_pct(m: re.Match) -> str:
+        return os.environ.get(m.group(1), "")
+
+    expanded = os.path.expandvars(value)
+    expanded = re.sub(r"%([A-Za-z_][A-Za-z0-9_]*)%", repl_pct, expanded)
+    # expandvars leaves unknown $VARS intact; the reference maps them to ""
+    expanded = re.sub(r"\$\{[A-Za-z_][A-Za-z0-9_]*\}|\$[A-Za-z_][A-Za-z0-9_]*", "", expanded) \
+        if "$" in expanded and expanded == value else expanded
+    return expanded
+
+
+def _endpoint(raw: dict, which: str) -> EndpointConfig:
+    if not isinstance(raw, dict) or "type" not in raw:
+        raise ConfigError(f"{which}: missing 'type'")
+    t = str(raw["type"]).lower()
+    if t not in _VALID_TYPES:
+        raise ConfigError(f"{which}: unsupported type {t!r}")
+    file = raw.get("file")
+    if file:
+        file = expand_env(str(file))
+    options = dict(raw.get("options") or {})
+    for k in ("delimiter", "commentChar", "sheetName", "sheetIndex",
+              "xmlRecordTag", "url", "connectionString"):
+        if k in raw:
+            options[k] = raw[k]
+    return EndpointConfig(type=t, file=file, query=raw.get("query"),
+                          options=options, loader=dict(raw.get("loader") or {}))
+
+
+def load_config(path_or_dict: str | dict) -> PlaybookConfig:
+    if isinstance(path_or_dict, dict):
+        raw = path_or_dict
+    else:
+        import yaml
+
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+    if "source" not in raw:
+        raise ConfigError("playbook requires a 'source'")
+    cfg = PlaybookConfig(
+        source=_endpoint(raw["source"], "source"),
+        destination=_endpoint(raw["destination"], "destination") if raw.get("destination") else None,
+        filter=raw.get("filter"),
+        mappings=list(raw.get("mappings") or []),
+        flattening=FlatteningConfig(**raw["flattening"]) if raw.get("flattening") else None,
+        dedup=DedupConfig(**raw["dedup"]) if raw.get("dedup") else None,
+        errorHandling=ErrorHandlingConfig(**(raw.get("errorHandling") or {})),
+        fipsMode=bool(raw.get("fipsMode", False)),
+    )
+    validate_config(cfg)
+    return cfg
+
+
+def validate_config(cfg: PlaybookConfig) -> None:
+    errors: list[str] = []
+
+    if cfg.filter:
+        try:
+            translate(cfg.filter)
+        except ExprError as e:
+            errors.append(f"filter: {e}")
+
+    seen_targets: set[str] = set()
+    for i, rule in enumerate(cfg.mappings):
+        target = rule.get("target")
+        if not target:
+            errors.append(f"mappings[{i}]: missing 'target'")
+            continue
+        if target in seen_targets:
+            errors.append(f"mappings[{i}].target: duplicate target field {target!r}")
+        seen_targets.add(target)
+        name = (rule.get("transform") or "").strip()
+        key = name.lower()
+        if ":" in name:
+            base = name.split(":", 1)[0].lower()
+            if base in _SHORTHAND_PATTERN:
+                key = base
+        if key and key not in TRANSFORMS:
+            errors.append(f"mappings[{i}].transform: unknown transform {name!r}")
+        params = rule.get("params") or {}
+        for pat_key in ("pattern",):
+            if pat_key in params:
+                try:
+                    re.compile(params[pat_key])
+                except re.error as e:
+                    errors.append(f"mappings[{i}].params.{pat_key}: bad regex: {e}")
+        if key == "branch":
+            for j, b in enumerate(params.get("branches") or []):
+                try:
+                    translate(str(b.get("condition", "")), resolver=lambda n: None)
+                except ExprError as e:
+                    errors.append(f"mappings[{i}].branches[{j}].condition: {e}")
+        if key == "hash":
+            algo = str(params.get("algorithm", "")).lower()
+            if algo not in ("sha256", "sha512", "md5"):
+                errors.append(f"mappings[{i}]: unsupported hash algorithm {algo!r}")
+            elif cfg.fipsMode and algo == "md5":
+                errors.append(f"mappings[{i}]: md5 not allowed in FIPS mode")
+        if key == "validatenumericrange":
+            lo, hi = params.get("min"), params.get("max")
+            if lo is None and hi is None:
+                errors.append(f"mappings[{i}]: validateNumericRange needs min and/or max")
+            elif lo is not None and hi is not None and float(lo) > float(hi):
+                errors.append(f"mappings[{i}]: min > max")
+
+    if cfg.dedup:
+        if not cfg.dedup.keys:
+            errors.append("dedup: 'keys' must be non-empty")
+        strat = (cfg.dedup.strategy or "first").lower()
+        if strat not in _VALID_DEDUP:
+            errors.append(f"dedup: unknown strategy {strat!r}")
+        if strat in ("min", "max") and not cfg.dedup.strategyField:
+            errors.append(f"dedup: strategy {strat!r} requires strategyField")
+
+    if cfg.errorHandling.mode not in _VALID_ERROR_MODES:
+        errors.append(f"errorHandling.mode must be one of {_VALID_ERROR_MODES}")
+    if cfg.errorHandling.mode == "skip" and cfg.errorHandling.errorFile:
+        pass  # path checked at write time
+
+    if errors:
+        raise ConfigError("invalid playbook:\n" + "\n".join(f"- {e}" for e in errors))

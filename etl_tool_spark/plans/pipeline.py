@@ -1,0 +1,98 @@
+"""Pipeline compiler/runner: Extract → Filter → Transform → Flatten →
+Deduplicate → Load (reference stage order: internal/app/app.go:148-181).
+
+Unlike the reference's three eager in-memory passes, ``build_pipeline``
+produces ONE lazy DataFrame; Catalyst then pushes the filter into the
+scan, prunes unused columns, and codegens the whole mapping chain. A
+single action (the sink write / dry-run count) executes everything.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_tool_spark.operators.dedup import dedup
+from etl_tool_spark.operators.errors import (
+    ERROR_COL,
+    SEQ_COL,
+    halt_if_errors,
+    split_errors,
+    write_error_file,
+)
+from etl_tool_spark.operators.filter import apply_filter
+from etl_tool_spark.operators.flatten import flatten
+from etl_tool_spark.operators.mapping import apply_mappings
+from etl_tool_spark.plans.config import PlaybookConfig
+from etl_tool_spark.sources.registry import read_source
+from etl_tool_spark.sources.sinks import write_jdbc_custom_sql, write_sink
+
+
+@dataclass
+class PipelineResult:
+    output: DataFrame          # clean records (lazy until you act on it)
+    errors: DataFrame          # errored records + etl_error_message (lazy)
+    written: bool
+
+
+def build_pipeline(spark: SparkSession, cfg: PlaybookConfig) -> tuple[DataFrame, DataFrame]:
+    """Compile the playbook to (clean_df, error_df) without executing."""
+    src = cfg.source
+    df = read_source(spark, src.type, src.file or src.query or "", src.options)
+
+    # Filter runs on source records, pre-transform (app.go:150-164)
+    df = apply_filter(df, cfg.filter)
+
+    if cfg.mappings:
+        df = apply_mappings(df, cfg.mappings, fips=cfg.fipsMode,
+                            extra_keep=(SEQ_COL,))
+
+    if cfg.flattening:
+        fl = cfg.flattening
+        df = flatten(df, fl.sourceField, fl.targetField,
+                     include_parent=fl.includeParent,
+                     error_on_non_list=fl.errorOnNonList,
+                     condition_field=fl.conditionField,
+                     condition_value=fl.conditionValue)
+
+    split = split_errors(df)
+    clean = split.clean
+
+    if cfg.dedup:
+        clean = dedup(clean, list(cfg.dedup.keys), cfg.dedup.strategy,
+                      cfg.dedup.strategyField, seq_col=SEQ_COL)
+
+    from etl_tool_spark.operators.errors import POS_COL
+
+    drop = [c for c in (SEQ_COL, POS_COL) if c in clean.columns]
+    if drop:
+        clean = clean.drop(*drop)
+    return clean, split.errors
+
+
+def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
+                 dry_run: bool = False) -> PipelineResult:
+    clean, errors = build_pipeline(spark, cfg)
+
+    mode = cfg.errorHandling.mode
+    if mode == "halt":
+        halt_if_errors(errors)
+    elif mode == "skip" and cfg.errorHandling.errorFile:
+        write_error_file(errors, cfg.errorHandling.errorFile)
+
+    if dry_run or cfg.dryRun or cfg.destination is None:
+        # dry run: count + 5-record sample, no load (app.go:174-177)
+        n = clean.count()
+        sample = clean.limit(5).collect()
+        _ = (n, sample)
+        return PipelineResult(clean, errors, written=False)
+
+    dst = cfg.destination
+    loader_mode = str(dst.loader.get("mode", "")).lower()
+    if dst.type in ("postgres", "jdbc") and loader_mode == "sql":
+        opts = {**dst.options, **dst.loader}
+        write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
+    else:
+        write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
+    return PipelineResult(clean, errors, written=True)
