@@ -1,0 +1,13 @@
+"""Structured Streaming surface (ABSENT in the reference — it is
+explicitly batch-only, playbook_development_guide.md:460)."""
+
+from etl_tool_spark.streaming.events import (
+    read_events_stream,
+    sessionize_stream,
+    stream_to_memory,
+    streaming_dedup,
+    windowed_counts,
+)
+
+__all__ = ["read_events_stream", "windowed_counts", "sessionize_stream",
+           "streaming_dedup", "stream_to_memory"]

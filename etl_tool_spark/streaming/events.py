@@ -1,0 +1,103 @@
+"""Event-stream operators: watermarked windows, session windows, stateful
+dedup — the Structured Streaming counterpart of the batch queries in
+catalog.py (events_window_agg / events_sessionize).
+
+Design for scale: each operator is a pure readStream→transform pipeline;
+state lives in the Spark state store keyed by (window, event_type) or
+user_id, so a 1000-executor cluster shards state by key. Watermarks bound
+state size — late events past the watermark are dropped per policy, which
+is the knob the reference never had (it is batch-only,
+playbook_development_guide.md:460).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog._events)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events parquet. The nanos timestamp is
+    read as long (schema above) and truncated to micros, matching the
+    batch reader. ``events_path`` may be a directory or a single file
+    (the file source requires a directory, so a file path becomes
+    parent-dir + glob filter)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    df = reader.parquet(events_path)
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    slide: str | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) watermarked counts per
+    event_type. Late events beyond ``watermark`` are dropped and the
+    window's state is evicted once the watermark passes its end."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (events.withWatermark("ts", watermark)
+                  .groupBy(win.alias("w"), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("value"), 2).alias("total_value"))
+                  .select(F.col("w.start").alias("window_start"),
+                          F.col("w.end").alias("window_end"),
+                          "event_type", "n", "total_value"))
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Session windows with a 30-minute inactivity gap — the streaming
+    twin of catalog.events_sessionize. State per (user_id, open session);
+    sessions merge as events arrive and close when the watermark passes
+    session end + gap."""
+    return (events.withWatermark("ts", watermark)
+                  .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.round(F.sum("value"), 2).alias("total_value"))
+                  .select("user_id",
+                          F.col("s.start").alias("session_start"),
+                          F.col("s.end").alias("session_end"),
+                          "n_events", "total_value"))
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    watermark: str = "2 hours",
+                    within_watermark: bool = True) -> DataFrame:
+    """Stateful exact dedup on the stream. ``dropDuplicatesWithinWatermark``
+    bounds state by the watermark horizon (unbounded key sets would
+    otherwise OOM the state store at 100 TB/day rates)."""
+    keys = keys or ["event_id"]
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys + ["ts"])
+
+
+def stream_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
+    """Run a streaming frame to completion against the current files with
+    the availableNow trigger and a memory sink — the test/CI harness path
+    (a real deployment writes .format('parquet'/'kafka') + checkpoint)."""
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

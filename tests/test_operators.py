@@ -1,0 +1,149 @@
+"""Operator-level parity tests for flatten/dedup/mapping, mirroring the
+reference's processor tests (internal/processor/processor_test.go) and
+the FIXTURES.md B3/B4 recipes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tool_spark.operators.dedup import dedup
+from etl_tool_spark.operators.errors import ERROR_COL, split_errors
+from etl_tool_spark.operators.flatten import flatten
+from etl_tool_spark.operators.mapping import apply_mappings
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return spark.createDataFrame(
+        [
+            (1, ["a", "b"], "yes"),
+            (2, [], "yes"),          # empty list ⇒ 0 records
+            (3, None, "yes"),        # null ⇒ dropped (or error)
+            (4, ["c"], "no"),        # condition not met ⇒ passthrough
+        ],
+        "id long, tags array<string>, flag string")
+
+
+def test_flatten_basic(spark, nested):
+    out = flatten(nested.drop("flag"), "tags", "tag")
+    rows = [(r["id"], r["tag"]) for r in out.collect()]
+    assert sorted(rows) == [(1, "a"), (1, "b"), (4, "c")]
+    assert "tags" not in out.columns  # source removed when includeParent
+
+
+def test_flatten_no_parent(spark, nested):
+    out = flatten(nested, "tags", "tag", include_parent=False)
+    public = [c for c in out.columns if not c.startswith("_etl_")]
+    assert public == ["tag"]
+    assert sorted(r["tag"] for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_flatten_conditional_passthrough(spark, nested):
+    out = flatten(nested, "tags", "tag",
+                  condition_field="flag", condition_value="yes")
+    rows = out.collect()
+    flat = [r for r in rows if r["tag"] is not None]
+    passed = [r for r in rows if r["tag"] is None]
+    assert sorted(r["tag"] for r in flat) == ["a", "b"]
+    assert [r["id"] for r in passed] == [4]
+    assert passed[0]["tags"] == ["c"]  # unflattened record keeps source field
+
+
+def test_flatten_error_on_non_list(spark, nested):
+    out = flatten(nested, "tags", "tag", error_on_non_list=True)
+    split = split_errors(out)
+    assert split.errors.count() == 1  # id=3 (null source)
+    assert sorted(r["tag"] for r in split.clean.collect()) == ["a", "b", "c"]
+
+
+def test_flatten_missing_column_drops_all(spark, nested):
+    out = flatten(nested, "nope", "tag")
+    assert out.count() == 0
+    out = flatten(nested, "nope", "tag", error_on_non_list=True)
+    assert split_errors(out).errors.count() == 4
+
+
+def test_flatten_nested_dot_path(spark):
+    df = spark.createDataFrame(
+        [(1, {"addresses": ["x", "y"], "region": "EU"})],
+        "id long, details struct<addresses: array<string>, region: string>")
+    out = flatten(df, "details.addresses", "addr")
+    rows = out.collect()
+    assert sorted(r["addr"] for r in rows) == ["x", "y"]
+    # nested source field removed, sibling kept
+    assert rows[0]["details"].asDict() == {"region": "EU"}
+
+
+@pytest.fixture(scope="module")
+def dupes(spark):
+    # FIXTURES.md B4 shape: seq = encounter order
+    return spark.createDataFrame(
+        [
+            (0, 1, "sku1", "10", "first"),
+            (1, 1, "sku1", "5", "second"),
+            (2, 1, "sku1", "7", "third"),
+            (3, 2, None, "1", "null-key-a"),
+            (4, 2, None, "2", "null-key-b"),
+            (5, 3, "sku9", None, "missing-strategy"),
+            (6, 3, "sku9", "4", "has-strategy"),
+        ],
+        "seq long, order_id long, product_sku string, updated_at string, payload string")
+
+
+def test_dedup_first_last(spark, dupes):
+    first = dedup(dupes, ["order_id", "product_sku"], "first", seq_col="seq")
+    assert {r["payload"] for r in first.collect()} == {"first", "null-key-a", "missing-strategy"}
+    last = dedup(dupes, ["order_id", "product_sku"], "last", seq_col="seq")
+    assert {r["payload"] for r in last.collect()} == {"third", "null-key-b", "has-strategy"}
+
+
+def test_dedup_min_cross_type_numeric(spark, dupes):
+    # "5" < "7" < "10" numerically (string-typed values compared as double,
+    # CompareValues semantics transform.go:1052-1117)
+    out = dedup(dupes, ["order_id"], "min", strategy_field="updated_at", seq_col="seq")
+    by_key = {r["order_id"]: r["payload"] for r in out.collect()}
+    assert by_key[1] == "second"
+    assert by_key[2] == "null-key-a"
+    assert by_key[3] == "has-strategy"  # null strategy value loses
+
+
+def test_dedup_max(spark, dupes):
+    out = dedup(dupes, ["order_id"], "max", strategy_field="updated_at", seq_col="seq")
+    by_key = {r["order_id"]: r["payload"] for r in out.collect()}
+    assert by_key[1] == "first"  # "10" is max numerically (not lexically!)
+    assert by_key[2] == "null-key-b"
+
+
+def test_dedup_requires_strategy_field(spark, dupes):
+    with pytest.raises(ValueError):
+        dedup(dupes, ["order_id"], "min")
+
+
+def test_mapping_shadowing_and_chaining(spark):
+    df = spark.createDataFrame([(" x ", "k")], "a string, b string")
+    out = apply_mappings(df, [
+        {"source": "a", "target": "a", "transform": "trim"},       # shadows source
+        {"source": "a", "target": "c", "transform": "toUpperCase"},  # sees trimmed value
+        {"source": "missing", "target": "d"},                       # missing ⇒ null
+    ], keep_error_channel=False)
+    row = out.collect()[0]
+    assert out.columns == ["a", "c", "d"]
+    assert row["a"] == "x" and row["c"] == "X" and row["d"] is None
+
+
+def test_mapping_duplicate_target_rejected(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    from etl_tool_spark.functions.registry import TransformError
+
+    with pytest.raises(TransformError):
+        apply_mappings(df, [{"source": "a", "target": "t"},
+                            {"source": "a", "target": "t"}])
+
+
+def test_mapping_error_is_first_error(spark):
+    df = spark.createDataFrame([("bad", "alsobad")], "a string, b string")
+    out = apply_mappings(df, [
+        {"source": "a", "target": "x", "transform": "mustToInt"},
+        {"source": "b", "target": "y", "transform": "mustToFloat"},
+    ])
+    err = out.collect()[0][ERROR_COL]
+    assert "rule 0" in err and "x" in err

@@ -1,0 +1,136 @@
+"""End-to-end playbook tests replicating the reference's app-level
+scenarios (internal/app/app_test.go; man-page examples man.txt:261-338):
+filter → mapping → flatten → dedup → sink, dry-run, halt/skip + error
+file, format round-trips."""
+
+import json
+import os
+
+import pytest
+
+from etl_tool_spark.operators.errors import PipelineHaltError
+from etl_tool_spark.plans import load_config, run_pipeline
+from etl_tool_spark.plans.config import ConfigError
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    csv = tmp_path / "input.csv"
+    csv.write_text(
+        "user_id,email,status,amount\n"
+        " 1 ,A@X.COM,active,50\n"
+        "2,b@y.org,inactive,10\n"
+        "12.0,C@Z.IO,active,99\n"
+        "abc,bad,active,7\n")
+    return tmp_path
+
+
+def test_e2e_filter_map_skip(spark, workdir):
+    out = workdir / "out.json"
+    errf = workdir / "errors"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(workdir / "input.csv")},
+        "filter": "status == 'active' && amount > 0",
+        "mappings": [
+            {"source": "user_id", "target": "uid", "transform": "mustToInt"},
+            {"source": "email", "target": "email", "transform": "toLowerCase"},
+        ],
+        "errorHandling": {"mode": "skip", "errorFile": str(errf)},
+        "destination": {"type": "json", "file": str(out)},
+    })
+    run_pipeline(spark, cfg)
+    records = json.loads(out.read_text())
+    assert sorted(r["uid"] for r in records) == [1, 12]
+    assert all(r["email"] == r["email"].lower() for r in records)
+    err_rows = [f for f in os.listdir(errf) if f.endswith(".csv")]
+    assert err_rows, "error file written"
+
+
+def test_e2e_halt(spark, workdir):
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(workdir / "input.csv")},
+        "mappings": [{"source": "user_id", "target": "uid", "transform": "mustToInt"}],
+        "errorHandling": {"mode": "halt"},
+    })
+    with pytest.raises(PipelineHaltError):
+        run_pipeline(spark, cfg)
+
+
+def test_dry_run_no_write(spark, workdir):
+    out = workdir / "never.json"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(workdir / "input.csv")},
+        "filter": "status == 'active'",
+        "destination": {"type": "json", "file": str(out)},
+    })
+    res = run_pipeline(spark, cfg, dry_run=True)
+    assert not res.written and not out.exists()
+    assert res.output.count() == 3
+
+
+def test_flatten_dedup_example(spark, tmp_path):
+    """man.txt:317-338 shape: flatten a list then dedup on the item."""
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps([
+        {"order": "A", "items": ["x", "y", "x"]},
+        {"order": "B", "items": ["x"]},
+    ]))
+    out = tmp_path / "out.json"
+    cfg = load_config({
+        "source": {"type": "json", "file": str(src)},
+        "flattening": {"sourceField": "items", "targetField": "item"},
+        "dedup": {"keys": ["item"], "strategy": "first"},
+        "destination": {"type": "json", "file": str(out)},
+    })
+    run_pipeline(spark, cfg)
+    records = json.loads(out.read_text())
+    assert sorted(r["item"] for r in records) == ["x", "y"]
+    by_item = {r["item"]: r["order"] for r in records}
+    assert by_item["x"] == "A"  # first encounter wins
+
+
+def test_yaml_xml_roundtrip(spark, tmp_path):
+    yml = tmp_path / "in.yaml"
+    yml.write_text("- {id: 1, name: a}\n- {id: 2, name: b}\n")
+    out_xml = tmp_path / "out.xml"
+    cfg = load_config({
+        "source": {"type": "yaml", "file": str(yml)},
+        "destination": {"type": "xml", "file": str(out_xml)},
+    })
+    run_pipeline(spark, cfg)
+    text = out_xml.read_text()
+    assert "<records>" in text and text.count("<record>") == 2
+
+    # read the XML back
+    from etl_tool_spark.sources.registry import read_source
+
+    df = read_source(spark, "xml", str(out_xml), attach_seq=False)
+    assert sorted(r["name"] for r in df.collect()) == ["a", "b"]
+
+
+def test_env_expansion(tmp_path, monkeypatch):
+    monkeypatch.setenv("ETL_IN", str(tmp_path))
+    cfg = load_config({"source": {"type": "csv", "file": "$ETL_IN/x.csv"}})
+    assert cfg.source.file == f"{tmp_path}/x.csv"
+    monkeypatch.delenv("ETL_IN")
+    cfg = load_config({"source": {"type": "csv", "file": "$ETL_IN/x.csv"}})
+    assert cfg.source.file == "/x.csv"  # unset → "" (util.go:12-34)
+
+
+def test_validation_catalog(spark):
+    bads = [
+        ({"source": {"type": "nope", "file": "x"}}, "unsupported type"),
+        ({"source": {"type": "csv", "file": "x"},
+          "mappings": [{"source": "a", "target": "t", "transform": "hash",
+                        "params": {"algorithm": "md5", "fields": ["a"]}}],
+          "fipsMode": True}, "FIPS"),
+        ({"source": {"type": "csv", "file": "x"},
+          "mappings": [{"source": "a", "target": "t",
+                        "transform": "validateNumericRange",
+                        "params": {"min": 10, "max": 1}}]}, "min > max"),
+        ({"source": {"type": "csv", "file": "x"},
+          "errorHandling": {"mode": "explode"}}, "mode"),
+    ]
+    for raw, _hint in bads:
+        with pytest.raises(ConfigError):
+            load_config(raw)

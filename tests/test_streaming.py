@@ -1,0 +1,58 @@
+"""Structured Streaming tests: stream the events parquet with the
+availableNow trigger into memory sinks and cross-check against the batch
+formulations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tool_spark.streaming import (
+    read_events_stream,
+    sessionize_stream,
+    stream_to_memory,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_windowed_counts_match_batch(spark, events_stream):
+    stream_to_memory(windowed_counts(events_stream), "wc", output_mode="complete")
+    streamed = spark.sql("SELECT window_start, event_type, n FROM wc").collect()
+
+    from etl_tool_spark.catalog import _events
+
+    batch = (_events(spark, SF_DIR)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("window_start"), "event_type", "n")
+             .collect())
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_sessionize_stream_runs(spark, events_stream):
+    stream_to_memory(sessionize_stream(events_stream), "sess", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sess").collect()
+    assert len(rows) > 0
+    # session windows are per-user and non-overlapping
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_streaming_dedup(spark, events_stream):
+    stream_to_memory(streaming_dedup(events_stream, keys=["user_id"]), "dd")
+    n_users = spark.sql("SELECT count(*) AS n FROM dd").collect()[0]["n"]
+    from etl_tool_spark.catalog import _events
+
+    n_distinct = _events(spark, SF_DIR).select("user_id").distinct().count()
+    assert n_users == n_distinct
