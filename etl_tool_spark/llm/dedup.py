@@ -175,36 +175,94 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 8, shingle_n: int = 3,
-                        threshold: float = 0.7) -> DataFrame:
-    """Full near-dup pipeline: LSH banding → exact-Jaccard verify."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold)
+                        threshold: float = 0.7,
+                        persist: bool = False) -> DataFrame:
+    """Full near-dup pipeline: LSH banding → exact-Jaccard verify.
+
+    Jaccard is computed on the 60-bit shingle hashes, not the strings:
+    identical result modulo (negligible, engine-consistent) collisions,
+    half the hashing, and far smaller shuffle payloads.
+
+    ``persist`` caches the per-doc shingle-hash frame, which is consumed
+    four times (both sides of the banding self-join and of the verify
+    join). Measured locally recompute beats the cache-serialization cost
+    5× at document sizes like the test corpus, so the default is off;
+    turn it on when text is large enough that md5 dominates (the
+    persist-signatures pattern used at 100 TB, where signatures are
+    typically written to a table once and joined from there)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    hs_frame = df.select(F.col(id_col),
+                         shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    if persist:
+        hs_frame = hs_frame.persist()
+
+    sig = hs_frame.select(
+        id_col,
+        F.array(*[_perm_min(F.col("_hs"), i) for i in range(num_hashes)]).alias("_sig"))
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                               for r in range(rows_per_band)])
+            for b in range(bands)
+        ])).alias("_band", "_bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (left.join(right, [F.col("l._band") == F.col("r._band"),
+                               F.col("l._bucket") == F.col("r._bucket"),
+                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                 .select(F.col(f"l.{id_col}").alias("a"),
+                         F.col(f"r.{id_col}").alias("b"))
+                 .distinct())
+
+    dsh = hs_frame.select(F.col(id_col), F.explode(F.array_distinct("_hs")).alias("_h"))
+    sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = dsh.select(F.col(id_col).alias("a"), "_h")
+    b = dsh.select(F.col(id_col).alias("b"), "_h")
+    inter = (cands.join(a, "a").join(b, ["b", "_h"])
+                  .groupBy("a", "b").agg(F.count(F.lit(1)).alias("_i")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_szb"))
+    jac = F.col("_i") / (F.col("_sza") + F.col("_szb") - F.col("_i"))
+    return (inter.join(sa, "a").join(sb, "b")
+                 .filter(jac >= threshold)
+                 .select("a", "b", F.round(jac, 6).alias("jaccard")))
+
+
+def simhash_from_hashes(th: Column, bits: int = 16) -> Column:
+    """SimHash from a precomputed token-hash array: bit b contributes
+    +1/-1 by the b-th bit of each token hash; fingerprint bit b is 1 iff
+    the sum is > 0. Pure int array walks — map-side, no explode."""
+    def bit_sum(b: int) -> Column:  # closure, not lambda-default (see _perm_min)
+        return F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0,
+                           F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return out
 
 
 def simhash(col: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint: per-token hash64, bit b contributes +1/-1 by
-    its b-th bit; fingerprint bit b is 1 iff the sum is > 0. Computed with
-    higher-order array functions — map-side only, no explode, no shuffle."""
-    toks = tokens(col)
-
-    def bit_sum(b: int) -> Column:  # closure, not lambda-default (see _perm_min)
-        return F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.shiftright(hash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-
-    bit_sums = [bit_sum(b) for b in range(bits)]
-    out = F.lit(0).cast("bigint")
-    for b, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return out
+    """SimHash fingerprint of a text column. For frame-level use prefer
+    ``simhash_buckets``, which materializes the token hashes once instead
+    of re-hashing per bit."""
+    return simhash_from_hashes(F.transform(tokens(col), hash64), bits)
 
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bits: int = 16) -> DataFrame:
     """Docs grouped by identical simhash — the O(n) near-dup bucket pass
-    (Hamming-distance banding is the round-2 refinement)."""
-    return (df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    (Hamming-distance banding is the round-2 refinement). Token hashes
+    land in their own projection so the md5 work runs once, not
+    ``bits`` times."""
+    th_frame = df.select(F.col(id_col),
+                         F.transform(tokens(F.col(text_col)), hash64).alias("_th"))
+    return (th_frame.select(id_col, simhash_from_hashes(F.col("_th"), bits).alias("simhash"))
               .groupBy("simhash")
               .agg(F.count(F.lit(1)).alias("bucket_size"),
                    F.min(id_col).alias("min_doc_id"))
