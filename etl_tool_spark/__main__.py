@@ -1,0 +1,95 @@
+"""CLI entry point: ``python -m etl_tool_spark -config playbook.yaml``.
+
+Flag-compatible with the reference CLI (internal/app/app.go:74-89;
+cmd/etl-tool/main.go:14-59): -config -input -output -db -loglevel
+-dry-run -fips. Flags override playbook values, and the DB connection
+string falls back to $DB_CREDENTIALS exactly like app.go:105. Exit codes
+follow the reference: 2 for usage/config errors, 1 for runtime failures
+(docs/etl-tool.1.man.txt:361-367)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="etl_tool_spark",
+        description="PySpark-native ETL/analytics engine (playbook-driven)")
+    p.add_argument("-config", "--config", required=True, help="playbook YAML path")
+    p.add_argument("-input", "--input", help="override source file path")
+    p.add_argument("-output", "--output", help="override destination file path")
+    p.add_argument("-db", "--db", help="database connection string "
+                   "(default: $DB_CREDENTIALS)")
+    p.add_argument("-loglevel", "--loglevel", default=None,
+                   choices=["none", "error", "warn", "info", "debug"])
+    p.add_argument("-dry-run", "--dry-run", dest="dry_run", action="store_true",
+                   help="run the pipeline but skip the load stage")
+    p.add_argument("-fips", "--fips", action="store_true",
+                   help="FIPS mode: forbid md5 hashing")
+    return p
+
+
+_LEVELS = {"none": logging.CRITICAL, "error": logging.ERROR,
+           "warn": logging.WARNING, "info": logging.INFO, "debug": logging.DEBUG}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.loglevel:
+        logging.basicConfig(level=_LEVELS[args.loglevel])
+
+    from etl_tool_spark.plans.config import ConfigError, load_config
+    from etl_tool_spark.session import get_spark
+    from etl_tool_spark.util import mask_credentials
+
+    # session first: plan-time validation pre-compiles filter/branch
+    # expressions into Catalyst Columns, which needs an active session
+    spark = get_spark("etl_tool_spark_cli")
+
+    try:
+        cfg = load_config(args.config)
+    except (OSError, ConfigError) as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+
+    if args.input:
+        cfg.source.file = args.input
+    if args.output and cfg.destination:
+        cfg.destination.file = args.output
+    if args.fips:
+        cfg.fipsMode = True
+        # flag arrives after the load-time validation pass — re-validate so
+        # e.g. md5-under-FIPS fails as a config error (exit 2), matching
+        # the reference's config-time check (validation.go:310-326)
+        from etl_tool_spark.plans.config import validate_config
+
+        try:
+            validate_config(cfg)
+        except ConfigError as e:
+            print(f"config error: {e}", file=sys.stderr)
+            return 2
+    db = args.db or os.environ.get("DB_CREDENTIALS")
+    if db:
+        for ep in (cfg.source, cfg.destination):
+            if ep is not None and ep.type in ("postgres", "jdbc"):
+                ep.options.setdefault("url", db)
+        logging.info("db connection: %s", mask_credentials(db))
+
+    from etl_tool_spark.plans.pipeline import run_pipeline
+
+    try:
+        result = run_pipeline(spark, cfg, dry_run=args.dry_run)
+    except Exception as e:
+        print(f"pipeline failed: {e}", file=sys.stderr)
+        return 1
+    n = result.output.count()
+    print(f"{'dry-run: would write' if not result.written else 'wrote'} {n} records")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

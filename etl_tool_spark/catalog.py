@@ -43,7 +43,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    return e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer `div` — a double division would lose precision above 2^53
+    # nanos and round the microsecond (off-by-one vs DuckDB's truncation)
+    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,3 +882,83 @@ def llm_embedding_lsh_topk(spark, sf_dir):
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return (S.lsh_topk(emb, queries, k=5, dim=64, planes=6)
              .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+# =========================================================================
+# Custom relational operators (as-of join, extremal-row aggregates)
+# =========================================================================
+
+@query("join_asof", """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+ clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, c.ts AS click_ts, c.click_value AS value_right
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""")
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it (operators/relational.py union-window formulation —
+    one shuffle on user_id). Right side is made unique per (user, ts)
+    first so the match is deterministic on both engines."""
+    from etl_tool_spark.operators.relational import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("value", "event_id").alias("click_value")))
+    joined = asof_join(purchases, clicks, on=["user_id"],
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["click_value"])
+    # also surface the matched right timestamp for checkability
+    clicks_ts = (e.filter(F.col("event_type") == "click")
+                  .groupBy("user_id", "ts")
+                  .agg(F.lit(1).alias("_one"))
+                  .select("user_id", F.col("ts").alias("_cts")))
+    joined2 = asof_join(purchases, clicks_ts, on=["user_id"],
+                        left_ts="ts", right_ts="_cts", payload_cols=["_cts"])
+    out = (joined.join(joined2.select("event_id", F.col("_cts_right").alias("click_ts")),
+                       "event_id")
+                 .select("event_id", "user_id", "click_ts",
+                         F.col("click_value_right").alias("value_right")))
+    return out
+
+
+@query("agg_extremal_rows", """
+SELECT o_custkey,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS biggest_order,
+       round(max(o_totalprice), 2) AS biggest_total,
+       (min(struct_pack(p := o_orderdate, k := o_orderkey))).k AS earliest_order
+FROM orders GROUP BY o_custkey
+""")
+def agg_extremal_rows(spark, sf_dir):
+    """max_by/min_by — the reference's dedup min/max keeps an extremal ROW
+    per key (processor.go:299-305); these aggregates are the single-pass
+    agg form of the same thing (no window, map-side partial agg). The
+    ordering value is a (value, key) struct so ties resolve to the same
+    row on both engines (bare max_by/arg_max tie-break is unspecified)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+             .agg(F.max(F.struct(F.col("o_totalprice").alias("p"),
+                                 F.col("o_orderkey").alias("k")))["k"]
+                  .alias("biggest_order"),
+                  F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
+                  F.min(F.struct(F.col("o_orderdate").alias("p"),
+                                 F.col("o_orderkey").alias("k")))["k"]
+                  .alias("earliest_order")))
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — the sketch path for 100 TB
+    cardinalities. No SQL oracle (estimator families differ between
+    engines by design); the exact twin agg_distinct is the correctness
+    anchor. Sanity contract: estimate within 5% of exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+                   F.countDistinct("l_orderkey").alias("exact_orders")))

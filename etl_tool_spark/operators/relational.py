@@ -1,0 +1,65 @@
+"""Relational operators Spark lacks as primitives — composed from
+DataFrame ops, no UDFs.
+
+as-of join: for each left row, the most recent right row with
+``right.ts <= left.ts`` within the same key group. The classic backfill/
+point-in-time join (market data, feature stores). The reference has no
+joins at all (playbook_development_guide.md:461); Spark has no ASOF
+primitive; DuckDB does (the oracle uses it).
+
+Implementation: the union-window ("piggyback") formulation —
+  union(left tagged, right tagged)
+  → window per key ordered by (ts, right-before-left)
+  → last(right payload, ignorenulls) over rows unbounded-preceding
+  → keep left rows.
+ONE shuffle on the key (same cost as the groupBy both inputs already
+need), no range-explosion, no per-key collect — at 100 TB this beats the
+broadcast-and-filter or theta-join formulations by orders of magnitude
+because state per key is a single running value."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload_cols: list[str] | None = None,
+              suffix: str = "_right", inclusive: bool = True) -> DataFrame:
+    """Left as-of join. ``payload_cols`` are the right-side columns carried
+    onto matching left rows (null when no prior right row exists).
+
+    Ties: if several right rows share (key, ts), the one latest in the
+    window order wins — make the right side unique per (key, ts) first if
+    you need a deterministic contract (the catalog query does)."""
+    payload_cols = payload_cols or [c for c in right.columns
+                                    if c not in on and c != right_ts]
+
+    lt = left.withColumn("_asof_ts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
+    for c in payload_cols:
+        lt = lt.withColumn(f"_p_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols])
+    left_only_cols = [c for c in lt.columns if c not in rt.columns]
+    rt = rt.select("*", *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c)
+                          for c in left_only_cols])
+
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts when inclusive
+    # (so right.ts == left.ts matches), after them when exclusive
+    tie = F.col("_is_left").asc() if inclusive else F.col("_is_left").desc()
+    w = (Window.partitionBy(*on).orderBy(F.col("_asof_ts").asc(), tie)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        "*",
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in payload_cols])
+    out = filled.filter(F.col("_is_left") == 1)
+    drop = ["_asof_ts", "_is_left"] + [f"_p_{c}" for c in payload_cols]
+    return out.drop(*drop)

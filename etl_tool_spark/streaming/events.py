@@ -43,7 +43,8 @@ def read_events_stream(spark: SparkSession, events_path: str,
         reader = reader.option("pathGlobFilter", os.path.basename(events_path))
         events_path = os.path.dirname(events_path)
     df = reader.parquet(events_path)
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer `div`: double division loses precision above 2^53 nanos
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
