@@ -962,3 +962,76 @@ def agg_approx_distinct(spark, sf_dir):
     return (li.groupBy("l_returnflag")
               .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
                    F.countDistinct("l_orderkey").alias("exact_orders")))
+
+
+@query("llm_multimodal_features", """
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS hex FROM documents)
+SELECT media_id,
+       1 + ('0x' || substr(hex, 1, 2))::INT  AS width,
+       1 + ('0x' || substr(hex, 3, 2))::INT  AS height,
+       round(('0x' || substr(hex, 5, 2))::INT / 255.0, 6) AS f0,
+       round(('0x' || substr(hex, 7, 2))::INT / 255.0, 6) AS f1
+FROM m
+""")
+def llm_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing, end-to-end checkable: documents text
+    becomes the binary payload; the mapInPandas stub derives deterministic
+    "image" dims + features from its sha256 — which the oracle recomputes
+    in SQL. Exercises the real Arrow batch path and output schema."""
+    from etl_tool_spark.llm.multimodal import decode_image_features
+
+    d = _docs(spark, sf_dir)
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("payload"))
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
+
+
+@query("etl_error_channel", """
+SELECT c_custkey AS cust_id, c_acctbal AS bal FROM customer
+WHERE c_acctbal BETWEEN -500 AND 8000
+""")
+def etl_error_channel(spark, sf_dir):
+    """The halt/skip error channel (processor.go:94-101) as a query: rows
+    failing validateNumericRange route to the error stream; the clean
+    stream is returned and must equal the oracle's WHERE-filtered set."""
+    from etl_tool_spark.operators.errors import split_errors
+
+    c = _t(spark, sf_dir, "customer")
+    mapped = apply_mappings(c, [
+        {"source": "c_custkey", "target": "cust_id"},
+        {"source": "c_name", "target": "name", "transform": "validateRequired"},
+        {"source": "c_acctbal", "target": "bal", "transform": "validateNumericRange",
+         "params": {"min": -500, "max": 8000}},
+    ])
+    return split_errors(mapped).clean.select("cust_id", "bal")
+
+
+@query("llm_quality_score", """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t)
+SELECT doc_id,
+       round(least(n_tokens / 20.0, 1.0) * 0.4
+             + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stop_ratio * 5, 1.0) * 0.3, 4) AS quality_score
+FROM m
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in __import__('etl_tool_spark.llm.text', fromlist=['STOPWORDS']).STOPWORDS.values() for w in ws) + "]"))
+def llm_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    feats = X.quality_features(F.col("text"))
+    return d.select("doc_id", feats["quality_score"].alias("quality_score"))

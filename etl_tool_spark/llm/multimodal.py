@@ -34,11 +34,14 @@ MEDIA_SCHEMA = T.StructType([
     T.StructField("sha256", T.StringType(), True),
 ])
 
+# features are double, not float: the stub derives them from digest bytes
+# and float32 truncation would shift 6-dp rounding vs any double-computing
+# oracle (0.31372549… float32-rounds up, double rounds down)
 IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
-    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
 FRAME_SCHEMA = T.StructType([

@@ -83,21 +83,24 @@ def quality_features(col: Column) -> dict[str, Column]:
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
     mean_token_len = F.round((n_chars - (n_tokens - 1)) / safe_tokens.cast("double"), 6)
-    punct_ratio = F.round(n_punct / safe_chars.cast("double"), 6)
-    stop_ratio = F.round(n_stop / safe_tokens.cast("double"), 6)
+    # score uses the UNROUNDED ratios: feeding 6-dp-rounded decimals into
+    # further arithmetic lands results exactly on rounding boundaries,
+    # where engines' half-up implementations disagree in the last digit
+    punct_raw = n_punct / safe_chars.cast("double")
+    stop_raw = n_stop / safe_tokens.cast("double")
     # composite: long enough, not punctuation soup, has some stopwords
     score = (
         F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
-        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_raw * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
     )
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
-        "punct_ratio": punct_ratio,
-        "stopword_ratio": stop_ratio,
+        "punct_ratio": F.round(punct_raw, 6),
+        "stopword_ratio": F.round(stop_raw, 6),
         "mean_token_len": mean_token_len,
-        "quality_score": F.round(score, 6),
+        "quality_score": F.round(score, 4),
     }
 
 

@@ -1,0 +1,80 @@
+"""Plan-quality tests: assert the physical plans have the shapes the
+100 TB design depends on — filter pushdown into the scan, column pruning,
+broadcast joins on dimensions, single-shuffle windows. These are the
+`.explain("formatted")` checks from the build brief, codified."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    """The string df.explain('formatted') would print."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def nodes(p: str, name: str) -> set[str]:
+    """Distinct physical-plan node ids for an operator name (formatted
+    mode prints each node in the tree AND in the details section)."""
+    import re
+
+    return set(re.findall(rf"\((\d+)\) {name}", p))
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from etl_tool_spark.catalog import SPARK
+
+    return SPARK
+
+
+def test_q1_filter_pushdown_and_pruning(spark, catalog):
+    p = plan(catalog["q1_pricing_summary"](spark, SF_DIR))
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed  # the date filter reached the parquet scan
+    # column pruning: the scan must not read columns q1 never touches
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_shipdate" in read_schema
+    # partial + final hash aggregate = map-side combine before the shuffle
+    assert len(nodes(p, "HashAggregate")) == 2
+
+
+def test_govaluate_filter_pushes_down(spark, catalog):
+    p = plan(catalog["etl_filter_expr"](spark, SF_DIR))
+    assert "PushedFilters" in p and "o_totalprice" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_broadcast_dims(spark, catalog):
+    p = plan(catalog["join_broadcast_dims"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # star join must not shuffle-sort
+
+
+def test_semi_join_strategy(spark, catalog):
+    p = plan(catalog["join_semi"](spark, SF_DIR))
+    assert "LeftSemi" in p
+
+
+def test_dedup_single_shuffle(spark, catalog):
+    p = plan(catalog["etl_dedup_min"](spark, SF_DIR))
+    # one Exchange for the window partitioning, none after
+    assert len(nodes(p, "Exchange")) == 1
+
+
+def test_mapping_chain_single_project(spark):
+    """The whole 7-rule mapping chain must collapse into one Project over
+    the scan — no intermediate exchanges or extra stages."""
+    from etl_tool_spark.catalog import SPARK
+
+    p = plan(SPARK["etl_mapping_chain"](spark, SF_DIR))
+    assert not nodes(p, "Exchange")
+    assert len(nodes(p, "Project")) <= 2  # working-frame project (+ final select)
+    assert len(nodes(p, "WholeStageCodegen")) <= 1 or "codegen id : 1" in p
+
+
+def test_asof_join_single_shuffle(spark, catalog):
+    p = plan(catalog["join_asof"](spark, SF_DIR))
+    # union-window formulation: partitioned once per window branch, never a
+    # cartesian/broadcast-nested-loop range join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
