@@ -286,7 +286,12 @@ class _Parser:
         if self.peek().kind == "op" and self.peek().value == "**":
             self.next()
             right = self.exponent()  # right-assoc
-            return Val(F.pow(_num(left), _num(right)))
+            # NaN (e.g. negative base with fractional exponent) → null:
+            # Spark orders NaN above every value, so a raw NaN would make
+            # comparisons TRUE where govaluate's Go semantics yield false;
+            # null instead drops the row like any other eval error.
+            p = F.pow(_num(left), _num(right))
+            return Val(F.nanvl(p, F.lit(None).cast("double")))
         return left
 
     def unary(self) -> Val:
