@@ -1035,3 +1035,113 @@ def llm_quality_score(spark, sf_dir):
     d = _docs(spark, sf_dir)
     feats = X.quality_features(F.col("text"))
     return d.select("doc_id", feats["quality_score"].alias("quality_score"))
+
+
+# =========================================================================
+# Subqueries, percentiles, min-per-group, string breadth
+# =========================================================================
+
+@query("subquery_correlated_avg", """
+SELECT l_partkey, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem li
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = li.l_partkey)
+GROUP BY l_partkey ORDER BY l_partkey LIMIT 50
+""")
+def subquery_correlated_avg(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate + join (no per-row re-execution)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql("""
+        SELECT l_partkey, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_sq li
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem_sq
+                            WHERE l_partkey = li.l_partkey)
+        GROUP BY l_partkey ORDER BY l_partkey LIMIT 50
+    """)
+
+
+@query("subquery_exists_in", """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_discount > 0.09)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""")
+def subquery_exists_in(spark, sf_dir):
+    """EXISTS + IN subqueries in SQL form — planned as semi joins."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq2")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n FROM orders_sq
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq2 WHERE l_orderkey = o_orderkey
+                      AND l_discount > 0.09)
+          AND o_custkey IN (SELECT c_custkey FROM customer_sq
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+    """)
+
+
+@query("agg_percentiles", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The sketch twin at scale is approx_percentile —
+    see agg_approx_distinct for the rows-only sketch pattern."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+                  F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+                  F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price")))
+
+
+@query("q2_min_per_group_join", """
+WITH min_bal AS (SELECT s_nationkey, min(s_acctbal) AS mb
+                 FROM supplier GROUP BY s_nationkey)
+SELECT n_name, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier JOIN min_bal ON supplier.s_nationkey = min_bal.s_nationkey
+                           AND s_acctbal = mb
+              JOIN nation ON supplier.s_nationkey = n_nationkey
+""")
+def q2_min_per_group_join(spark, sf_dir):
+    """TPC-H Q2 shape: join back to a per-group extremal — the agg side is
+    tiny after grouping, so it broadcasts."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    mb = (s.groupBy("s_nationkey")
+           .agg(F.min("s_acctbal").alias("mb"))
+           .select(F.col("s_nationkey").alias("mb_nationkey"), "mb"))
+    return (s.join(F.broadcast(mb), (F.col("s_nationkey") == F.col("mb_nationkey"))
+                   & (F.col("s_acctbal") == F.col("mb")))
+             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("n_name", "s_name", F.round("s_acctbal", 2).alias("acctbal")))
+
+
+@query("string_functions", """
+SELECT c_custkey,
+       concat(c_mktsegment, ':', c_name) AS tagged,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+       length(c_name) AS name_len,
+       reverse(c_mktsegment) AS seg_rev,
+       substr(md5(c_name), 1, 8) AS name_md5_8
+FROM customer WHERE c_custkey <= 500
+""")
+def string_functions(spark, sf_dir):
+    """Breadth check of the scalar string surface beyond the reference's
+    six string transforms."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.length("c_name").alias("name_len"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.substring(F.md5("c_name"), 1, 8).alias("name_md5_8"))
