@@ -1,0 +1,77 @@
+"""Skew-mitigation primitives for hot keys at scale.
+
+Two standard levers, exposed as composable helpers (AQE's skew-join
+handling covers sort-merge joins automatically; these cover aggregations
+and broadcast-averse joins):
+
+  * salted_agg — two-phase aggregation: explode each hot key into
+    ``salt`` sub-keys (map-side random-ish salt derived from a stable row
+    expression, so it stays deterministic), partial-aggregate on
+    (key, salt), then final-aggregate on key. The first shuffle spreads a
+    hot key over ``salt`` reducers instead of one.
+  * salted_join — replicate the SMALL side ``salt`` times (salt column
+    0..salt-1) and salt the big side's key the same deterministic way, so
+    a hot join key fans out over ``salt`` reducers.
+
+Correctness: both are algebraic rewrites — results equal the unsalted
+form for the supported aggregates (sum/count/min/max; avg via sum+count).
+The catalog exercises salted_agg against the plain-groupBy oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg", "salted_join"]
+
+# aggregates that re-combine losslessly: name -> (partial fn, final fn)
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def _salt_col(df: DataFrame, salt: int) -> Column:
+    """Deterministic per-row salt in [0, salt): a cheap hash of all
+    columns. Deterministic (not rand()) so retried tasks and resumed
+    stages produce identical partitions."""
+    return F.pmod(F.hash(*[F.col(f"`{c}`") for c in df.columns]), F.lit(salt))
+
+
+def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]],
+               salt: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs``: output_name -> (agg_name, column), agg_name in
+    {sum, count, min, max}. Example::
+
+        salted_agg(li, ["l_returnflag"], {"qty": ("sum", "l_quantity")})
+    """
+    for name, (agg_name, _) in aggs.items():
+        if agg_name not in _MERGEABLE:
+            raise ValueError(f"{name}: aggregate {agg_name!r} is not mergeable "
+                             f"(supported: {sorted(_MERGEABLE)})")
+    salted = df.withColumn("_salt", _salt_col(df, salt))
+    partial = (salted.groupBy(*keys, "_salt")
+                     .agg(*[_MERGEABLE[a][0](c).alias(f"_p_{name}")
+                            for name, (a, c) in aggs.items()]))
+    final = (partial.groupBy(*keys)
+                    .agg(*[_MERGEABLE[a][1](f"_p_{name}").alias(name)
+                           for name, (a, c) in aggs.items()]))
+    return final
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: the small side is replicated ``salt`` times
+    (one copy per salt value) and the big side's rows are salted
+    deterministically, so each (key, salt) bucket holds 1/salt of a hot
+    key. Use when the small side is too big to broadcast but hot keys
+    overwhelm single reducers. Cost: small side ×salt."""
+    salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+    small_rep = small.crossJoin(salts)
+    big_salted = big.withColumn("_salt", _salt_col(big, salt))
+    out = big_salted.join(small_rep, [on, "_salt"], how)
+    return out.drop("_salt")

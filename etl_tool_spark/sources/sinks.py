@@ -146,48 +146,60 @@ def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
 
 def write_jdbc_custom_sql(df: DataFrame, command: str, options: dict[str, Any]) -> None:
     """Custom per-record DML loader (loader.mode=sql, postgres.go:316-532):
-    placeholders bound in ALPHABETICAL target-field order; batch_size>0 ⇒
-    one transaction per batch (fails atomically); else autocommit per
-    record with failed records skipped. Executed per partition via DB-API
-    so the driver never materializes the data."""
+    placeholders bound in ALPHABETICAL target-field order
+    (postgres.go:326-331); batch_size>0 ⇒ one transaction per batch (fails
+    atomically, postgres.go:409-520); else autocommit per record with
+    failed records skipped (postgres.go:339-406). Executed per partition
+    via DB-API so the driver never materializes the data.
+
+    ``driver_module`` selects the executor-side DB-API module (default
+    psycopg; sqlite3 works for tests) and ``paramstyle`` the placeholder
+    flavor ('pyformat' → %s, 'qmark' → ?)."""
     import re
 
-    url = options.get("url") or options.get("connectionString")
+    driver_module = options.get("driver_module", "psycopg")
+    url = options.get("url") or options.get("connectionString") or options.get("database")
     if not url:
-        raise SinkError("jdbc custom-sql sink requires 'url'")
+        raise SinkError("custom-sql sink requires 'url' (or 'database')")
     batch_size = int(options.get("batch_size", 0))
+    placeholder = "?" if options.get("paramstyle", "pyformat") == "qmark" else "%s"
     cols = sorted(_clean(df).columns)  # alphabetical $n binding (postgres.go:326-331)
-    sql = re.sub(r"\$(\d+)", "%s", command)  # $n → DB-API placeholders, in order
+    sql = re.sub(r"\$(\d+)", lambda m: placeholder, command)
 
     rows = _clean(df).select(*[F.col(f"`{c}`") for c in cols])
 
     def run_partition(it):
+        import importlib
+
         try:
-            import psycopg
+            mod = importlib.import_module(driver_module)
         except ImportError as e:  # pragma: no cover
             raise NotImplementedError(
-                "custom-sql loader needs a DB-API driver (psycopg) on executors") from e
-        with psycopg.connect(url) as conn:
+                f"custom-sql loader needs the {driver_module!r} DB-API module "
+                "on executors") from e
+        conn = mod.connect(url)
+        try:
+            cur = conn.cursor()
             if batch_size > 0:
                 batch = []
-                with conn.cursor() as cur:
-                    for row in it:
-                        batch.append(tuple(row))
-                        if len(batch) >= batch_size:
-                            cur.executemany(sql, batch)
-                            conn.commit()
-                            batch = []
-                    if batch:
+                for row in it:
+                    batch.append(tuple(row))
+                    if len(batch) >= batch_size:
                         cur.executemany(sql, batch)
                         conn.commit()
+                        batch = []
+                if batch:
+                    cur.executemany(sql, batch)
+                    conn.commit()
             else:
-                conn.autocommit = True
-                with conn.cursor() as cur:
-                    for row in it:
-                        try:
-                            cur.execute(sql, tuple(row))
-                        except Exception:  # failed records logged + skipped
-                            pass
+                for row in it:
+                    try:
+                        cur.execute(sql, tuple(row))
+                        conn.commit()
+                    except Exception:  # failed records logged + skipped
+                        conn.rollback()
+        finally:
+            conn.close()
         return iter(())
 
     rows.rdd.mapPartitions(run_partition).count()

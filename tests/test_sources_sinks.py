@@ -1,0 +1,92 @@
+"""Reader-quirk parity (FIXTURES.md B6 / internal/io/*_test.go shapes) and
+the custom-DML loader driven end-to-end against sqlite."""
+
+import sqlite3
+
+import pytest
+
+from etl_tool_spark.sources.registry import read_source
+from etl_tool_spark.sources.sinks import write_jdbc_custom_sql, write_sink
+
+
+def test_csv_quirks(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "# a comment line\n"
+        "id|name|val\n"
+        "1|alpha|10\n"
+        "2|beta\n"            # short row → skipped (csv.go:110-114)
+        "3|gamma|30|extra\n"  # long row → skipped
+        "4|delta|40\n")
+    df = read_source(spark, "csv", str(p),
+                     {"delimiter": "|", "commentChar": "#"}, attach_seq=False)
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {"1": "alpha", "4": "delta"}
+    assert [f.dataType.simpleString() for f in df.schema] == ["string"] * 3
+
+
+def test_json_single_object(spark, tmp_path):
+    p = tmp_path / "one.json"
+    p.write_text('{"id": 7, "nested": {"x": 1}}')  # single object → 1 record
+    df = read_source(spark, "json", str(p), attach_seq=False)
+    assert df.count() == 1
+    assert df.collect()[0]["nested"]["x"] == 1
+
+
+def test_yaml_forms(spark, tmp_path):
+    single = tmp_path / "single.yaml"
+    single.write_text("id: 1\nname: a\n")  # single map → 1 record
+    assert read_source(spark, "yaml", str(single), attach_seq=False).count() == 1
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    assert read_source(spark, "yaml", str(empty), attach_seq=False).count() == 0
+
+
+def test_xml_custom_record_tag(spark, tmp_path):
+    p = tmp_path / "in.xml"
+    p.write_text(
+        "<data><item attr='ignored'><id>1</id><name> padded <b>bold</b> </name></item>"
+        "<item><id>2</id><name>two</name></item></data>")
+    df = read_source(spark, "xml", str(p), {"xmlRecordTag": "item"}, attach_seq=False)
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    # nested element text flattened, trimmed (xml.go:109-118); attrs ignored
+    assert rows == {"1": "padded bold", "2": "two"}
+
+
+def test_custom_sql_loader_sqlite(spark, tmp_path):
+    """loader.mode=sql end-to-end: alphabetical $n binding, batched
+    transactions — against a real DB-API target (sqlite3 on executors)."""
+    db = tmp_path / "out.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sink (k INTEGER, v TEXT)")
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    # sorted cols → (k, v); $1 = k, $2 = v (alphabetical, postgres.go:326-331)
+    write_jdbc_custom_sql(df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
+                          {"database": str(db), "driver_module": "sqlite3",
+                           "paramstyle": "qmark", "batch_size": 2})
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k, v FROM sink").fetchall())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_custom_sql_loader_skips_failures(spark, tmp_path):
+    db = tmp_path / "out2.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sink (k INTEGER PRIMARY KEY, v TEXT)")
+
+    df = spark.createDataFrame([(1, "a"), (1, "dup"), (2, "b")], "k long, v string")
+    # batch_size<=0 ⇒ per-record commit, failed records skipped
+    write_jdbc_custom_sql(df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
+                          {"database": str(db), "driver_module": "sqlite3",
+                           "paramstyle": "qmark", "batch_size": 0})
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k FROM sink").fetchall())
+    assert got == [(1,), (2,)]
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    write_sink(df, "parquet", str(tmp_path / "out.pq"), {})
+    back = read_source(spark, "parquet", str(tmp_path / "out.pq"), attach_seq=False)
+    assert back.collect() == df.collect()
