@@ -120,15 +120,15 @@ def q1_pricing_summary(spark, sf_dir):
 @query("q6_forecast_revenue", """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6: pure scan+filter+scalar agg — everything pushes down."""
     _utc(spark)
     li = _t(spark, sf_dir, "lineitem")
-    return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1994-01-01")))
-                      & (F.col("l_shipdate") < F.to_timestamp(F.lit("1995-01-01")))
+    return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+                      & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
                       & (F.col("l_discount").between(0.05, 0.07))
                       & (F.col("l_quantity") < 24))
               .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
@@ -244,7 +244,7 @@ FROM customer JOIN orders   ON c_custkey = o_custkey
               JOIN nation   ON s_nationkey = n_nationkey
               JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """)
 def q5_local_supplier_volume(spark, sf_dir):
@@ -253,8 +253,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     _utc(spark)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1994-01-01")))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-01-01"))))
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1145,3 +1145,29 @@ def string_functions(spark, sf_dir):
         F.length("c_name").alias("name_len"),
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.substring(F.md5("c_name"), 1, 8).alias("name_md5_8"))
+
+
+@query("llm_embedding_dup_pairs", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+""")
+def llm_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the 5th dedup family;
+    threshold 0.45 sits in the tail of this synthetic corpus whose max
+    pairwise cosine is ~0.51).
+    Exact O(n²) self-join here as the verify baseline; the scale path
+    buckets by hyperplane signature first (lsh_topk) so candidate pairs
+    come from equi-joins, and this exact cosine runs on candidates only."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    sim = S.cosine(F.col("_va"), F.col("_vb"))
+    return (a.join(b, F.col("a") < F.col("b"))
+             .filter(sim >= 0.45)
+             .select("a", "b", F.round(sim, 6).alias("cosine_sim")))

@@ -92,6 +92,22 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
     return wm.dropDuplicates(keys + ["ts"])
 
 
+def stream_foreach_batch(stream: DataFrame, sink_fn, checkpoint: str,
+                         output_mode: str = "update"):
+    """Micro-batch sink bridge: each batch is a normal DataFrame handed to
+    ``sink_fn(batch_df, batch_id)`` — the route to JDBC/custom sinks with
+    no native streaming writer (the streaming twin of the batch custom-DML
+    loader). Exactly-once hinges on the checkpoint + an idempotent or
+    transactional sink_fn keyed by batch_id."""
+    q = (stream.writeStream.foreachBatch(sink_fn)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def stream_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
     """Run a streaming frame to completion against the current files with
     the availableNow trigger and a memory sink — the test/CI harness path

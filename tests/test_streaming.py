@@ -5,7 +5,7 @@ formulations."""
 import pytest
 from pyspark.sql import functions as F
 
-from etl_tool_spark.streaming import (
+from etl_tool_spark.streaming import (  # noqa: F401
     read_events_stream,
     sessionize_stream,
     stream_to_memory,
@@ -56,3 +56,21 @@ def test_streaming_dedup(spark, events_stream):
 
     n_distinct = _events(spark, SF_DIR).select("user_id").distinct().count()
     assert n_users == n_distinct
+
+
+def test_foreach_batch_sink(spark, events_stream, tmp_path):
+    """foreachBatch drives a batch sink (parquet here; JDBC in prod) with
+    checkpointed progress."""
+    out = str(tmp_path / "fb_out")
+    from etl_tool_spark.streaming.events import stream_foreach_batch
+    from etl_tool_spark.streaming import windowed_counts
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream_foreach_batch(windowed_counts(events_stream), sink,
+                         checkpoint=str(tmp_path / "ckpt"))
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert set(written.columns) == {"window_start", "window_end", "event_type",
+                                    "n", "total_value"}
