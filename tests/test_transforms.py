@@ -237,3 +237,14 @@ def test_validate_allowed_values_cross_type(spark):
 def test_unknown_transform_passes_through(spark):
     with pytest.warns(UserWarning):
         assert run1(spark, "x", "string", "noSuchThing")["out"] == "x"
+
+
+def test_must_to_float_and_epoch(spark):
+    r = run1(spark, "junk", "string", "mustToFloat")
+    assert r["out"] is None and r["err"] is not None
+    r = run1(spark, " 2.5 ", "string", "mustToFloat")
+    assert r["out"] == 2.5 and r["err"] is None
+    r = run1(spark, "notanepoch", "string", "mustEpochToDate")
+    assert r["err"] is not None
+    r = run1(spark, 1700000000, "bigint", "mustEpochToDate")
+    assert r["out"] == "2023-11-14" and r["err"] is None
