@@ -1025,9 +1025,9 @@ WITH t AS (
            AS stop_ratio
   FROM t)
 SELECT doc_id,
-       round(least(n_tokens / 20.0, 1.0) * 0.4
+       floor((least(n_tokens / 20.0, 1.0) * 0.4
              + (1 - least(punct_ratio * 4, 1.0)) * 0.3
-             + least(stop_ratio * 5, 1.0) * 0.3, 4) AS quality_score
+             + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000 AS quality_score
 FROM m
 """.replace("{ALLSTOP}", "[" + ", ".join(
     f"'{w}'" for ws in __import__('etl_tool_spark.llm.text', fromlist=['STOPWORDS']).STOPWORDS.values() for w in ws) + "]"))
@@ -1171,3 +1171,39 @@ def llm_embedding_dup_pairs(spark, sf_dir):
     return (a.join(b, F.col("a") < F.col("b"))
              .filter(sim >= 0.45)
              .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
+
+
+@query("agg_collect_sorted", """
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+       count(*) AS n
+FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey
+""")
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation: collect_list has nondeterministic order, so the
+    contract (and the oracle) sorts — the only safe way to expose grouped
+    arrays from a distributed engine."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return (o.groupBy("o_custkey")
+             .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+                  F.count(F.lit(1)).alias("n")))
+
+
+@query("events_multi_rollup", """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+       count(*) AS n,
+       count(DISTINCT time_bucket(INTERVAL '1 hour', ts)) AS active_hours,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_multi_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: day buckets with
+    hour-level distinct activity — the continuous-aggregate shape, one
+    scan, one shuffle."""
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (e.groupBy(day.alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct(hour).alias("active_hours"),
+                  F.round(F.sum("value"), 2).alias("total_value")))

@@ -94,13 +94,18 @@ def quality_features(col: Column) -> dict[str, Column]:
         + (1 - F.least(punct_raw * 4, F.lit(1.0))) * 0.3
         + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
     )
+    # floor-scaling, not round(): the score is a rational of small counts
+    # and systematically lands ON half-up boundaries (e.g. 0.83125), where
+    # engines' decimal rounding of the same double disagrees; floor of
+    # identical doubles is bit-deterministic everywhere
+    score_4dp = F.floor(score * 10000) / 10000
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
         "punct_ratio": F.round(punct_raw, 6),
         "stopword_ratio": F.round(stop_raw, 6),
         "mean_token_len": mean_token_len,
-        "quality_score": F.round(score, 4),
+        "quality_score": score_4dp,
     }
 
 
