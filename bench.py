@@ -31,11 +31,14 @@ BENCH_QUERIES = [
     "set_ops",
     "events_window_agg",
     "events_sessionize",
+    "events_multi_rollup",
+    "join_asof",
     "etl_filter_expr",
     "etl_mapping_chain",
     "etl_dedup_min",
     "etl_flatten_explode",
     "llm_exact_dedup",
+    "llm_quality_score",
     "llm_minhash_lsh_pairs",
     "llm_simhash_buckets",
     "llm_embedding_topk",
