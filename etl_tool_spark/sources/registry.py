@@ -115,17 +115,18 @@ def read_xml(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFra
 
 def read_xlsx(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
     try:
-        import pandas as pd
-
-        sheet = options.get("sheetName")
-        if sheet is None:
-            sheet = int(options.get("sheetIndex", 0))
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # all-string parity
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
     except ImportError as e:
         raise NotImplementedError(
             "XLSX source requires openpyxl (not installed in this environment); "
             "the reader contract matches internal/io/xlsx.go:17-170"
         ) from e
+    import pandas as pd
+
+    sheet = options.get("sheetName")
+    if sheet is None:
+        sheet = int(options.get("sheetIndex", 0))
+    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # all-string parity
     pdf = pdf.where(pd.notna(pdf), None)
     return spark.createDataFrame(pdf)
 

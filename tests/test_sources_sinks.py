@@ -90,3 +90,17 @@ def test_parquet_roundtrip(spark, tmp_path):
     write_sink(df, "parquet", str(tmp_path / "out.pq"), {})
     back = read_source(spark, "parquet", str(tmp_path / "out.pq"), attach_seq=False)
     assert back.collect() == df.collect()
+
+
+def test_xlsx_gated_without_openpyxl(spark, tmp_path):
+    """XLSX bridge raises a clear NotImplementedError in environments
+    without openpyxl (this container) instead of a deep ImportError."""
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("openpyxl installed — gate not exercised")
+    except ImportError:
+        pass
+    p = tmp_path / "dummy.xlsx"
+    p.write_bytes(b"PK\x03\x04 not a real workbook")
+    with pytest.raises(NotImplementedError):
+        read_source(spark, "xlsx", str(p))

@@ -74,3 +74,25 @@ def test_foreach_batch_sink(spark, events_stream, tmp_path):
     assert written.count() > 0
     assert set(written.columns) == {"window_start", "window_end", "event_type",
                                     "n", "total_value"}
+
+
+def test_stateful_anomaly_tracker(spark, events_stream, tmp_path):
+    """applyInPandasWithState custom stateful operator: cumulative per-user
+    stats match the batch equivalent."""
+    from etl_tool_spark.streaming.stateful import running_anomaly_tracker
+
+    out = running_anomaly_tracker(events_stream.select("user_id", "ts", "value"))
+    q = (out.writeStream.format("memory").queryName("anom")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], round(r["mean_value"], 6))
+           for r in spark.sql("SELECT * FROM anom").collect()}
+
+    from etl_tool_spark.catalog import _events
+
+    batch = {r["user_id"]: (r["n"], round(r["m"], 6)) for r in
+             _events(spark, SF_DIR).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
+             .collect()}
+    assert got == batch
