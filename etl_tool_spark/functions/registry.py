@@ -444,6 +444,19 @@ TRANSFORMS = {
 _SHORTHAND_PATTERN = {"regexextract", "validateregex"}
 
 
+def register_transform(name: str, fn) -> None:
+    """User-extension point (the reference's registry is a closed
+    compile-time Go map, transform.go:46-81 — here it's open). ``fn``
+    has the builder signature ``(col, dtype, params, ctx) ->
+    TransformResult`` and must be a pure Column construction: returning
+    built-in-function Columns keeps user transforms inside codegen, the
+    same contract the core 26 follow."""
+    key = name.strip().lower()
+    if not key:
+        raise TransformError("transform name must be non-empty")
+    TRANSFORMS[key] = fn
+
+
 def build_transform(name: str, params: dict | None, col: Column,
                     dtype: str | None, ctx: Ctx) -> TransformResult:
     """Dispatch like transform.ApplyTransform (transform.go:87-138):

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_tool_spark.datefmt import go_layout_to_jvm
-from etl_tool_spark.functions.registry import Ctx, TransformError, apply_transform
+from etl_tool_spark.functions.registry import Ctx, TransformError, apply_transform  # noqa: F401
 
 
 def run1(spark, value, dtype, name, params=None, extra=None):
@@ -248,3 +248,21 @@ def test_must_to_float_and_epoch(spark):
     assert r["err"] is not None
     r = run1(spark, 1700000000, "bigint", "mustEpochToDate")
     assert r["out"] == "2023-11-14" and r["err"] is None
+
+
+def test_register_custom_transform(spark):
+    from etl_tool_spark.functions.registry import TransformResult, register_transform
+
+    def t_double_it(col, dtype, params, ctx):
+        return TransformResult(F.coalesce(col.try_cast("double") * 2,
+                                          F.lit(None).cast("double")))
+
+    register_transform("doubleIt", t_double_it)
+    assert run1(spark, "21", "string", "doubleIt")["out"] == 42.0
+    # and it works through the mapping pipeline
+    from etl_tool_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame([("3",)], "x string")
+    out = apply_mappings(df, [{"source": "x", "target": "y", "transform": "doubleIt"}],
+                         keep_error_channel=False)
+    assert out.collect()[0]["y"] == 6.0
