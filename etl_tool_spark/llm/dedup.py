@@ -176,7 +176,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 8, shingle_n: int = 3,
                         threshold: float = 0.7,
-                        persist: bool = False) -> DataFrame:
+                        persist: bool = False,
+                        staging_dir: str | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH banding → exact-Jaccard verify.
 
     Jaccard is computed on the 60-bit shingle hashes, not the strings:
@@ -195,7 +196,14 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
     hs_frame = df.select(F.col(id_col),
                          shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
-    if persist:
+    if staging_dir:
+        # the 100 TB pattern: write signatures ONCE to storage and join
+        # from there — the hs subtree feeds four consumers (both sides of
+        # the banding self-join and of the verify join), and without
+        # staging each consumer recomputes the shingle+md5 pipeline
+        hs_frame.write.mode("overwrite").parquet(staging_dir)
+        hs_frame = df.sparkSession.read.parquet(staging_dir)
+    elif persist:
         hs_frame = hs_frame.persist()
 
     sig = hs_frame.select(
@@ -267,3 +275,43 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
               .agg(F.count(F.lit(1)).alias("bucket_size"),
                    F.min(id_col).alias("min_doc_id"))
               .filter(F.col("bucket_size") > 1))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 64,
+                       blocks: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Hamming-distance near-dup pairs over a ``bits``-bit SimHash.
+
+    Pigeonhole banding: any two fingerprints within ``max_hamming`` bit
+    flips agree exactly on at least one of ``blocks`` equal bit-blocks
+    (requires blocks > max_hamming). Candidates come from equi-joins on
+    (block_id, block_value) — never a cross join — then the exact
+    popcount(xor) verifies. The 100 TB shape: docs shuffle ``blocks``
+    times on short keys; block buckets are small because each block
+    carries bits/blocks bits of entropy."""
+    assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
+    assert bits % blocks == 0, "blocks must divide bits"
+    width = bits // blocks
+    mask = (1 << width) - 1
+
+    th_frame = df.select(F.col(id_col),
+                         F.transform(tokens(F.col(text_col)), hash64).alias("_th"))
+    fp = th_frame.select(id_col, simhash_from_hashes(F.col("_th"), bits).alias("_fp"))
+
+    block_vals = F.array(*[
+        F.shiftright(F.col("_fp"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(blocks)
+    ])
+    banded = fp.select(id_col, "_fp",
+                       F.posexplode(block_vals).alias("_blk", "_bv"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (left.join(right, [F.col("l._blk") == F.col("r._blk"),
+                               F.col("l._bv") == F.col("r._bv"),
+                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                 .select(F.col(f"l.{id_col}").alias("a"),
+                         F.col(f"r.{id_col}").alias("b"),
+                         F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb"))
+                 .distinct())
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (cands.filter(hamming <= max_hamming)
+                 .select("a", "b", hamming.cast("int").alias("hamming")))

@@ -126,3 +126,19 @@ def test_multimodal_strict_raises(spark):
     media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary wrapped
         M.sample_video_frames(media, strict=True).collect()
+
+
+def test_simhash_near_pairs_detects_near_dup(spark, docs):
+    out = D.simhash_near_pairs(docs, bits=48, blocks=8, max_hamming=6).collect()
+    found = {(r["a"], r["b"]): r["hamming"] for r in out}
+    assert found.get((1, 4)) == 0          # exact dups: identical fingerprint
+    assert all(h <= 6 for h in found.values())
+    with pytest.raises(AssertionError):    # pigeonhole guard
+        D.simhash_near_pairs(docs, bits=48, blocks=4, max_hamming=6)
+
+
+def test_minhash_staging_dir_equivalent(spark, docs, tmp_path):
+    plain = sorted(map(tuple, D.minhash_dedup_pairs(docs, threshold=0.5).collect()))
+    staged = sorted(map(tuple, D.minhash_dedup_pairs(
+        docs, threshold=0.5, staging_dir=str(tmp_path / "sig")).collect()))
+    assert plain == staged
