@@ -886,7 +886,7 @@ def llm_embedding_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    return (S.lsh_topk(emb, queries, k=5, dim=64, planes=6)
+    return (S.lsh_topk(emb, queries, k=5, dim=64, bands=4, rows_per_band=2)
              .select("query_id", "vec_id", "cosine_sim", "rank"))
 
 
@@ -1247,3 +1247,21 @@ def llm_simhash_near_pairs(spark, sf_dir):
     inside int64 on both engines.)"""
     d = _docs(spark, sf_dir)
     return D.simhash_near_pairs(d, bits=48, blocks=4, max_hamming=3)
+
+
+@query("events_range_frame", """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+         AS events_last_hour
+FROM events
+""")
+def events_range_frame(spark, sf_dir):
+    """RANGE-frame window (trailing 1-hour count per user) — the frame
+    type tumbling windows can't express. Counts, not sums: within-frame
+    double-summation order is engine-specific."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+               .rangeBetween(-3600, 0))
+    return e.select("event_id", "user_id",
+                    F.count(F.lit(1)).over(w).alias("events_last_hour"))

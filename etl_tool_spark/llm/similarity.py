@@ -82,24 +82,49 @@ def hyperplane_signature(vec: Column, dim: int, planes: int = 8) -> Column:
     return F.concat(*comps)
 
 
+def _banded_signatures(vec: Column, dim: int, bands: int, rows: int) -> Column:
+    """array of ``bands`` signature strings, band b = the signs under its
+    own ``rows`` hyperplanes, prefixed with the band id."""
+    out = []
+    for b in range(bands):
+        # per-band planes get distinct indices so bands are independent
+        comps = []
+        for r in range(rows):
+            p = b * rows + r
+            plane = F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
+            proj = F.aggregate(F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
+                               F.lit(0.0), lambda acc, v: acc + v)
+            comps.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+        out.append(F.concat(F.lit(f"{b}:"), *comps))
+    return F.array(*out)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", dim: int = 64,
-             planes: int = 8) -> DataFrame:
-    """Approximate top-k: candidates share the full sign signature (an
-    equi-join — the 100 TB path), then exact cosine + window top-k on the
-    candidate set only. Recall tunes with ``planes`` (fewer planes ⇒
-    bigger buckets ⇒ higher recall, more compute)."""
+             bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Approximate top-k via banded sign-LSH (OR of ANDs, minhash-style):
+    a corpus vector is a candidate for a query when ANY band's
+    ``rows_per_band``-bit sign signature matches — an equi-join per band,
+    never a scan per query. Exact cosine + window top-k then run on the
+    deduplicated candidate set only.
+
+    Recall/cost dial: more rows_per_band ⇒ tighter buckets (cheaper,
+    lower recall); more bands ⇒ more chances to collide (higher recall,
+    more candidates). The single-signature form is bands=1."""
     from pyspark.sql import Window
 
+    sigs = _banded_signatures(F.col(vec_col), dim, bands, rows_per_band)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"),
-                      hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"))
+                      F.explode(sigs).alias("_sig"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-                       hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"))
+                       F.explode(sigs).alias("_sig"))
+    cands = (c.join(F.broadcast(q), "_sig")
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, id_col, "_qvec", "_cvec")
+              .dropDuplicates([query_id_col, id_col]))
     sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
-    scored = (c.join(F.broadcast(q), "_sig")
-                .filter(F.col(id_col) != F.col(query_id_col))
-                .select(query_id_col, id_col, sim.alias("cosine_sim")))
+    scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -102,9 +102,13 @@ def test_lsh_topk_subset_of_exact(spark):
         "vec_id long, embedding array<float>")
     queries = corpus.filter(F.col("vec_id") <= 2) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.lsh_topk(corpus, queries, k=3, dim=3, planes=2).collect()
+    out = S.lsh_topk(corpus, queries, k=3, dim=3, bands=2, rows_per_band=1).collect()
     assert len(out) > 0
     assert all(r["cosine_sim"] <= 1.000001 for r in out)
+    # approximate results must be a subset of what brute force would rank
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.brute_force_topk(corpus, queries, k=29).collect()}
+    assert {(r["query_id"], r["vec_id"]) for r in out} <= exact
 
 
 def test_multimodal_stub_pipeline(spark):
