@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "llm_exact_dedup",
     "llm_quality_score",
     "llm_minhash_lsh_pairs",
+    "llm_simhash_near_pairs",
     "llm_simhash_buckets",
     "llm_embedding_topk",
 ]

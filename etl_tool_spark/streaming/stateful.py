@@ -70,3 +70,55 @@ def running_anomaly_tracker(events: DataFrame, threshold: float = 3.0,
                       stateStructType=STATE_SCHEMA,
                       outputMode="update",
                       timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def running_counts_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Same running per-user stats on the Spark 4 ``transformWithState``
+    API (StatefulProcessor): typed ValueState instead of a raw tuple,
+    per-key timers available for TTL/eviction. Preferred over
+    applyInPandasWithState going forward; both kept for comparison.
+
+    Runtime requirements beyond this container: the Python ``protobuf``
+    package (state serialization) and the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``).
+    Without them the query fails at start; applyInPandasWithState above
+    has no such dependencies."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame([{
+                "user_id": key[0],
+                "n_events": n,
+                "mean_value": (total / n) if n else None,
+            }])
+
+        def close(self) -> None:
+            pass
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ])
+    return (events.withWatermark("ts", watermark)
+                  .groupBy("user_id")
+                  .transformWithStateInPandas(
+                      RunningStats(),
+                      outputStructType=out_schema,
+                      outputMode="Update",
+                      timeMode="None"))

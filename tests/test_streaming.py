@@ -96,3 +96,32 @@ def test_stateful_anomaly_tracker(spark, events_stream, tmp_path):
              .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
              .collect()}
     assert got == batch
+
+
+def test_tws_running_counts(spark, events_stream, tmp_path):
+    """transformWithStateInPandas (Spark 4 API) matches the batch stats.
+    Needs a working python protobuf + RocksDB provider — skipped where
+    absent (this container's protobuf install is broken)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf unavailable - transformWithState needs it")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    from etl_tool_spark.streaming.stateful import running_counts_tws
+
+    out = running_counts_tws(events_stream.select("user_id", "ts", "value"))
+    q = (out.writeStream.format("memory").queryName("tws")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], round(r["mean_value"], 6))
+           for r in spark.sql("SELECT * FROM tws").collect()}
+
+    from etl_tool_spark.catalog import _events
+
+    batch = {r["user_id"]: (r["n"], round(r["m"], 6)) for r in
+             _events(spark, SF_DIR).groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
+             .collect()}
+    assert got == batch
