@@ -1265,3 +1265,91 @@ def events_range_frame(spark, sf_dir):
                .rangeBetween(-3600, 0))
     return e.select("event_id", "user_id",
                     F.count(F.lit(1)).over(w).alias("events_last_hour"))
+
+
+def _oracle_clean_corpus(min_quality: float = 0.5, threshold: float = 0.7) -> str:
+    from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
+
+    allstop = "[" + ", ".join(f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"
+    langs = sorted(X.STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in X.STOPWORDS[lang]) + "], t))) AS hits_" + lang
+        for lang in langs)
+    all_zero = " AND ".join(f"hits_{lang} = 0" for lang in langs)
+    lang_cases = []
+    for lang in sorted(langs, reverse=True)[:-1]:
+        cond = " AND ".join(f"hits_{lang} >= hits_{o}" for o in langs if o != lang)
+        lang_cases.append(f"WHEN {cond} THEN '{lang}'")
+    lang_case_sql = " ".join(lang_cases)
+    mins = []
+    for i in range(16):
+        a, b, c = perm_consts(i)
+        mins.append(f"list_min(list_transform(hs, h -> ({a}::BIGINT * (h & {LO_MASK}) "
+                    f"+ {b}::BIGINT * (h >> 30) + {c}::BIGINT) % {MERSENNE61})) AS h{i}")
+    mins = ", ".join(mins)
+    band_rows = ", ".join(
+        f"concat('{b}:', CAST(h{b * 2} AS VARCHAR), ',', CAST(h{b * 2 + 1} AS VARCHAR))"
+        for b in range(8))
+    return f"""
+WITH t AS (SELECT doc_id, text, trim(text) AS tt,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+ scored AS (
+  SELECT doc_id, text, toks,
+         floor((least((CASE WHEN tt = '' THEN 0 ELSE len(toks) END) / 20.0, 1.0) * 0.4
+          + (1 - least((length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+                       / greatest(length(tt), 1) * 4, 1.0)) * 0.3
+          + least(len(list_filter(toks, x -> list_contains({allstop}, x)))
+                  / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1) * 5, 1.0) * 0.3)
+          * 10000) / 10000 AS q,
+         {hits}
+  FROM t),
+ kept AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN {all_zero} THEN 'und' {lang_case_sql} ELSE '{langs[0]}' END AS lang_pred
+  FROM scored WHERE q >= {min_quality}),
+ kept2 AS (SELECT * FROM kept WHERE lang_pred != 'und'),
+ reps AS (SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM kept2) GROUP BY fp),
+ uniq AS (SELECT k.doc_id, k.text, k.toks FROM kept2 k JOIN reps USING (doc_id)),
+ sh AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM uniq),
+ hsh AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+         FROM sh),
+ sig AS (SELECT doc_id, {mins} FROM hsh),
+ banded AS (SELECT doc_id, bb FROM sig, unnest([{band_rows}]) AS t2(bb)),
+ cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           FROM banded l JOIN banded r ON l.bb = r.bb AND l.doc_id < r.doc_id),
+ dsh AS (SELECT doc_id, unnest(list_distinct(hs)) AS s FROM hsh),
+ sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+ inter AS (SELECT c.a, c.b, count(*) AS i
+           FROM cands c JOIN dsh x ON x.doc_id = c.a
+                        JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
+           GROUP BY c.a, c.b),
+ neardup AS (SELECT DISTINCT b AS doc_id
+             FROM inter JOIN sizes sa ON sa.doc_id = a
+                        JOIN sizes sb ON sb.doc_id = b
+             WHERE i / (sa.sz + sb.sz - i) >= {threshold})
+SELECT u.doc_id, u.text FROM uniq u
+WHERE u.doc_id NOT IN (SELECT doc_id FROM neardup)
+"""
+
+
+@query("llm_clean_corpus", _oracle_clean_corpus())
+def llm_clean_corpus(spark, sf_dir):
+    """The full training-data cleaning pipeline in one plan: quality
+    filter → language filter → exact dedup → MinHash near-dedup
+    (llm/pipeline.py). The oracle replays every stage in SQL."""
+    import tempfile
+
+    from etl_tool_spark.llm.pipeline import clean_corpus
+
+    d = _docs(spark, sf_dir)
+    staging = tempfile.mkdtemp(prefix="etl_clean_sig_")
+    return clean_corpus(d, staging_dir=f"{staging}/sig")

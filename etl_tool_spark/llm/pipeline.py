@@ -1,0 +1,48 @@
+"""The end-to-end training-data cleaning pipeline, composed from the
+operator families: quality filter → language filter → exact dedup →
+MinHash near-dedup. One call produces the clean corpus the way a real
+100 TB data pipeline would — each stage is the scale-shaped operator
+from its module, and the whole chain is a single lazy plan.
+
+Near-dup policy (deterministic contract): after exact dedup, any doc
+appearing as the higher-id side of a verified near-dup pair is dropped —
+the lower id is the canonical representative. (Pairwise, not transitive
+closure: at 100 TB the connected-components pass is a separate iterative
+job; the pairwise rule removes ≥ one of every near-dup pair and is
+oracle-checkable in one query.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm.dedup import exact_dedup, minhash_dedup_pairs
+from etl_tool_spark.llm.text import fingerprint, language_id, quality_features
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 min_quality: float = 0.5, jaccard_threshold: float = 0.7,
+                 staging_dir: str | None = None) -> DataFrame:
+    """Return the surviving documents (id + text) after the four cleaning
+    stages. Filters run FIRST so the expensive near-dup hashing only sees
+    documents that can survive — the order matters at scale."""
+    feats = quality_features(F.col(text_col))
+    kept = (df.withColumn("_q", feats["quality_score"])
+              .withColumn("_lang", language_id(F.col(text_col)))
+              .filter((F.col("_q") >= min_quality) & (F.col("_lang") != "und")))
+
+    # exact dedup: keep the min-id representative per normalized fingerprint
+    reps = (kept.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+                .groupBy("_fp").agg(F.min(id_col).alias(id_col))
+                .select(id_col))
+    uniq = kept.join(reps, id_col, "left_semi")
+
+    # near-dup: drop the higher-id side of every verified pair
+    pairs = minhash_dedup_pairs(uniq, id_col=id_col, text_col=text_col,
+                                threshold=jaccard_threshold,
+                                staging_dir=staging_dir)
+    drop_ids = pairs.select(F.col("b").alias(id_col)).distinct()
+    return (uniq.join(drop_ids, id_col, "left_anti")
+                .select(id_col, text_col))
