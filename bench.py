@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "llm_simhash_near_pairs",
     "llm_simhash_buckets",
     "llm_embedding_topk",
+    "llm_clean_corpus",
 ]
 
 
