@@ -1261,8 +1261,10 @@ def events_range_frame(spark, sf_dir):
     type tumbling windows can't express. Counts, not sums: within-frame
     double-summation order is engine-specific."""
     e = _events(spark, sf_dir)
-    w = (Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
-               .rangeBetween(-3600, 0))
+    # microsecond-precise frame bounds: cast-to-long truncates to seconds
+    # and admits events up to 1s past the hour edge (caught at sf0.1)
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")))
+               .rangeBetween(-3_600_000_000, 0))
     return e.select("event_id", "user_id",
                     F.count(F.lit(1)).over(w).alias("events_last_hour"))
 
