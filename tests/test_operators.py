@@ -147,3 +147,22 @@ def test_mapping_error_is_first_error(spark):
     ])
     err = out.collect()[0][ERROR_COL]
     assert "rule 0" in err and "x" in err
+
+
+def test_asof_join_bounds(spark):
+    from etl_tool_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 200, "L2"), (2, 50, "L3")],
+        "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, "R@100"), (1, 150, "R@150"), (2, 60, "R@60")],
+        "k long, ts long, payload string")
+    inc = {r["tag"]: r["payload_right"] for r in
+           asof_join(left, right, on=["k"], inclusive=True).collect()}
+    # L1@100 matches R@100 (inclusive equality), L2@200 the latest ≤ 200,
+    # L3@50 has no prior right row
+    assert inc == {"L1": "R@100", "L2": "R@150", "L3": None}
+    exc = {r["tag"]: r["payload_right"] for r in
+           asof_join(left, right, on=["k"], inclusive=False).collect()}
+    assert exc == {"L1": None, "L2": "R@150", "L3": None}
