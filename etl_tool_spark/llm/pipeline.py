@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.dedup import exact_dedup, minhash_dedup_pairs
-from etl_tool_spark.llm.text import fingerprint, language_id, quality_features
+from etl_tool_spark.llm.text import fingerprint, language_id, quality_features, tokens
 
 __all__ = ["clean_corpus"]
 
@@ -28,10 +28,18 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Return the surviving documents (id + text) after the four cleaning
     stages. Filters run FIRST so the expensive near-dup hashing only sees
     documents that can survive — the order matters at scale."""
-    feats = quality_features(F.col(text_col))
-    kept = (df.withColumn("_q", feats["quality_score"])
-              .withColumn("_lang", language_id(F.col(text_col)))
-              .filter((F.col("_q") >= min_quality) & (F.col("_lang") != "und")))
+    # tokenize ONCE: the token array feeds both the quality score and the
+    # language-ID argmax; left inline, CollapseProject re-inlines the regex
+    # split into every consumer expression (the HOF-inlining pitfall —
+    # same fix as _signed in llm/dedup.py). `_toks` is multiply-referenced
+    # from its own projection, so Catalyst keeps it materialized.
+    base = df.select("*", tokens(F.col(text_col)).alias("_toks"))
+    feats = quality_features(F.col(text_col), toks=F.col("_toks"))
+    kept = (base.select("*",
+                        feats["quality_score"].alias("_q"),
+                        language_id(F.col(text_col), toks=F.col("_toks")).alias("_lang"))
+              .filter((F.col("_q") >= min_quality) & (F.col("_lang") != "und"))
+              .drop("_toks"))
 
     # exact dedup: keep the min-id representative per normalized fingerprint
     reps = (kept.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from etl_tool_spark.llm.text import hash64
 
 __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
-           "lsh_topk"]
+           "lsh_topk", "sign_bits", "embedding_dup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -97,6 +97,65 @@ def _banded_signatures(vec: Column, dim: int, bands: int, rows: int) -> Column:
             comps.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
         out.append(F.concat(F.lit(f"{b}:"), *comps))
     return F.array(*out)
+
+
+def sign_bits(vec: Column, dim: int, planes: int) -> Column:
+    """array<string> of '0'/'1' — the sign of ``vec`` under each of
+    ``planes`` md5-derived hyperplanes, computed in ONE expression (the
+    plane matrix is a literal array-of-arrays walked with transform).
+    Materialize the result into its own column before slicing it per
+    band, so the projection work runs once per row, not once per band."""
+    plane_matrix = F.array(*[
+        F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
+        for p in range(planes)
+    ])
+    return F.transform(
+        plane_matrix,
+        lambda plane: F.when(
+            F.aggregate(F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
+                        F.lit(0.0), lambda acc, v: acc + v) > 0,
+            F.lit("1")).otherwise(F.lit("0")))
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64, bands: int = 64,
+                        rows_per_band: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, scale-shaped: banded
+    sign-LSH candidate generation (equi-join on (band, signature) —
+    never a cross join) followed by exact cosine verification on the
+    candidate pairs only. Output: (a, b, cosine_sim) with a < b and
+    cosine ≥ threshold.
+
+    Recall is probabilistic in general: P(candidate) = 1-(1-q^R)^B with
+    q = 1-acos(cos θ)/π per plane. The defaults (64 bands × 6 rows) are
+    sized for thresholds near 0.45; at realistic near-dup thresholds
+    (≥ 0.8, q ≥ 0.8) a handful of bands already gives ~1.0 recall and
+    the buckets prune >99% of pairs. The exact O(n²) form lives in the
+    oracle / tests as the small-n twin (same pattern as
+    brute_force_topk vs lsh_topk)."""
+    bits = df.select(F.col(id_col),
+                     F.col(vec_col).alias("_vec"),
+                     sign_bits(F.col(vec_col), dim, bands * rows_per_band).alias("_bits"))
+    buckets = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.array_join(F.slice(F.col("_bits"), b * rows_per_band + 1,
+                                      rows_per_band), ""))
+        for b in range(bands)
+    ])
+    banded = bits.select(id_col, F.explode(buckets).alias("_bkt"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (left.join(right, [F.col("l._bkt") == F.col("r._bkt"),
+                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                 .select(F.col(f"l.{id_col}").alias("a"),
+                         F.col(f"r.{id_col}").alias("b"))
+                 .distinct())
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (cands.join(va, "a").join(vb, "b")
+                 .filter(sim >= threshold)
+                 .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

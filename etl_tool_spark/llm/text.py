@@ -56,12 +56,18 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def language_id(col: Column) -> Column:
+def language_id(col: Column, toks: Column | None = None) -> Column:
     """Argmax language by stopword-hit count. Deterministic tie rule:
     equal hit counts pick the lexicographically GREATEST language code
     (struct max compares (hits, lang) field-by-field — the oracle uses
-    the same rule). No hits at all ⇒ 'und' (undetermined)."""
-    toks = tokens(col)
+    the same rule). No hits at all ⇒ 'und' (undetermined).
+
+    Pass ``toks`` (a pre-materialized ``tokens(col)`` column living in its
+    own projection) when composing with other token consumers — otherwise
+    Catalyst's CollapseProject inlines the regex split once per stopword
+    list."""
+    if toks is None:
+        toks = tokens(col)
     scored = F.array(*[
         F.struct(_stopword_hits(toks, words).alias("hits"), F.lit(lang).alias("lang"))
         for lang, words in sorted(STOPWORDS.items())
@@ -70,13 +76,18 @@ def language_id(col: Column) -> Column:
     return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
 
 
-def quality_features(col: Column) -> dict[str, Column]:
+def quality_features(col: Column, toks: Column | None = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features + a composite score
-    in [0,1]. All ratios in double; empty text ⇒ zeros."""
+    in [0,1]. All ratios in double; empty text ⇒ zeros.
+
+    ``toks``: pre-materialized ``tokens(col)`` column (see language_id) —
+    the token array feeds several features, so materializing it once in
+    its own projection keeps the split from being inlined per feature."""
     t = F.trim(col)
     n_chars = F.length(t)
-    n_tokens = token_count(col)
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*all_stop)))
