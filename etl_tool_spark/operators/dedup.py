@@ -76,9 +76,18 @@ def dedup(df: DataFrame, keys: list[str], strategy: str = "first",
         if dt is None:
             key_cols.append(F.lit(DEDUP_NIL_PLACEHOLDER))
         else:
-            key_cols.append(F.coalesce(canonical_for_hash(_path_col(k), dt),
-                                       F.lit(DEDUP_NIL_PLACEHOLDER)))
-    composite = F.concat_ws("||", *key_cols)
+            # placeholder applies BEFORE canonicalization: a null key field
+            # must hash as '<ETL_NIL_OR_MISSING>' (processor.go:283-291) —
+            # canonical_for_hash would render it '<NIL>', which a literal
+            # string value "<NIL>" could collide with
+            col = _path_col(k)
+            key_cols.append(F.when(col.isNull(), F.lit(DEDUP_NIL_PLACEHOLDER))
+                             .otherwise(canonical_for_hash(col, dt)))
+    # materialize the composite key ONCE: both the group-numeric window and
+    # the ranking window partition on the same column id, so Catalyst plans
+    # one Exchange (a re-derived expression would shuffle twice)
+    df = df.withColumn("_etl_key", F.concat_ws("||", *key_cols))
+    composite = F.col("_etl_key")
 
     pos_tiebreak = [F.col(POS_COL).asc()] if POS_COL in df.columns else []
     if strategy == "first":
@@ -88,19 +97,52 @@ def dedup(df: DataFrame, keys: list[str], strategy: str = "first",
                                        if POS_COL in df.columns]
     else:
         dt = _path_dtype(df, strategy_field)
-        raw = _path_col(strategy_field)
-        num = coerce_double(raw, dt)
-        s = raw.cast("string")
-        # CompareValues ordering: numeric when parseable (even from string),
-        # else string compare; nulls/missing lose; ties keep earliest (_seq asc)
         pos = [F.col(POS_COL).asc()] if POS_COL in df.columns else []
-        if strategy == "min":
-            order = [num.asc_nulls_last(), s.asc_nulls_last(), F.col(seq).asc()] + pos
+        if dt is None:
+            # strategy field absent from the schema: every comparison is
+            # missing-vs-missing, so Go keeps the stored (earliest) record
+            order = [F.col(seq).asc()] + pos
         else:
-            order = [num.desc_nulls_last(), s.desc_nulls_last(), F.col(seq).asc()] + pos
+            raw = _path_col(strategy_field)
+            if dt.startswith(("timestamp", "date")):
+                # Go compares time.Time chronologically (transform.go:1089-
+                # 1098); epoch double reproduces that ordering exactly
+                num = raw.cast("timestamp").cast("double")
+            else:
+                num = coerce_double(raw, dt)
+            s = raw.cast("string")
+            # CompareValues (transform.go:1052-1117) compares numerically
+            # only when BOTH sides parse as float, else falls back to
+            # same-type compare (lexical for strings, false<true for bool).
+            # Declarative rendering: numeric order iff EVERY non-null value
+            # in the key group parses; else lexical. (Groups mixing numeric
+            # and non-numeric strings make Go's pairwise relation
+            # non-transitive — its fold result then depends on encounter
+            # order and no ORDER BY can reproduce it; the group-level rule
+            # is the deterministic rendering of the same intent.)
+            # Go CompareValues(nil, x) = -1, so a present-but-nil strategy
+            # value WINS 'min' and loses 'max'; among nils the earliest
+            # wins (ties keep the stored record).
+            df = df.withColumn(
+                "_etl_allnum",
+                F.min(F.when(raw.isNull(), F.lit(1))
+                       .otherwise(num.isNotNull().cast("int")))
+                 .over(Window.partitionBy(composite)) == 1)
+            num_key = F.when(F.col("_etl_allnum"), num)
+            str_key = F.when(~F.col("_etl_allnum"), s)
+            if strategy == "min":
+                null_rank = F.when(raw.isNull(), 0).otherwise(1)
+                order = [null_rank.asc(), num_key.asc_nulls_first(),
+                         str_key.asc_nulls_first(), F.col(seq).asc()] + pos
+            else:
+                null_rank = F.when(raw.isNull(), 1).otherwise(0)
+                order = [null_rank.asc(), num_key.desc_nulls_last(),
+                         str_key.desc_nulls_last(), F.col(seq).asc()] + pos
 
     w = Window.partitionBy(composite).orderBy(*order)
-    out = df.withColumn("_etl_rn", F.row_number().over(w)).filter(F.col("_etl_rn") == 1).drop("_etl_rn")
+    out = df.withColumn("_etl_rn", F.row_number().over(w)).filter(F.col("_etl_rn") == 1)
+    out = out.drop(*[c for c in ("_etl_rn", "_etl_allnum", "_etl_key")
+                     if c in out.columns])
     if added_seq:
         out = out.drop(seq)
     return out

@@ -38,16 +38,22 @@ class SplitResult:
 
 def split_errors(df: DataFrame) -> SplitResult:
     """Split a frame carrying ERROR_COL/ORIG_COL into clean rows (error
-    column dropped) and error rows (original record + message)."""
+    column dropped) and error rows (original record + message). The error
+    frame never carries the internal seq/pos columns — the reference's
+    error file holds original record fields + message only
+    (csv.go:429-437)."""
+    internal = [c for c in (SEQ_COL, POS_COL) if c in df.columns]
     if ERROR_COL not in df.columns:
-        return SplitResult(df, df.limit(0))
+        empty = (df.limit(0).drop(*internal)
+                   .withColumn(ERROR_MESSAGE_FIELD, F.lit("")))
+        return SplitResult(df, empty)
     clean = df.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL, ORIG_COL)
     err = df.filter(F.col(ERROR_COL).isNotNull())
     if ORIG_COL in df.columns:
         err = err.select(F.col(f"{ORIG_COL}.*"),
                          F.col(ERROR_COL).alias(ERROR_MESSAGE_FIELD))
     else:
-        err = err.withColumnRenamed(ERROR_COL, ERROR_MESSAGE_FIELD)
+        err = err.drop(*internal).withColumnRenamed(ERROR_COL, ERROR_MESSAGE_FIELD)
     return SplitResult(clean, err)
 
 

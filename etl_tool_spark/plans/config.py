@@ -73,16 +73,19 @@ _VALID_ERROR_MODES = {"halt", "skip"}
 
 
 def expand_env(value: str) -> str:
-    """$V / ${V} / %V% env expansion, unset → "" (internal/util/util.go:12-34)."""
+    """$V / ${V} / %V% env expansion, unset → "" (internal/util/util.go:12-34).
+    A single env-lookup substitution (not os.path.expandvars, which leaves
+    unknown $VARS verbatim — strings mixing known and unknown vars must
+    still blank the unknown ones, matching Go's os.ExpandEnv)."""
+    def repl_dollar(m: re.Match) -> str:
+        return os.environ.get(m.group(1) or m.group(2), "")
+
     def repl_pct(m: re.Match) -> str:
         return os.environ.get(m.group(1), "")
 
-    expanded = os.path.expandvars(value)
-    expanded = re.sub(r"%([A-Za-z_][A-Za-z0-9_]*)%", repl_pct, expanded)
-    # expandvars leaves unknown $VARS intact; the reference maps them to ""
-    expanded = re.sub(r"\$\{[A-Za-z_][A-Za-z0-9_]*\}|\$[A-Za-z_][A-Za-z0-9_]*", "", expanded) \
-        if "$" in expanded and expanded == value else expanded
-    return expanded
+    out = re.sub(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}|\$([A-Za-z_][A-Za-z0-9_]*)",
+                 repl_dollar, value)
+    return re.sub(r"%([A-Za-z0-9_]+)%", repl_pct, out)
 
 
 def _endpoint(raw: dict, which: str) -> EndpointConfig:
@@ -187,6 +190,26 @@ def validate_config(cfg: PlaybookConfig) -> None:
             errors.append(f"dedup: unknown strategy {strat!r}")
         if strat in ("min", "max") and not cfg.dedup.strategyField:
             errors.append(f"dedup: strategy {strat!r} requires strategyField")
+
+    if cfg.destination and cfg.destination.loader:
+        # loader config rules (internal/config/validation.go:251-285)
+        ldr = cfg.destination.loader
+        mode = str(ldr.get("mode", "")).lower()
+        if mode not in ("", "sql"):
+            errors.append(f"destination.loader.mode: invalid mode {mode!r}, "
+                          "must be 'sql' or empty (for COPY)")
+        if mode == "sql" and not ldr.get("command"):
+            errors.append("destination.loader.command is required when "
+                          "loader mode is 'sql'")
+        if mode != "sql":
+            import warnings
+
+            for k in ("command", "preload", "postload"):
+                if ldr.get(k):
+                    warnings.warn(f"destination.loader.{k} is ignored when "
+                                  "loader mode is not 'sql'", stacklevel=2)
+        if int(ldr.get("batch_size", 0)) < 0:
+            errors.append("destination.loader.batch_size cannot be negative")
 
     if cfg.errorHandling.mode not in _VALID_ERROR_MODES:
         errors.append(f"errorHandling.mode must be one of {_VALID_ERROR_MODES}")

@@ -21,7 +21,7 @@ from etl_tool_spark.operators.errors import (
     split_errors,
     write_error_file,
 )
-from etl_tool_spark.operators.filter import apply_filter
+from etl_tool_spark.operators.filter import apply_filter_with_errors
 from etl_tool_spark.operators.flatten import flatten
 from etl_tool_spark.operators.mapping import apply_mappings
 from etl_tool_spark.plans.config import PlaybookConfig
@@ -34,15 +34,21 @@ class PipelineResult:
     output: DataFrame          # clean records (lazy until you act on it)
     errors: DataFrame          # errored records + etl_error_message (lazy)
     written: bool
+    load_processed: int = 0    # custom-DML loader: records committed
+    load_failed: int = 0       # custom-DML loader: records skipped (non-batched)
 
 
-def build_pipeline(spark: SparkSession, cfg: PlaybookConfig) -> tuple[DataFrame, DataFrame]:
-    """Compile the playbook to (clean_df, error_df) without executing."""
+def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Compile the playbook to (clean_df, error_df, filter_error_df)
+    without executing. Filter-eval errors are a SEPARATE channel: the
+    reference writes them to the error file but never halts on them
+    (app.go:156-161), while processing errors can halt."""
     src = cfg.source
     df = read_source(spark, src.type, src.file or src.query or "", src.options)
 
     # Filter runs on source records, pre-transform (app.go:150-164)
-    df = apply_filter(df, cfg.filter)
+    df, filter_errors = apply_filter_with_errors(df, cfg.filter)
 
     if cfg.mappings:
         df = apply_mappings(df, cfg.mappings, fips=cfg.fipsMode,
@@ -68,17 +74,26 @@ def build_pipeline(spark: SparkSession, cfg: PlaybookConfig) -> tuple[DataFrame,
     drop = [c for c in (SEQ_COL, POS_COL) if c in clean.columns]
     if drop:
         clean = clean.drop(*drop)
-    return clean, split.errors
+    return clean, split.errors, filter_errors
+
+
+def _union_errors(errors: DataFrame, filter_errors: DataFrame) -> DataFrame:
+    try:
+        return errors.unionByName(filter_errors, allowMissingColumns=True)
+    except Exception:  # incompatible schemas (no-mapping empty frame edge)
+        return errors
 
 
 def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
                  dry_run: bool = False) -> PipelineResult:
-    clean, errors = build_pipeline(spark, cfg)
+    clean, errors, filter_errors = build_pipeline(spark, cfg)
 
     mode = cfg.errorHandling.mode
     if mode == "halt":
+        # processing errors halt; filter-eval errors only skip (app.go:156-161)
         halt_if_errors(errors)
-    elif mode == "skip" and cfg.errorHandling.errorFile:
+    errors = _union_errors(errors, filter_errors)
+    if mode == "skip" and cfg.errorHandling.errorFile:
         write_error_file(errors, cfg.errorHandling.errorFile)
 
     if dry_run or cfg.dryRun or cfg.destination is None:
@@ -92,7 +107,9 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
     loader_mode = str(dst.loader.get("mode", "")).lower()
     if dst.type in ("postgres", "jdbc") and loader_mode == "sql":
         opts = {**dst.options, **dst.loader}
-        write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
-    else:
-        write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
+        counts = write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
+        return PipelineResult(clean, errors, written=True,
+                              load_processed=counts["processed"],
+                              load_failed=counts["failed"])
+    write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
     return PipelineResult(clean, errors, written=True)

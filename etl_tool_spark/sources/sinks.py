@@ -144,17 +144,62 @@ def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     writer.save()
 
 
-def write_jdbc_custom_sql(df: DataFrame, command: str, options: dict[str, Any]) -> None:
-    """Custom per-record DML loader (loader.mode=sql, postgres.go:316-532):
-    placeholders bound in ALPHABETICAL target-field order
-    (postgres.go:326-331); batch_size>0 ⇒ one transaction per batch (fails
-    atomically, postgres.go:409-520); else autocommit per record with
-    failed records skipped (postgres.go:339-406). Executed per partition
-    via DB-API so the driver never materializes the data.
+def _run_sql_commands(driver_module: str, url: str, commands: list[str],
+                      command_type: str) -> None:
+    """Preload/postload command list in ONE transaction
+    (postgres.go:211-262): all-or-nothing, failure aborts with the
+    failing command identified. Runs driver-side — these are DDL/
+    maintenance statements, not data-parallel work."""
+    import importlib
 
-    ``driver_module`` selects the executor-side DB-API module (default
-    psycopg; sqlite3 works for tests) and ``paramstyle`` the placeholder
-    flavor ('pyformat' → %s, 'qmark' → ?)."""
+    if not commands:
+        return
+    mod = importlib.import_module(driver_module)
+    conn = mod.connect(url)
+    try:
+        cur = conn.cursor()
+        try:
+            # explicit BEGIN: python-sqlite3's legacy autocommit never wraps
+            # DDL in a transaction; Postgres just warns if one is open
+            cur.execute("BEGIN")
+        except Exception:
+            pass
+        for i, cmd in enumerate(commands):
+            try:
+                cur.execute(cmd)
+            except Exception as e:
+                conn.rollback()
+                raise SinkError(
+                    f"{command_type} command #{i + 1} failed ({cmd!r}): {e}") from e
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def write_jdbc_custom_sql(df: DataFrame, command: str,
+                          options: dict[str, Any]) -> dict[str, int]:
+    """Custom per-record DML loader (loader.mode=sql, postgres.go:316-532).
+
+    Placeholders: ``$N`` refers to the N-th target field in ALPHABETICAL
+    order (postgres.go:326-331, pgx numbered args) — out-of-order,
+    repeated, and sparse placeholders are all honored by binding each
+    textual occurrence to its named index, exactly as pgx does.
+
+    ``preload`` / ``postload`` (postgres.go:169-199): SQL command lists
+    run in their own single transaction before / after the load; a
+    preload failure aborts the load, postload runs only after a fully
+    successful load.
+
+    batch_size>0 ⇒ one transaction per batch; ANY failure in a batch
+    rolls that batch back and aborts the load (postgres.go:497-507 —
+    earlier batches stay committed). batch_size<=0 ⇒ one transaction per
+    record; failed records are logged (masked) + skipped and COUNTED
+    (postgres.go:339-406). Returns {'processed': n, 'failed': m}.
+
+    Executed per partition via DB-API so the driver never materializes
+    the data. ``driver_module`` selects the executor-side DB-API module
+    (default psycopg; sqlite3 works for tests) and ``paramstyle`` the
+    placeholder flavor ('pyformat' → %s, 'qmark' → ?)."""
     import re
 
     driver_module = options.get("driver_module", "psycopg")
@@ -164,12 +209,25 @@ def write_jdbc_custom_sql(df: DataFrame, command: str, options: dict[str, Any]) 
     batch_size = int(options.get("batch_size", 0))
     placeholder = "?" if options.get("paramstyle", "pyformat") == "qmark" else "%s"
     cols = sorted(_clean(df).columns)  # alphabetical $n binding (postgres.go:326-331)
+    # bind each $N occurrence (textual order) to the N-th sorted column —
+    # '$2 ... $1' and repeated/sparse placeholders bind like pgx numbered args
+    param_idx = [int(m) - 1 for m in re.findall(r"\$(\d+)", command)]
+    bad = [i + 1 for i in param_idx if not 0 <= i < len(cols)]
+    if bad:
+        raise SinkError(
+            f"placeholder $%d out of range: %d target field(s) %s"
+            % (bad[0], len(cols), cols))
     sql = re.sub(r"\$(\d+)", lambda m: placeholder, command)
+
+    preload = list(options.get("preload") or [])
+    postload = list(options.get("postload") or [])
+    _run_sql_commands(driver_module, url, preload, "preload")
 
     rows = _clean(df).select(*[F.col(f"`{c}`") for c in cols])
 
     def run_partition(it):
         import importlib
+        import logging
 
         try:
             mod = importlib.import_module(driver_module)
@@ -177,32 +235,66 @@ def write_jdbc_custom_sql(df: DataFrame, command: str, options: dict[str, Any]) 
             raise NotImplementedError(
                 f"custom-sql loader needs the {driver_module!r} DB-API module "
                 "on executors") from e
+        log = logging.getLogger("etl_tool_spark.loader")
         conn = mod.connect(url)
+        processed = failed = 0
         try:
             cur = conn.cursor()
             if batch_size > 0:
                 batch = []
-                for row in it:
-                    batch.append(tuple(row))
-                    if len(batch) >= batch_size:
+
+                def flush():
+                    nonlocal processed
+                    if not batch:
+                        return
+                    try:
                         cur.executemany(sql, batch)
                         conn.commit()
-                        batch = []
-                if batch:
-                    cur.executemany(sql, batch)
-                    conn.commit()
+                    except Exception as e:
+                        # whole batch rolls back and the load aborts
+                        # (postgres.go:497-507); earlier batches committed
+                        conn.rollback()
+                        raise SinkError(
+                            f"custom-sql batch of {len(batch)} failed: {e}") from e
+                    processed += len(batch)
+                    batch.clear()
+
+                for row in it:
+                    batch.append(tuple(row[i] for i in param_idx))
+                    if len(batch) >= batch_size:
+                        flush()
+                flush()
             else:
+                from etl_tool_spark.util import mask_sensitive_fields
+
                 for row in it:
                     try:
-                        cur.execute(sql, tuple(row))
+                        cur.execute(sql, tuple(row[i] for i in param_idx))
                         conn.commit()
-                    except Exception:  # failed records logged + skipped
+                        processed += 1
+                    except Exception as e:  # log + skip (postgres.go:377-381)
                         conn.rollback()
+                        failed += 1
+                        log.error(
+                            "custom-sql loader: record failed, skipping: %s; "
+                            "record (masked): %s", e,
+                            mask_sensitive_fields(dict(zip(cols, row))))
         finally:
             conn.close()
-        return iter(())
+        yield (processed, failed)
 
-    rows.rdd.mapPartitions(run_partition).count()
+    counts = rows.rdd.mapPartitions(run_partition).collect()
+    processed = sum(c[0] for c in counts)
+    failed = sum(c[1] for c in counts)
+    if failed:
+        import logging
+
+        logging.getLogger("etl_tool_spark.loader").warning(
+            "custom-sql loader: %d records processed, %d records failed "
+            "(skipped)", processed, failed)
+
+    _run_sql_commands(driver_module, url, postload, "postload")
+    return {"processed": processed, "failed": failed}
 
 
 _WRITERS = {

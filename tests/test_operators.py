@@ -103,7 +103,9 @@ def test_dedup_min_cross_type_numeric(spark, dupes):
     by_key = {r["order_id"]: r["payload"] for r in out.collect()}
     assert by_key[1] == "second"
     assert by_key[2] == "null-key-a"
-    assert by_key[3] == "has-strategy"  # null strategy value loses
+    # null strategy value WINS min: CompareValues(nil, x) = -1
+    # (transform.go:1055-1060), so Go keeps the nil-valued record
+    assert by_key[3] == "missing-strategy"
 
 
 def test_dedup_max(spark, dupes):
@@ -111,6 +113,7 @@ def test_dedup_max(spark, dupes):
     by_key = {r["order_id"]: r["payload"] for r in out.collect()}
     assert by_key[1] == "first"  # "10" is max numerically (not lexically!)
     assert by_key[2] == "null-key-b"
+    assert by_key[3] == "has-strategy"  # null strategy value LOSES max
 
 
 def test_dedup_requires_strategy_field(spark, dupes):

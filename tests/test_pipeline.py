@@ -115,6 +115,66 @@ def test_env_expansion(tmp_path, monkeypatch):
     monkeypatch.delenv("ETL_IN")
     cfg = load_config({"source": {"type": "csv", "file": "$ETL_IN/x.csv"}})
     assert cfg.source.file == "/x.csv"  # unset → "" (util.go:12-34)
+    # mixed known + unknown: the unknown var must STILL blank (Go
+    # os.ExpandEnv maps unset → ""), even though part of the string expands
+    monkeypatch.setenv("ETL_IN", "/data")
+    cfg = load_config({"source": {"type": "csv", "file": "$ETL_IN/d/$UNSET.csv"}})
+    assert cfg.source.file == "/data/d/.csv"
+    # ${V} braces and %V% styles
+    cfg = load_config({"source": {"type": "csv", "file": "${ETL_IN}/%ETL_IN%/x"}})
+    assert cfg.source.file == "/data//data/x"
+
+
+def test_filter_eval_errors_reach_error_file(spark, tmp_path):
+    """Records whose filter predicate errors (null result) are written to
+    the error file under skip mode (app.go:156-161) — not silently
+    dropped; halt mode does NOT halt on them."""
+    src = tmp_path / "in.csv"
+    src.write_text("id,amount\n1,10\n2,xx\n3,30\n")
+    err_dir = tmp_path / "errs"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(src)},
+        "filter": "amount > 5",   # 'xx' → numeric coercion fails → null
+        "errorHandling": {"mode": "skip", "errorFile": str(err_dir)},
+        "destination": {"type": "csv", "file": str(tmp_path / "out")},
+    })
+    res = run_pipeline(spark, cfg)
+    kept = {r["id"] for r in res.output.collect()}
+    assert kept == {"1", "3"}
+    errs = res.errors.collect()
+    assert len(errs) == 1
+    assert errs[0]["id"] == "2"
+    assert errs[0]["etl_error_message"] == "filter eval error"
+    import glob
+
+    txt = "".join(open(f).read() for f in glob.glob(f"{err_dir}/*.csv"))
+    assert "filter eval error" in txt and ",2," in txt or "2," in txt
+
+    # halt mode: filter-eval errors do NOT halt (reference never halts on
+    # filter errors, only on processing errors)
+    cfg2 = load_config({
+        "source": {"type": "csv", "file": str(src)},
+        "filter": "amount > 5",
+        "errorHandling": {"mode": "halt"},
+        "destination": {"type": "csv", "file": str(tmp_path / "out2")},
+    })
+    res2 = run_pipeline(spark, cfg2)
+    assert {r["id"] for r in res2.output.collect()} == {"1", "3"}
+
+
+def test_loader_validation():
+    with pytest.raises(ConfigError, match="command is required"):
+        load_config({"source": {"type": "csv", "file": "x"},
+                     "destination": {"type": "postgres",
+                                     "loader": {"mode": "sql"}}})
+    with pytest.raises(ConfigError, match="invalid mode"):
+        load_config({"source": {"type": "csv", "file": "x"},
+                     "destination": {"type": "postgres",
+                                     "loader": {"mode": "copy2"}}})
+    with pytest.warns(UserWarning, match="preload is ignored"):
+        load_config({"source": {"type": "csv", "file": "x"},
+                     "destination": {"type": "postgres",
+                                     "loader": {"preload": ["TRUNCATE t"]}}})
 
 
 def test_validation_catalog(spark):

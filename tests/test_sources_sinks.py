@@ -6,7 +6,7 @@ import sqlite3
 import pytest
 
 from etl_tool_spark.sources.registry import read_source
-from etl_tool_spark.sources.sinks import write_jdbc_custom_sql, write_sink
+from etl_tool_spark.sources.sinks import SinkError, write_jdbc_custom_sql, write_sink
 
 
 def test_csv_quirks(spark, tmp_path):
@@ -76,13 +76,97 @@ def test_custom_sql_loader_skips_failures(spark, tmp_path):
         conn.execute("CREATE TABLE sink (k INTEGER PRIMARY KEY, v TEXT)")
 
     df = spark.createDataFrame([(1, "a"), (1, "dup"), (2, "b")], "k long, v string")
-    # batch_size<=0 ⇒ per-record commit, failed records skipped
-    write_jdbc_custom_sql(df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
-                          {"database": str(db), "driver_module": "sqlite3",
-                           "paramstyle": "qmark", "batch_size": 0})
+    # batch_size<=0 ⇒ per-record commit, failed records skipped AND counted
+    # (postgres.go:339-406 logs each failed record; counts surface here)
+    counts = write_jdbc_custom_sql(df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
+                                   {"database": str(db), "driver_module": "sqlite3",
+                                    "paramstyle": "qmark", "batch_size": 0})
     with sqlite3.connect(db) as conn:
         got = sorted(conn.execute("SELECT k FROM sink").fetchall())
     assert got == [(1,), (2,)]
+    assert counts == {"processed": 2, "failed": 1}
+
+
+def test_custom_sql_out_of_order_repeated_sparse_placeholders(spark, tmp_path):
+    """$N binds by NUMBER (pgx numbered args, postgres.go loadWithCustomSQL):
+    '$2...$1' swaps, '$1' twice repeats, and using only $2 is sparse —
+    all must bind the N-th ALPHABETICAL column, not textual position."""
+    db = tmp_path / "out3.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sink (k INTEGER, v TEXT, v2 TEXT)")
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # sorted cols → ($1=k, $2=v); command uses them out of order + repeats $2
+    write_jdbc_custom_sql(
+        df.coalesce(1), "INSERT INTO sink VALUES ($1, $2, $2)",
+        {"database": str(db), "driver_module": "sqlite3",
+         "paramstyle": "qmark", "batch_size": 10})
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k, v, v2 FROM sink").fetchall())
+    assert got == [(1, "a", "a"), (2, "b", "b")]
+
+    db2 = tmp_path / "out4.db"
+    with sqlite3.connect(db2) as conn:
+        conn.execute("CREATE TABLE sink (v TEXT, k INTEGER)")
+    write_jdbc_custom_sql(
+        df.coalesce(1), "INSERT INTO sink (v, k) VALUES ($2, $1)",
+        {"database": str(db2), "driver_module": "sqlite3",
+         "paramstyle": "qmark", "batch_size": 0})
+    with sqlite3.connect(db2) as conn:
+        got = sorted(conn.execute("SELECT k, v FROM sink").fetchall())
+    # out-of-order: $2 (v) lands in v, $1 (k) in k — the round-1 positional
+    # rewrite would have swapped them
+    assert got == [(1, "a"), (2, "b")]
+
+    with pytest.raises(SinkError, match="out of range"):
+        write_jdbc_custom_sql(df, "INSERT INTO sink VALUES ($3)",
+                              {"database": str(db2), "driver_module": "sqlite3",
+                               "paramstyle": "qmark"})
+
+
+def test_custom_sql_preload_postload(spark, tmp_path):
+    """preload creates the table (own transaction, before the load);
+    postload builds an index after it (postgres.go:169-199)."""
+    db = tmp_path / "pre.db"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    counts = write_jdbc_custom_sql(
+        df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
+        {"database": str(db), "driver_module": "sqlite3", "paramstyle": "qmark",
+         "batch_size": 5,
+         "preload": ["CREATE TABLE sink (k INTEGER, v TEXT)",
+                     "CREATE TABLE audit (note TEXT)"],
+         "postload": ["CREATE INDEX sink_k ON sink(k)",
+                      "INSERT INTO audit VALUES ('loaded')"]})
+    assert counts["processed"] == 2
+    with sqlite3.connect(db) as conn:
+        assert sorted(conn.execute("SELECT k FROM sink").fetchall()) == [(1,), (2,)]
+        assert conn.execute("SELECT note FROM audit").fetchall() == [("loaded",)]
+        idx = conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'").fetchall()
+        assert ("sink_k",) in idx
+
+
+def test_custom_sql_preload_failure_aborts_load(spark, tmp_path):
+    """A failing preload command aborts before ANY record is loaded, and
+    the whole preload transaction rolls back (postgres.go:171-173)."""
+    db = tmp_path / "preabort.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sink (k INTEGER, v TEXT)")
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(SinkError, match="preload command #2"):
+        write_jdbc_custom_sql(
+            df, "INSERT INTO sink VALUES ($1, $2)",
+            {"database": str(db), "driver_module": "sqlite3",
+             "paramstyle": "qmark",
+             "preload": ["CREATE TABLE pre_ok (x INTEGER)",
+                         "CREATE TABLE sink (k INTEGER, v TEXT)"]})  # exists → fails
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM sink").fetchone() == (0,)
+        # first preload command rolled back with the failing one
+        names = conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'").fetchall()
+        assert ("pre_ok",) not in names
 
 
 def test_parquet_roundtrip(spark, tmp_path):
