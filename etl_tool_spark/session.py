@@ -33,6 +33,12 @@ def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the reference validates EVERY CSV row's arity (csv.go:110-114);
+        # with pruning on, Spark's CSV parser only parses/validates the
+        # selected columns, so short/long rows survive whenever the
+        # missing fields are pruned away. CSV is the parity format, not
+        # the scale format (parquet pruning is unaffected).
+        .config("spark.sql.csv.parser.columnPruning.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split small single-file tables across cores; at cluster scale this
         # is tuned to keep ~2-4 tasks per core per scan

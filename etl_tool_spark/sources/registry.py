@@ -42,18 +42,71 @@ def _with_seq(df: DataFrame) -> DataFrame:
     return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
 
 
+def _peek_csv_header(path: str, delimiter: str, comment: str | None) -> list[str] | None:
+    """Driver-side read of the raw header row (first non-comment,
+    non-empty line) so the reference's header quirks can be replicated.
+    Only the header line is read — data stays distributed."""
+    import csv as _csv
+    import os
+
+    if not os.path.isfile(path):  # directory/glob: Spark default behavior
+        return None
+    try:
+        with open(path, newline="", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                if comment and line.lstrip().startswith(comment):
+                    continue
+                return next(_csv.reader([line], delimiter=delimiter))
+    except OSError:
+        return None
+    return None
+
+
 def read_csv(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
     delimiter = options.get("delimiter", ",")
+    comment = options.get("commentChar") or options.get("comment")
+    infer = bool(options.get("inferSchema", False))
+
+    # Header quirks (csv.go:88-121): names are trimmed; an EMPTY header
+    # drops its column; a DUPLICATE header keeps the LAST occurring
+    # column. Spark's own reader would instead rename duplicates, so
+    # when the peeked header shows any quirk we read with a positional
+    # all-string schema (header row skipped via enforceSchema) and
+    # project the surviving columns ourselves.
+    raw = _peek_csv_header(path, delimiter, comment)
+    trimmed = [h.strip() for h in raw] if raw is not None else None
+    quirky = raw is not None and (
+        trimmed != raw or "" in trimmed or len(set(trimmed)) != len(trimmed))
+
     reader = (
         spark.read.option("header", True)
         .option("sep", delimiter)
         .option("mode", "DROPMALFORMED")  # wrong-arity rows skipped (csv.go:110-114)
-        .option("inferSchema", bool(options.get("inferSchema", False)))
     )
-    comment = options.get("commentChar") or options.get("comment")
     if comment:
         reader = reader.option("comment", comment)
-    return reader.csv(path)
+    if not quirky:
+        return reader.option("inferSchema", infer).csv(path)
+
+    # positional schema: header=True just skips the first row (default
+    # enforceSchema uses our names). Arity is enforced via an explicit
+    # corrupt-record column rather than DROPMALFORMED: column pruning
+    # would otherwise let a short/long row survive whenever the dropped
+    # columns are the ones it's missing.
+    schema = ", ".join(f"`_c{i}` string" for i in range(len(raw)))
+    df = (reader.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_etl_corrupt")
+                .schema(schema + ", `_etl_corrupt` string")
+                .csv(path)
+                .filter(F.col("_etl_corrupt").isNull()))
+    last_index: dict[str, int] = {}
+    for i, name in enumerate(trimmed):
+        if name:  # empty header → column skipped (csv.go:91-95)
+            last_index[name] = i  # duplicate header → last wins (csv.go:96-100)
+    return df.select(*[F.col(f"_c{i}").alias(name)
+                       for name, i in sorted(last_index.items(), key=lambda kv: kv[1])])
 
 
 def read_json(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:

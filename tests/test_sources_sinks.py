@@ -25,6 +25,36 @@ def test_csv_quirks(spark, tmp_path):
     assert [f.dataType.simpleString() for f in df.schema] == ["string"] * 3
 
 
+@pytest.mark.parametrize("content,want", [
+    # empty header → column skipped (csv.go:91-95, csv_test.go "Empty header")
+    ("h1,,h3\nv1,v2,v3", [{"h1": "v1", "h3": "v3"}]),
+    # duplicate header → last occurring column wins (csv_test.go "Duplicate headers")
+    ("h1,h2,h1\nv1,v2,v3", [{"h1": "v3", "h2": "v2"}]),
+    # trailing comma: 3 headers (last empty, dropped); rows must have 3 fields
+    ("h1,h2,\nv1,v2,", [{"h1": "v1", "h2": "v2"}]),
+    # header names are trimmed (csv.go:89)
+    (" h1 , h2\nv1,v2", [{"h1": "v1", "h2": "v2"}]),
+])
+def test_csv_header_quirks(spark, tmp_path, content, want):
+    p = tmp_path / "in.csv"
+    p.write_text(content)
+    df = read_source(spark, "csv", str(p), attach_seq=False)
+    got = sorted([r.asDict() for r in df.collect()],
+                 key=lambda d: sorted(d.items()))
+    assert got == want
+
+
+def test_csv_header_quirks_wrong_arity_still_dropped(spark, tmp_path):
+    # arity is judged against the ORIGINAL header count (3), not the
+    # surviving column count (2) — csv.go:110-114
+    p = tmp_path / "in.csv"
+    p.write_text("h1,h2,h1\nv1,v2,v3\nshort,row\na,b,c\n")
+    df = read_source(spark, "csv", str(p), attach_seq=False)
+    key = lambda d: sorted(d.items())
+    assert sorted((r.asDict() for r in df.collect()), key=key) == sorted(
+        [{"h1": "v3", "h2": "v2"}, {"h1": "c", "h2": "b"}], key=key)
+
+
 def test_json_single_object(spark, tmp_path):
     p = tmp_path / "one.json"
     p.write_text('{"id": 7, "nested": {"x": 1}}')  # single object → 1 record
