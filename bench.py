@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "llm_simhash_buckets",
     "llm_embedding_topk",
     "llm_clean_corpus",
+    "llm_dedup_groups",
 ]
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from etl_tool_spark.expr import translate
 from etl_tool_spark.llm import dedup as D
+from etl_tool_spark.llm import graph as G
 from etl_tool_spark.llm import similarity as S
 from etl_tool_spark.llm import text as X
 from etl_tool_spark.operators.dedup import dedup as op_dedup
@@ -739,8 +740,9 @@ def llm_quality_stats(spark, sf_dir):
                     feats["stopword_ratio"].alias("stopword_ratio"))
 
 
-@query("llm_ngram_jaccard_pairs", """
-WITH sh AS (
+# shared by llm_ngram_jaccard_pairs and the llm_dedup_groups recursive
+# oracle: CTE chain ending in pairs(a, b, jaccard) at threshold 0.7
+_NGRAM_PAIRS_CTES = """sh AS (
   SELECT doc_id, unnest(list_distinct(sh_list)) AS sh FROM (
     SELECT doc_id,
            list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
@@ -750,10 +752,16 @@ WITH sh AS (
  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
  inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-WHERE i / (sa.sz + sb.sz - i) >= 0.7
+           GROUP BY 1, 2),
+ pairs AS (
+  SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.7)"""
+
+
+@query("llm_ngram_jaccard_pairs", f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT a, b, jaccard FROM pairs
 """)
 def llm_ngram_jaccard_pairs(spark, sf_dir):
     """Inverted-index exact Jaccard (shingle self-join) — the verify
@@ -831,6 +839,48 @@ def llm_minhash_lsh_pairs(spark, sf_dir):
     staging = tempfile.mkdtemp(prefix="etl_minhash_sig_")
     return D.minhash_dedup_pairs(d, num_hashes=16, bands=8, shingle_n=3,
                                  threshold=0.7, staging_dir=f"{staging}/sig")
+
+
+@query("llm_dedup_groups", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+ lab AS (SELECT d.doc_id,
+                coalesce(least(c.mn, d.doc_id), d.doc_id) AS group_id
+         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size
+FROM lab
+""")
+def llm_dedup_groups(spark, sf_dir):
+    """Transitive near-dup groups: exact-Jaccard pairs (the oracle-safe
+    pair source — at 100 TB the identical component job runs on LSH
+    candidate pairs instead, the fixpoint is agnostic to pair origin)
+    collapsed by min-label connected components (llm/graph.py); every
+    document gets its component's min doc_id as group_id (singletons:
+    themselves). Dedup policy = keep doc_id == group_id. The oracle is
+    a DuckDB recursive CTE computing reachability min over the same
+    pairs."""
+    d = _docs(spark, sf_dir)
+    pairs = llm_ngram_jaccard_pairs(spark, sf_dir)
+    comp = G.connected_components(pairs, src="a", dst="b")
+    lab = (d.select("doc_id")
+            .join(F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+                  "doc_id", "left")
+            .select("doc_id", F.coalesce("label", "doc_id").alias("group_id")))
+    # labels cover only docs in ≥1 pair — a small fraction of the corpus
+    # (the hint matters because a checkpointed frame has no size stats
+    # for AQE to broadcast on its own). If a corpus ever has a near-dup
+    # majority, drop the hint and take the sort-merge join. Sizes come
+    # from one window shuffle on group_id.
+    return lab.select("doc_id", "group_id",
+                      F.count(F.lit(1)).over(Window.partitionBy("group_id"))
+                       .alias("group_size"))
 
 
 def _oracle_simhash(bits: int = 16) -> str:

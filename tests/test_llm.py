@@ -146,3 +146,26 @@ def test_minhash_staging_dir_equivalent(spark, docs, tmp_path):
     staged = sorted(map(tuple, D.minhash_dedup_pairs(
         docs, threshold=0.5, staging_dir=str(tmp_path / "sig")).collect()))
     assert plain == staged
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_tool_spark.llm import graph as G
+
+    # chain 1-2-3-4-5 (diameter 4), island pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long")
+    labels = {r["id"]: r["label"]
+              for r in G.connected_components(edges, "a", "b").collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_and_unconverged(spark):
+    from etl_tool_spark.llm import graph as G
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert G.connected_components(empty, "a", "b").count() == 0
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "a long, b long")
+    with pytest.raises(G.ConvergenceError):
+        G.connected_components(chain, "a", "b", max_iter=2)
