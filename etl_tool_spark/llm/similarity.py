@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from etl_tool_spark.llm.text import hash64
 
 __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
-           "lsh_topk", "sign_bits", "embedding_dup_pairs"]
+           "lsh_topk", "sign_bits", "embedding_dup_pairs",
+           "spherical_kmeans_centroids", "ivf_assign", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -156,6 +157,126 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
     return (cands.join(va, "a").join(vb, "b")
                  .filter(sim >= threshold)
                  .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
+
+
+def spherical_kmeans_centroids(df: DataFrame, nlist: int = 16,
+                               sample_n: int = 4096, iters: int = 10,
+                               seed: int = 7, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic spherical k-means centroids for an IVF index.
+
+    Runs driver-side on a DETERMINISTIC sample (the ``sample_n`` lowest
+    ids — not ``df.sample``, whose row pick depends on partitioning), a
+    fixed iteration count, and a seeded init, so the same corpus always
+    yields byte-identical centroids — required for the driver's
+    stable-result check and for incremental re-indexing (new data joins
+    an existing index instead of invalidating it). At 100 TB the sample
+    is still a few thousand rows: k-means training data NEVER scales
+    with the corpus; only assignment does (distributed, see ivf_assign).
+
+    Spherical variant: vectors and centroids live on the unit sphere, so
+    argmax dot == argmax cosine and Lloyd's mean+renormalize step is the
+    exact update. Empty clusters reseed to the farthest sample point
+    (deterministic tie-break by index)."""
+    import numpy as np
+
+    rows = (df.select(id_col, vec_col).orderBy(F.col(id_col))
+              .limit(sample_n).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    nlist = min(nlist, len(x))
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T                       # (n, nlist)
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members) == 0:               # reseed: farthest point
+                far = int(np.argmin(np.max(sims, axis=1)))
+                cent[c] = x[far]
+            else:
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_i) — one JVM-side HOF walk over
+    a literal centroid matrix (same shape as sign_bits' plane matrix)."""
+    matrix = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    return F.transform(
+        matrix,
+        lambda c: F.aggregate(F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding",
+               cluster_col: str = "_ivf_cluster") -> DataFrame:
+    """Nearest-centroid (coarse-quantizer) assignment, map-side: argmax
+    dot over the literal centroid matrix. Centroids are unit-norm, so
+    argmax dot == argmax cosine without normalizing the data vector. At
+    100 TB the assigned frame is written bucketed/partitioned by this
+    column once; probes then become partition-pruned equi-joins."""
+    # materialize scores in their own projection: argmax references the
+    # array twice, and Project-collapse would otherwise inline the
+    # nlist×dim dot-product walk once per reference (the HOF-inlining
+    # pitfall — same guard as sign_bits/_toks elsewhere)
+    return (df.withColumn("_ivf_scores", _centroid_scores(F.col(vec_col), centroids))
+              .withColumn(cluster_col,
+                          (F.array_position(F.col("_ivf_scores"),
+                                            F.array_max(F.col("_ivf_scores"))) - 1)
+                          .cast("int"))
+              .drop("_ivf_scores"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus vectors
+    are assigned to their nearest of ``nlist`` centroids; each query
+    probes only its ``nprobe`` nearest cells. Exact cosine + window
+    top-k run on the probed cells only — an equi-join on the cluster id,
+    never a scan per query.
+
+    Recall dial: nprobe/nlist is the fraction of the corpus scanned per
+    query (nprobe=nlist degenerates to exact brute force). Unlike
+    sign-LSH (independent random bands), IVF cells follow the data
+    distribution, so equal scan fractions usually buy more recall on
+    clustered corpora; LSH needs no training. Both live here; pick by
+    corpus shape."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = spherical_kmeans_centroids(corpus, nlist=nlist,
+                                               id_col=id_col, vec_col=vec_col)
+    c = ivf_assign(corpus, centroids, vec_col=vec_col) \
+        .select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                F.col("_ivf_cluster").alias("_cell"))
+    qscores = _centroid_scores(F.col(vec_col), centroids)
+    # nprobe nearest cells: sort (score, index) structs desc, take indices
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.transform(
+            qscores,
+            lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
+        1, nprobe)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       F.explode(F.transform(probe_cells, lambda p: p["i"]))
+                        .alias("_cell"))
+    cands = (c.join(F.broadcast(q), "_cell")
+              .filter(F.col(id_col) != F.col(query_id_col)))
+    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+    scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -169,3 +169,33 @@ def test_connected_components_empty_and_unconverged(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "a long, b long")
     with pytest.raises(G.ConvergenceError):
         G.connected_components(chain, "a", "b", max_iter=2)
+
+
+def test_ivf_topk_subset_of_exact_and_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 2) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(corpus, queries, k=3, nlist=4, nprobe=2).collect()
+    assert len(out) > 0
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.brute_force_topk(corpus, queries, k=39).collect()}
+    assert {(r["query_id"], r["vec_id"]) for r in out} <= exact
+    # deterministic: seeded kmeans + deterministic sample => identical reruns
+    again = S.ivf_topk(corpus, queries, k=3, nlist=4, nprobe=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    # nprobe == nlist degenerates to exact search: recall must be 1.0
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13) % 11), float(i % 5), 1.0]) for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 3) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in S.ivf_topk(corpus, queries, k=5, nlist=4, nprobe=4).collect()}
+    bf = {(r["query_id"], r["vec_id"], r["rank"])
+          for r in S.brute_force_topk(corpus, queries, k=5).collect()}
+    assert ivf == bf
