@@ -1342,7 +1342,8 @@ def events_range_frame(spark, sf_dir):
                     F.count(F.lit(1)).over(w).alias("events_last_hour"))
 
 
-def _oracle_clean_corpus(min_quality: float = 0.5, threshold: float = 0.7) -> str:
+def _oracle_clean_corpus(min_quality: float = 0.5, threshold: float = 0.7,
+                         transitive: bool = False) -> str:
     from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
 
     allstop = "[" + ", ".join(f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"
@@ -1366,8 +1367,25 @@ def _oracle_clean_corpus(min_quality: float = 0.5, threshold: float = 0.7) -> st
     band_rows = ", ".join(
         f"concat('{b}:', CAST(h{b * 2} AS VARCHAR), ',', CAST(h{b * 2 + 1} AS VARCHAR))"
         for b in range(8))
+    if transitive:
+        tail = """,
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT u.doc_id, u.text FROM uniq u
+LEFT JOIN comp c ON c.doc_id = u.doc_id
+WHERE c.mn IS NULL OR u.doc_id <= c.mn"""
+    else:
+        tail = """
+SELECT u.doc_id, u.text FROM uniq u
+WHERE u.doc_id NOT IN (SELECT DISTINCT b FROM pairs)"""
+    recursive = "RECURSIVE " if transitive else ""
     return f"""
-WITH t AS (SELECT doc_id, text, trim(text) AS tt,
+WITH {recursive}t AS (SELECT doc_id, text, trim(text) AS tt,
                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
            FROM documents),
  scored AS (
@@ -1407,12 +1425,10 @@ WITH t AS (SELECT doc_id, text, trim(text) AS tt,
            FROM cands c JOIN dsh x ON x.doc_id = c.a
                         JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
            GROUP BY c.a, c.b),
- neardup AS (SELECT DISTINCT b AS doc_id
-             FROM inter JOIN sizes sa ON sa.doc_id = a
-                        JOIN sizes sb ON sb.doc_id = b
-             WHERE i / (sa.sz + sb.sz - i) >= {threshold})
-SELECT u.doc_id, u.text FROM uniq u
-WHERE u.doc_id NOT IN (SELECT doc_id FROM neardup)
+ pairs AS (SELECT a, b
+           FROM inter JOIN sizes sa ON sa.doc_id = a
+                      JOIN sizes sb ON sb.doc_id = b
+           WHERE i / (sa.sz + sb.sz - i) >= {threshold}){tail}
 """
 
 
@@ -1428,3 +1444,19 @@ def llm_clean_corpus(spark, sf_dir):
     d = _docs(spark, sf_dir)
     staging = tempfile.mkdtemp(prefix="etl_clean_sig_")
     return clean_corpus(d, staging_dir=f"{staging}/sig")
+
+
+@query("llm_clean_corpus_cc", _oracle_clean_corpus(transitive=True))
+def llm_clean_corpus_cc(spark, sf_dir):
+    """The cleaning pipeline with TRANSITIVE near-dedup: near-dup pairs
+    collapse by connected components and only each component's min id
+    survives (A~B~C keeps one doc even when A~C missed the threshold).
+    The oracle appends a recursive reachability CTE to the pairwise
+    oracle's stage replay."""
+    import tempfile
+
+    from etl_tool_spark.llm.pipeline import clean_corpus
+
+    d = _docs(spark, sf_dir)
+    staging = tempfile.mkdtemp(prefix="etl_clean_cc_sig_")
+    return clean_corpus(d, staging_dir=f"{staging}/sig", transitive=True)

@@ -4,12 +4,16 @@ MinHash near-dedup. One call produces the clean corpus the way a real
 100 TB data pipeline would — each stage is the scale-shaped operator
 from its module, and the whole chain is a single lazy plan.
 
-Near-dup policy (deterministic contract): after exact dedup, any doc
-appearing as the higher-id side of a verified near-dup pair is dropped —
-the lower id is the canonical representative. (Pairwise, not transitive
-closure: at 100 TB the connected-components pass is a separate iterative
-job; the pairwise rule removes ≥ one of every near-dup pair and is
-oracle-checkable in one query.)"""
+Near-dup policy (deterministic contract), two dials:
+  * pairwise (default): any doc appearing as the higher-id side of a
+    verified near-dup pair is dropped — the lower id is canonical.
+    Removes ≥ one of every pair, single-pass, oracle-checkable in one
+    non-recursive query.
+  * transitive=True: pairs are collapsed by connected components
+    (llm/graph.py) and only each component's min id survives — if A~B
+    and B~C, one representative remains even when A~C missed the
+    threshold. Costs the iterative fixpoint on the (tiny) pairs graph;
+    this is what a production corpus dedup runs."""
 
 from __future__ import annotations
 
@@ -17,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.dedup import exact_dedup, minhash_dedup_pairs
+from etl_tool_spark.llm.graph import connected_components
 from etl_tool_spark.llm.text import fingerprint, language_id, quality_features, tokens
 
 __all__ = ["clean_corpus"]
@@ -24,7 +29,8 @@ __all__ = ["clean_corpus"]
 
 def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  min_quality: float = 0.5, jaccard_threshold: float = 0.7,
-                 staging_dir: str | None = None) -> DataFrame:
+                 staging_dir: str | None = None,
+                 transitive: bool = False) -> DataFrame:
     """Return the surviving documents (id + text) after the four cleaning
     stages. Filters run FIRST so the expensive near-dup hashing only sees
     documents that can survive — the order matters at scale."""
@@ -47,10 +53,15 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .select(id_col))
     uniq = kept.join(reps, id_col, "left_semi")
 
-    # near-dup: drop the higher-id side of every verified pair
+    # near-dup: pairwise drop-higher-id, or transitive component collapse
     pairs = minhash_dedup_pairs(uniq, id_col=id_col, text_col=text_col,
                                 threshold=jaccard_threshold,
                                 staging_dir=staging_dir)
-    drop_ids = pairs.select(F.col("b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(pairs, src="a", dst="b")
+        drop_ids = (comp.filter(F.col("label") != F.col("id"))
+                        .select(F.col("id").alias(id_col)))
+    else:
+        drop_ids = pairs.select(F.col("b").alias(id_col)).distinct()
     return (uniq.join(drop_ids, id_col, "left_anti")
                 .select(id_col, text_col))

@@ -199,3 +199,28 @@ def test_ivf_full_probe_equals_brute_force(spark):
     bf = {(r["query_id"], r["vec_id"], r["rank"])
           for r in S.brute_force_topk(corpus, queries, k=5).collect()}
     assert ivf == bf
+
+
+def test_clean_corpus_transitive_vs_pairwise(spark):
+    """Star graph with a HIGH-id center: doc1 ~ doc3 and doc2 ~ doc3 but
+    doc1 !~ doc2. Pairwise drop-higher-id only removes doc3 (the only
+    higher side), keeping both 1 and 2; transitive collapse keeps just
+    the component min. This is exactly the case the fixpoint exists for."""
+    from etl_tool_spark.llm.pipeline import clean_corpus
+
+    w = [f"w{i:02d}" for i in range(40)]
+    # "the" satisfies the language filter; it heads each doc so it adds a
+    # distinct shingle per doc and doesn't join the shared windows
+    x, y, z = ("the " + " ".join(w[0:20]), "the " + " ".join(w[5:25]),
+               "the " + " ".join(w[10:30]))
+    rows = [(1, x), (2, z), (3, y),   # y (id 3) bridges x and z
+            (4, "the completely unrelated document about spark physics engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pair_ids = sorted(r["doc_id"] for r in
+                      clean_corpus(df, min_quality=0.0,
+                                   jaccard_threshold=0.5).collect())
+    trans_ids = sorted(r["doc_id"] for r in
+                       clean_corpus(df, min_quality=0.0, jaccard_threshold=0.5,
+                                    transitive=True).collect())
+    assert pair_ids == [1, 2, 4]   # doc2 survives: never a higher side
+    assert trans_ids == [1, 4]     # component {1,2,3} collapses to 1
