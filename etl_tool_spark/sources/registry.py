@@ -167,21 +167,24 @@ def read_xml(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFra
 
 
 def read_xlsx(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
-    try:
-        import openpyxl  # noqa: F401 — pandas' xlsx engine
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX source requires openpyxl (not installed in this environment); "
-            "the reader contract matches internal/io/xlsx.go:17-170"
-        ) from e
-    import pandas as pd
+    """stdlib OOXML bridge (sources/xlsx.py — no openpyxl needed):
+    sheet by name or 0-based index (default: active sheet); header row
+    trimmed with empty-ignored/duplicate-last-wins; every value a
+    display string (internal/io/xlsx.go:17-170)."""
+    from etl_tool_spark.sources.xlsx import read_xlsx_records
 
-    sheet = options.get("sheetName")
-    if sheet is None:
-        sheet = int(options.get("sheetIndex", 0))
-    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # all-string parity
-    pdf = pdf.where(pd.notna(pdf), None)
-    return spark.createDataFrame(pdf)
+    sheet_name = options.get("sheetName")
+    sheet_index = None
+    if sheet_name is None and "sheetIndex" in options:
+        sheet_index = int(options["sheetIndex"])
+    records = read_xlsx_records(path, sheet_name=sheet_name,
+                                sheet_index=sheet_index)
+    if not records:
+        return spark.createDataFrame([], "struct<>")
+    cols = sorted({k for r in records for k in r})
+    rows = [tuple(r.get(c) for c in cols) for r in records]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    return spark.createDataFrame(rows, schema)
 
 
 def read_jdbc(spark: SparkSession, path_or_query: str, options: dict[str, Any]) -> DataFrame:

@@ -118,13 +118,17 @@ def write_xml(df: DataFrame, path: str, options: dict[str, Any]) -> None:
 
 
 def write_xlsx(df: DataFrame, path: str, options: dict[str, Any]) -> None:
-    try:
-        out = _stringify_complex(_sorted_cols(_clean(df))).toPandas()
-        out.to_excel(path, sheet_name=options.get("sheetName", "Sheet1"), index=False)
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX sink requires openpyxl/xlsxwriter (not installed here); "
-            "contract matches internal/io/xlsx.go:175-304") from e
+    """stdlib OOXML bridge (sources/xlsx.py — no openpyxl needed):
+    headers sorted alphabetically, bools rendered 'true'/'false', None
+    → "" (internal/io/xlsx.go:191-304). Whole-workbook single-document
+    format by the reference's contract — driver-side like the JSON
+    parity array; scale data goes to parquet/orc."""
+    from etl_tool_spark.sources.xlsx import write_xlsx_records
+
+    out = _stringify_complex(_sorted_cols(_clean(df)))
+    records = [r.asDict() for r in out.collect()]
+    write_xlsx_records(records, path,
+                       sheet_name=options.get("sheetName", "Sheet1"))
 
 
 def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:

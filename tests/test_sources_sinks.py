@@ -206,15 +206,73 @@ def test_parquet_roundtrip(spark, tmp_path):
     assert back.collect() == df.collect()
 
 
-def test_xlsx_gated_without_openpyxl(spark, tmp_path):
-    """XLSX bridge raises a clear NotImplementedError in environments
-    without openpyxl (this container) instead of a deep ImportError."""
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("openpyxl installed — gate not exercised")
-    except ImportError:
-        pass
-    p = tmp_path / "dummy.xlsx"
-    p.write_bytes(b"PK\x03\x04 not a real workbook")
-    with pytest.raises(NotImplementedError):
-        read_source(spark, "xlsx", str(p))
+def test_xlsx_roundtrip(spark, tmp_path):
+    """stdlib OOXML bridge: write → read round-trip with sorted headers,
+    bool casing ('true'/'false', xlsx.go:281) and None → ""."""
+    p = tmp_path / "out.xlsx"
+    df = spark.createDataFrame(
+        [(1, "alpha", True, None), (2, "be < & to", False, "x")],
+        "id long, name string, flag boolean, opt string")
+    write_sink(df, "xlsx", str(p), {"sheetName": "Data"})
+    back = read_source(spark, "xlsx", str(p), {"sheetName": "Data"},
+                       attach_seq=False)
+    assert back.columns == ["flag", "id", "name", "opt"]
+    rows = sorted((r["id"], r["name"], r["flag"], r["opt"])
+                  for r in back.collect())
+    assert rows == [("1", "alpha", "true", ""), ("2", "be < & to", "false", "x")]
+
+
+def test_xlsx_sheet_selection_and_errors(spark, tmp_path):
+    from etl_tool_spark.sources.xlsx import XlsxError, write_xlsx_records
+
+    p = tmp_path / "s.xlsx"
+    write_xlsx_records([{"a": "1"}], str(p), sheet_name="Custom")
+    assert read_source(spark, "xlsx", str(p), {"sheetIndex": 0},
+                       attach_seq=False).count() == 1
+    with pytest.raises(XlsxError):
+        read_source(spark, "xlsx", str(p), {"sheetName": "Nope"})
+    with pytest.raises(XlsxError):
+        read_source(spark, "xlsx", str(p), {"sheetIndex": 3})
+    with pytest.raises(XlsxError):
+        write_xlsx_records([], str(p), sheet_name="bad[name]")
+
+
+def test_xlsx_header_quirks_and_cell_types(spark, tmp_path):
+    """Hand-built workbook exercising shared strings, inline strings,
+    boolean and numeric cells, duplicate headers (last wins), empty
+    headers (ignored), and short rows (backfilled with "")."""
+    import zipfile
+
+    from etl_tool_spark.sources.xlsx import read_xlsx_records
+
+    ss = ('<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main"><si><t>h1</t></si><si><t>shared</t></si></sst>')
+    sheet = ('<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+             'formats.org/spreadsheetml/2006/main"><sheetData>'
+             # header: h1 (shared), '' (empty, ignored), ' h2 ' (trim), h1 dup (last wins)
+             '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t/></is></c>'
+             '<c r="C1" t="inlineStr"><is><t> h2 </t></is></c>'
+             '<c r="D1" t="inlineStr"><is><t>h1</t></is></c></row>'
+             # data: shared string, skipped B, number, bool — D wins h1
+             '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="C2"><v>42</v></c>'
+             '<c r="D2" t="b"><v>1</v></c></row>'
+             # short row: only A present; h2 + dup-h1 backfill ""
+             '<row r="3"><c r="A3" t="inlineStr"><is><t>solo</t></is></c></row>'
+             '</sheetData></worksheet>')
+    wb = ('<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats'
+          '.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats'
+          '.org/officeDocument/2006/relationships"><sheets>'
+          '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+            'formats.org/package/2006/relationships"><Relationship Id="rId1" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+            'relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>')
+    p = tmp_path / "quirk.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    recs = read_xlsx_records(str(p))
+    assert recs == [{"h1": "TRUE", "h2": "42"},   # D2 bool wins h1; C numeric
+                    {"h1": "", "h2": ""}]          # short row backfilled
