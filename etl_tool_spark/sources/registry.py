@@ -8,8 +8,8 @@ Reference behaviors being matched (per reader):
   * JSON (internal/io/json.go:19-42): whole-document parse — an array of
     objects or a single object (⇒ multiLine=true).
   * XLSX (internal/io/xlsx.go:17-170): sheet by name or 0-based index;
-    first row = header; all strings. Bridge via pandas/openpyxl when
-    available (not in this container ⇒ clear NotImplementedError).
+    first row = header; all strings. stdlib OOXML bridge
+    (sources/xlsx.py) — no openpyxl dependency.
   * XML (internal/io/xml.go:17-131): repeating recordTag elements
     (default "record"); child element name → key, trimmed text → value;
     attributes ignored; nested element text flattened. stdlib bridge.
