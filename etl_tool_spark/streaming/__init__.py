@@ -1,6 +1,11 @@
 """Structured Streaming surface (ABSENT in the reference — it is
 explicitly batch-only, playbook_development_guide.md:460)."""
 
+from etl_tool_spark.streaming.cdc import (
+    cdc_merge_stream,
+    merge_cdc_batch,
+    read_snapshot,
+)
 from etl_tool_spark.streaming.events import (
     read_events_stream,
     sessionize_stream,
@@ -10,4 +15,5 @@ from etl_tool_spark.streaming.events import (
 )
 
 __all__ = ["read_events_stream", "windowed_counts", "sessionize_stream",
-           "streaming_dedup", "stream_to_memory"]
+           "streaming_dedup", "stream_to_memory",
+           "merge_cdc_batch", "cdc_merge_stream", "read_snapshot"]
