@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "llm_embedding_topk",
     "llm_clean_corpus",
     "llm_dedup_groups",
+    "llm_embedding_ivf_topk",
 ]
 
 

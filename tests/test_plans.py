@@ -114,3 +114,20 @@ def test_quality_language_single_tokenization(spark):
     # the split appears once in the materializing Project's detail; without
     # the _toks projection it is inlined ~6× (per stopword list + counters)
     assert p.count("split(") <= 2, f"tokenization inlined: {p.count('split(')} splits"
+
+
+def test_ivf_topk_no_cartesian_broadcast_probe(spark, catalog):
+    """IVF probes must be an equi-join on the cell id (broadcast of the
+    tiny exploded query set), never a per-query corpus scan."""
+    p = plan(catalog["llm_embedding_ivf_topk"](spark, SF_DIR))
+    assert not nodes(p, "CartesianProduct")
+    assert not nodes(p, "BroadcastNestedLoopJoin")
+    assert nodes(p, "BroadcastHashJoin")
+
+
+def test_dedup_groups_no_cartesian(spark, catalog):
+    """Connected-components dedup groups: candidate generation stays an
+    equi-join (inverted shingle index) and the label join broadcasts."""
+    p = plan(catalog["llm_dedup_groups"](spark, SF_DIR))
+    assert not nodes(p, "CartesianProduct")
+    assert not nodes(p, "BroadcastNestedLoopJoin")
