@@ -16,6 +16,8 @@ functions for array math.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -39,11 +41,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     reader rejects; read nanos as long and truncate to micros (exactly
     what DuckDB's micro-precision TIMESTAMP does on the same file)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     try:
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
     # integer `div` — a double division would lose precision above 2^53
     # nanos and round the microsecond (off-by-one vs DuckDB's truncation)
     return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -65,10 +69,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").repartition(n)
 
 
-def _utc(spark: SparkSession) -> None:
-    """Timestamp rendering/parsing must agree with DuckDB's naive-UTC view
-    of the parquet instants regardless of the driver session's TZ."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+@contextmanager
+def _utc(spark: SparkSession):
+    """Scoped session-timezone override: timestamp parsing/formatting must
+    agree with DuckDB's naive-UTC view of the parquet instants regardless
+    of the driver session's TZ. Spark stamps the zone into every
+    TimeZoneAwareExpression at analysis time (ResolveTimeZone), so callers
+    return ``_stamp(df)`` INSIDE the block — that forces analysis under
+    UTC; the conf is then restored so catalog queries never leak session
+    state to concurrent users of the same SparkSession."""
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _stamp(df: DataFrame) -> DataFrame:
+    """Force analysis now (under the enclosing scoped conf) and return df."""
+    df.schema
+    return df
 
 
 def query(name: str, oracle: str | None = None):
@@ -101,21 +123,21 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: single scan → partial+final hash agg; filter is
     pushed into the parquet scan (PushedFilters in .explain)."""
-    _utc(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-               F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-               F.round(F.sum(disc), 2).alias("sum_disc_price"),
-               F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-               F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-               F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-               F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-               F.count(F.lit(1)).alias("count_order"))
-    )
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return _stamp(
+            li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                   F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order"))
+        )
 
 
 @query("q6_forecast_revenue", """
@@ -126,9 +148,10 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """)
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6: pure scan+filter+scalar agg — everything pushes down."""
-    _utc(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem")
+        return _stamp(
+            li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
                       & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
                       & (F.col("l_discount").between(0.05, 0.07))
                       & (F.col("l_quantity") < 24))
@@ -221,13 +244,14 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dimension filter broadcast into the fact
     join; top-k via sort+limit (Spark runs TakeOrderedAndProject)."""
-    _utc(spark)
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15")))
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15")))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    with _utc(spark):
+        c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.to_timestamp(F.lit("1995-03-15")))
+        li = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15")))
+        return _stamp(
+            li.join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .groupBy("l_orderkey", "o_orderdate")
               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -251,16 +275,17 @@ GROUP BY n_name
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: the two tiny dims broadcast; fact-fact joins shuffle
     on their keys; AQE reorders/coalesces at runtime."""
-    _utc(spark)
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
-        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    with _utc(spark):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
+        li = _t(spark, sf_dir, "lineitem")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        return _stamp(
+            li.join(o, li.l_orderkey == o.o_orderkey)
               .join(c, o.o_custkey == c.c_custkey)
               .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -362,12 +387,13 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """)
 def window_running_total(spark, sf_dir):
-    _utc(spark)
-    o = _t(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return o.select("o_custkey", "o_orderkey",
-                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders")
+        w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return _stamp(
+            o.select("o_custkey", "o_orderkey",
+                     F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")))
 
 
 @query("window_lag_lead", """
@@ -377,14 +403,14 @@ SELECT o_custkey, o_orderkey,
 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """)
 def window_lag_lead(spark, sf_dir):
-    _utc(spark)
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey", "o_orderkey",
-        F.round(F.coalesce(F.col("o_totalprice") - F.lag("o_totalprice").over(w),
-                           F.lit(0)), 2).alias("delta_prev"),
-        F.lead("o_orderkey").over(w).alias("next_order"))
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return _stamp(o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.coalesce(F.col("o_totalprice") - F.lag("o_totalprice").over(w),
+                               F.lit(0)), 2).alias("delta_prev"),
+            F.lead("o_orderkey").over(w).alias("next_order")))
 
 
 @query("sort_topk", """
@@ -598,15 +624,15 @@ FROM orders WHERE o_orderkey <= 1000
 """)
 def etl_transform_dates(spark, sf_dir):
     """dateConvert-family parity via the Go-layout converter."""
-    _utc(spark)
     from etl_tool_spark.datefmt import go_layout_to_jvm
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    return o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", go_layout_to_jvm("2006-01-02")).alias("order_date"),
-        F.date_format("o_orderdate", go_layout_to_jvm("02/01/2006")).alias("order_date_eu"),
-        F.unix_timestamp("o_orderdate").alias("order_epoch"))
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+        return _stamp(o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", go_layout_to_jvm("2006-01-02")).alias("order_date"),
+            F.date_format("o_orderdate", go_layout_to_jvm("02/01/2006")).alias("order_date_eu"),
+            F.unix_timestamp("o_orderdate").alias("order_epoch")))
 
 
 @query("etl_coerce_loose", """

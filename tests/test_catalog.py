@@ -55,3 +55,21 @@ def test_query_matches_oracle(spark, catalog, duck, name):
     assert len(srows) == len(orows)
     assert frame_hash([c.lower() for c in sdf.columns], srows) == \
         frame_hash([c.lower() for c in res.columns], orows)
+
+
+def test_utc_query_no_session_tz_leak(spark, catalog):
+    """Catalog queries must not leave session state behind (VERDICT r1 #10):
+    _utc is a scoped override that stamps UTC into the plan at analysis
+    time, then restores the caller's timezone — and the stamped plan must
+    produce identical values regardless of the ambient session TZ."""
+    SPARK, _ = catalog
+    key = "spark.sql.session.timeZone"
+    base = sorted(map(str, SPARK["etl_transform_dates"](spark, SF_DIR).collect()))
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        df = SPARK["etl_transform_dates"](spark, SF_DIR)
+        assert spark.conf.get(key) == "America/New_York"
+        assert sorted(map(str, df.collect())) == base
+    finally:
+        spark.conf.set(key, prev)
