@@ -17,6 +17,8 @@ float→double promotion, same order)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,13 +207,34 @@ def spherical_kmeans_centroids(df: DataFrame, nlist: int = 16,
 
 
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of dot(vec, centroid_i) — one JVM-side HOF walk over
-    a literal centroid matrix (same shape as sign_bits' plane matrix)."""
-    matrix = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    return F.transform(
-        matrix,
-        lambda c: F.aggregate(F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    """array<double> of dot(vec, centroid_i), as an Arrow-batched Pandas
+    UDF doing one numpy mat-vec per batch.
+
+    This is the one dense-linear-algebra hot spot where the JVM HOF walk
+    loses: an interpreted ``transform(aggregate(zip_with))`` over a
+    literal nlist×dim matrix costs ~30µs per dot locally (measured:
+    nlist=32 assignment alone was 3× the flops of the brute-force scan
+    and dominated IVF runtime), while the batched einsum-style product is
+    microseconds per thousand rows and transfers each embedding once over
+    Arrow. numpy's C reduce is single-threaded with a fixed pairwise
+    order, so scores are bit-deterministic run-to-run — which the
+    driver's stable-result check requires. Queries with SQL oracles keep
+    the HOF ``dot`` (element-order-identical to DuckDB's
+    list_dot_product); this path has no oracle by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def scores(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        # (n, 1, dim) * (1, nlist, dim) summed on dim: fixed reduce order
+        S = (X[:, None, :] * C[None, :, :]).sum(axis=-1)
+        return pd.Series(list(S))
+
+    return scores(vec)
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
