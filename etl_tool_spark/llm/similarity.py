@@ -104,20 +104,31 @@ def _banded_signatures(vec: Column, dim: int, bands: int, rows: int) -> Column:
 
 def sign_bits(vec: Column, dim: int, planes: int) -> Column:
     """array<string> of '0'/'1' — the sign of ``vec`` under each of
-    ``planes`` md5-derived hyperplanes, computed in ONE expression (the
-    plane matrix is a literal array-of-arrays walked with transform).
+    ``planes`` md5-derived hyperplanes, as one Arrow-batched numpy
+    product per batch (same rationale as _centroid_scores: an
+    interpreted HOF walk over a planes×dim literal matrix costs ~30µs
+    per projection, which at 384 planes dominated embedding_dup_pairs'
+    runtime ~50×). The plane matrix is tiny and deterministic
+    (md5-derived), the batched product is bit-deterministic, and the
+    signs only steer LSH *candidate* generation — exact cosine
+    verification downstream still uses the oracle-order HOF ``dot``.
     Materialize the result into its own column before slicing it per
     band, so the projection work runs once per row, not once per band."""
-    plane_matrix = F.array(*[
-        F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
-        for p in range(planes)
-    ])
-    return F.transform(
-        plane_matrix,
-        lambda plane: F.when(
-            F.aggregate(F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
-                        F.lit(0.0), lambda acc, v: acc + v) > 0,
-            F.lit("1")).otherwise(F.lit("0")))
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray([[plane_component(p, j) for j in range(dim)]
+                    for p in range(planes)], dtype=np.float64)
+
+    @pandas_udf("array<string>")
+    def bits(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        S = (X[:, None, :] * P[None, :, :]).sum(axis=-1)
+        B = np.where(S > 0, "1", "0")
+        return pd.Series(list(B))
+
+    return bits(vec)
 
 
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
