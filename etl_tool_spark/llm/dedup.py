@@ -4,9 +4,10 @@ Five families, each scale-shaped for 100 TB:
 
   * exact            — groupBy(fingerprint): one shuffle on a 128-bit key.
   * minhash_lsh      — shingle → k minhashes → b bands → band-bucket
-                       join: candidate pairs come from equi-joins on
-                       (band, signature) — NEVER a cross join. Cost is
-                       O(docs·k) map-side + a shuffle per band key.
+                       grouping: candidate pairs are generated inside
+                       each (band, signature) bucket — NEVER a cross
+                       join. Cost is O(docs·k) map-side + one shuffle
+                       of (doc, band) rows.
   * simhash          — 16/64-bit sign-of-sums fingerprint; near-dups are
                        buckets sharing the fingerprint (or low Hamming
                        distance via pivoted bit-blocks).
@@ -21,13 +22,16 @@ oracle reproduces results exactly — no engine-specific murmur seeds.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.text import fingerprint, hash64, tokens
 
 __all__ = ["exact_dedup", "shingles", "minhash_signature", "lsh_candidate_pairs",
-           "minhash_dedup_pairs", "jaccard_pairs", "simhash", "simhash_buckets"]
+           "minhash_dedup_pairs", "jaccard_pairs", "simhash", "simhash_buckets",
+           "minhash_from_hashes_vec", "simhash_from_hashes_vec"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -97,6 +101,81 @@ def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
     return F.transform(shingles(col, shingle_n), hash64)
 
 
+def _ragged(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of int arrays into (flat int64, per-row lengths)."""
+    arrs = [np.asarray(v, dtype=np.int64) if v is not None
+            else np.empty(0, np.int64) for v in series]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+    return flat, lens
+
+
+def _nonempty_starts(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(row indices with len>0, their start offsets in the flat array).
+    Passing only non-empty starts to ufunc.reduceat still reduces each
+    segment exactly: empty segments have zero width, so consecutive
+    non-empty starts bound one segment's elements."""
+    nz = np.flatnonzero(lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+    return nz, starts
+
+
+def minhash_from_hashes_vec(hs: Column, num_hashes: int) -> Column:
+    """Arrow-batched twin of the per-permutation HOF mix in _perm_min —
+    bit-identical (pure int64 math: operands bounded so a·lo + b·hi + c
+    stays < 2⁶², no overflow) but one numpy pass over the batch instead
+    of ``num_hashes`` interpreted array walks per row. The HOF form
+    remains the oracle-shape documentation; tests assert equality.
+    Rows with an empty/null hash array yield null (the HOF form yields
+    an array of nulls — unreachable for non-null text, where tokens()
+    always returns ≥1 element)."""
+    consts = np.asarray([perm_consts(i) for i in range(num_hashes)],
+                        dtype=np.int64)
+    A, B, C = consts[:, 0:1], consts[:, 1:2], consts[:, 2:3]  # (P, 1) each
+
+    @F.pandas_udf("array<bigint>")
+    def sigs(hs_s: pd.Series) -> pd.Series:
+        flat, lens = _ragged(hs_s)
+        out: list = [None] * len(lens)
+        if flat.size:
+            lo = flat & LO_MASK
+            hi = flat >> 30
+            vals = (A * lo[None, :] + B * hi[None, :] + C) % MERSENNE61
+            nz, starts = _nonempty_starts(lens)
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
+            for j, idx in enumerate(nz):
+                out[idx] = mins[:, j].tolist()
+        return pd.Series(out, dtype=object)
+
+    return sigs(hs)
+
+
+def simhash_from_hashes_vec(th: Column, bits: int = 16) -> Column:
+    """Arrow-batched twin of simhash_from_hashes: per bit, one
+    flat ±1 pass + segment-sum (np.add.reduceat) over the whole batch
+    instead of ``bits`` interpreted aggregate walks per row. Exact
+    integer math — identical fingerprints (tests assert equality).
+    Empty/null token arrays yield 0, matching the HOF aggregate."""
+
+    @F.pandas_udf("bigint")
+    def fp(th_s: pd.Series) -> pd.Series:
+        flat, lens = _ragged(th_s)
+        out = np.zeros(len(lens), dtype=np.int64)
+        if flat.size:
+            nz, starts = _nonempty_starts(lens)
+            for b in range(bits):
+                ones = ((flat >> b) & 1) * 2 - 1
+                sums = np.add.reduceat(ones, starts)
+                sel = nz[sums > 0]
+                # hash64 is 60-bit, so bits ≥60 never go positive — the
+                # guard keeps 1<<63 (int64 overflow) unreachable
+                if sel.size:
+                    out[sel] += 1 << b
+        return pd.Series(out)
+
+    return fp(th)
+
+
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values — deterministic and
     oracle-reproducible. Map-side only: no shuffle, no UDF.
@@ -117,7 +196,38 @@ def _signed(df: DataFrame, id_col: str, text_col: str, num_hashes: int,
                         shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
     return with_hs.select(
         id_col,
-        F.array(*[_perm_min(F.col("_hs"), i) for i in range(num_hashes)]).alias("_sig"))
+        minhash_from_hashes_vec(F.col("_hs"), num_hashes).alias("_sig"))
+
+
+def _bucket_pairs(banded: DataFrame, id_col: str,
+                  payload_cols: tuple[str, ...] = ()) -> DataFrame:
+    """All a<b pairs within each (_band, _bucket) group, via ONE shuffle:
+    groupBy → sorted collect_list → nested-transform pair expansion.
+
+    This replaces the banding SELF-JOIN formulation: joining the banded
+    frame to itself computes the whole signature subtree twice (physical
+    plans showed no ReusedExchange — the bucket side broadcasts), while
+    grouping computes it once and shuffles each doc once per band. The
+    pair fan-out per bucket is quadratic in bucket size — exactly the
+    pairs the join emitted, just materialized in the bucket's task; at
+    real scale degenerate hot buckets (empty/boilerplate docs sharing a
+    signature) should be capped or pre-filtered upstream.
+
+    Returns struct columns l/r, each (_id, *payload_cols), l._id < r._id
+    (sort_array on (id-first) structs orders buckets by id; ids are
+    unique per doc so payload fields never influence the order)."""
+    entry = F.struct(F.col(id_col).alias("_id"),
+                     *[F.col(c) for c in payload_cols])
+    grouped = (banded.groupBy("_band", "_bucket")
+                     .agg(F.sort_array(F.collect_list(entry)).alias("_es"))
+                     .filter(F.size("_es") > 1))
+    pairs = F.explode(F.flatten(F.transform(
+        F.col("_es"),
+        lambda x, i: F.transform(
+            F.slice(F.col("_es"), i + F.lit(2),
+                    F.greatest(F.size(F.col("_es")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("l"), y.alias("r"))))))
+    return grouped.select(pairs.alias("_p")).select("_p.l", "_p.r")
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -126,10 +236,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """Candidate near-dup pairs via banded minhash-LSH.
 
     rows_per_band = num_hashes / bands. Two docs collide when any band's
-    signature slice matches exactly. The banding join is an equi-join on
-    (band_id, slice) — at 100 TB this shuffles each doc ``bands`` times on
-    a short key instead of comparing all pairs. Output: (a, b) id pairs
-    with a < b, distinct."""
+    signature slice matches exactly. Candidates come from grouping on
+    (band_id, slice) and pairing within each bucket — at 100 TB this
+    shuffles each doc ``bands`` times on a short key instead of
+    comparing all pairs. Output: (a, b) id pairs with a < b, distinct."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     banded = (
@@ -142,16 +252,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                   for b in range(bands)
               ])).alias("_band", "_bucket"))
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(right, [F.col("l._band") == F.col("r._band"),
-                          F.col("l._bucket") == F.col("r._bucket"),
-                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-            .distinct()
-    )
-    return pairs
+    return (_bucket_pairs(banded, id_col)
+            .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+            .distinct())
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -185,8 +288,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     half the hashing, and far smaller shuffle payloads.
 
     ``persist`` caches the per-doc shingle-hash frame, which is consumed
-    four times (both sides of the banding self-join and of the verify
-    join). Measured locally recompute beats the cache-serialization cost
+    three times (the banding pass and both sides of the verify join).
+    Measured locally recompute beats the cache-serialization cost
     5× at document sizes like the test corpus, so the default is off;
     turn it on when text is large enough that md5 dominates (the
     persist-signatures pattern used at 100 TB, where signatures are
@@ -208,7 +311,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
     sig = hs_frame.select(
         id_col,
-        F.array(*[_perm_min(F.col("_hs"), i) for i in range(num_hashes)]).alias("_sig"))
+        minhash_from_hashes_vec(F.col("_hs"), num_hashes).alias("_sig"))
     banded = sig.select(
         id_col,
         F.posexplode(F.array(*[
@@ -216,13 +319,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                                for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("_band", "_bucket"))
-    left, right = banded.alias("l"), banded.alias("r")
-    cands = (left.join(right, [F.col("l._band") == F.col("r._band"),
-                               F.col("l._bucket") == F.col("r._bucket"),
-                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-                 .select(F.col(f"l.{id_col}").alias("a"),
-                         F.col(f"r.{id_col}").alias("b"))
-                 .distinct())
+    cands = (_bucket_pairs(banded, id_col)
+             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+             .distinct())
 
     dsh = hs_frame.select(F.col(id_col), F.explode(F.array_distinct("_hs")).alias("_h"))
     sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
@@ -270,7 +369,7 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
     ``bits`` times."""
     th_frame = df.select(F.col(id_col),
                          F.transform(tokens(F.col(text_col)), hash64).alias("_th"))
-    return (th_frame.select(id_col, simhash_from_hashes(F.col("_th"), bits).alias("simhash"))
+    return (th_frame.select(id_col, simhash_from_hashes_vec(F.col("_th"), bits).alias("simhash"))
               .groupBy("simhash")
               .agg(F.count(F.lit(1)).alias("bucket_size"),
                    F.min(id_col).alias("min_doc_id"))
@@ -284,11 +383,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Pigeonhole banding: any two fingerprints within ``max_hamming`` bit
     flips agree exactly on at least one of ``blocks`` equal bit-blocks
-    (requires blocks > max_hamming). Candidates come from equi-joins on
-    (block_id, block_value) — never a cross join — then the exact
-    popcount(xor) verifies. The 100 TB shape: docs shuffle ``blocks``
-    times on short keys; block buckets are small because each block
-    carries bits/blocks bits of entropy."""
+    (requires blocks > max_hamming). Candidates come from grouping on
+    (block_id, block_value) and pairing within each bucket — never a
+    cross join — then the exact popcount(xor) verifies. The 100 TB
+    shape: docs shuffle ``blocks`` times on short keys; block buckets
+    are small because each block carries bits/blocks bits of entropy."""
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     assert bits % blocks == 0, "blocks must divide bits"
     width = bits // blocks
@@ -296,22 +395,18 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
 
     th_frame = df.select(F.col(id_col),
                          F.transform(tokens(F.col(text_col)), hash64).alias("_th"))
-    fp = th_frame.select(id_col, simhash_from_hashes(F.col("_th"), bits).alias("_fp"))
+    fp = th_frame.select(id_col, simhash_from_hashes_vec(F.col("_th"), bits).alias("_fp"))
 
     block_vals = F.array(*[
         F.shiftright(F.col("_fp"), b * width).bitwiseAND(F.lit(mask))
         for b in range(blocks)
     ])
     banded = fp.select(id_col, "_fp",
-                       F.posexplode(block_vals).alias("_blk", "_bv"))
-    left, right = banded.alias("l"), banded.alias("r")
-    cands = (left.join(right, [F.col("l._blk") == F.col("r._blk"),
-                               F.col("l._bv") == F.col("r._bv"),
-                               F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-                 .select(F.col(f"l.{id_col}").alias("a"),
-                         F.col(f"r.{id_col}").alias("b"),
-                         F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb"))
-                 .distinct())
+                       F.posexplode(block_vals).alias("_band", "_bucket"))
+    cands = (_bucket_pairs(banded, id_col, payload_cols=("_fp",))
+             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"),
+                     F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb"))
+             .distinct())
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
     return (cands.filter(hamming <= max_hamming)
                  .select("a", "b", hamming.cast("int").alias("hamming")))

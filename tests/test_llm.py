@@ -224,3 +224,33 @@ def test_clean_corpus_transitive_vs_pairwise(spark):
                                     transitive=True).collect())
     assert pair_ids == [1, 2, 4]   # doc2 survives: never a higher side
     assert trans_ids == [1, 4]     # component {1,2,3} collapses to 1
+
+
+def test_vectorized_minhash_equals_hof(spark, sf_dir=None):
+    """The Arrow-batched minhash/simhash twins must be bit-identical to
+    the HOF oracle-shape forms on real document text (incl. short docs
+    and the empty string, where tokens() yields [''])."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    hs = docs.select("doc_id", D.shingle_hashes(F.col("text")).alias("_hs"))
+    both = hs.select(
+        "doc_id",
+        D.minhash_from_hashes_vec(F.col("_hs"), 16).alias("vec"),
+        F.array(*[D._perm_min(F.col("_hs"), i) for i in range(16)]).alias("hof"))
+    bad = both.filter(F.col("vec") != F.col("hof")).count()
+    assert bad == 0
+
+
+def test_vectorized_simhash_equals_hof(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    extra = spark.createDataFrame([(100001, ""), (100002, "one")],
+                                  "doc_id long, text string")
+    th = (docs.select("doc_id", "text").unionByName(extra)
+              .select("doc_id", F.transform(X.tokens(F.col("text")), X.hash64).alias("_th")))
+    # 48 = the catalog's near-pairs width; 63 bounds the HOF form (the
+    # 2^63 bigint literal for bit 63 exceeds JVM long — vec handles 64
+    # via its unreachable-bit guard, but can only be cross-checked to 63)
+    for bits in (16, 48, 63):
+        both = th.select(
+            D.simhash_from_hashes_vec(F.col("_th"), bits).alias("vec"),
+            D.simhash_from_hashes(F.col("_th"), bits).alias("hof"))
+        assert both.filter(F.col("vec") != F.col("hof")).count() == 0
