@@ -59,9 +59,15 @@ def split_errors(df: DataFrame) -> SplitResult:
 
 def write_error_file(errors: DataFrame, path: str) -> None:
     """Append error rows as CSV with sorted columns + etl_error_message
-    last (reference header convention, csv.go:429-437)."""
+    last (reference header convention, csv.go:429-437). Complex-typed
+    original-record fields (arrays/structs/maps) are stringified the same
+    way the main CSV sink renders them — the reference's error writer uses
+    the same %v rendering as its data writer (csv.go:448-462), and Spark's
+    CSV datasource would otherwise reject the write outright."""
+    from etl_tool_spark.sources.sinks import _stringify_complex
+
     cols = sorted(c for c in errors.columns if c != ERROR_MESSAGE_FIELD)
-    out = errors.select(*cols, ERROR_MESSAGE_FIELD)
+    out = _stringify_complex(errors.select(*cols, ERROR_MESSAGE_FIELD))
     out.write.mode("append").option("header", True).csv(path)
 
 

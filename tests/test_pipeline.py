@@ -194,3 +194,32 @@ def test_validation_catalog(spark):
     for raw, _hint in bads:
         with pytest.raises(ConfigError):
             load_config(raw)
+
+
+def test_error_file_stringifies_complex_columns(spark, tmp_path):
+    """A failing record whose original row holds an array column must land
+    in the CSV error file (stringified), not crash the CSV write — the
+    reference's error writer uses the same %v rendering as its data
+    writer (csv.go:448-462)."""
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps([
+        {"id": 1, "amount": "7", "tags": ["a", "b"]},
+        {"id": 2, "amount": "nope", "tags": ["c"]},
+    ]))
+    err_dir = tmp_path / "errs"
+    out = tmp_path / "out.json"
+    cfg = load_config({
+        "source": {"type": "json", "file": str(src)},
+        "mappings": [
+            {"source": "amount", "target": "amount", "transform": "mustToFloat"},
+            {"source": "id", "target": "id"},
+            {"source": "tags", "target": "tags"},
+        ],
+        "errorHandling": {"mode": "skip", "errorFile": str(err_dir)},
+        "destination": {"type": "json", "file": str(out)},
+    })
+    run_pipeline(spark, cfg)
+    assert [r["id"] for r in json.loads(out.read_text())] == [1]
+    body = "".join((err_dir / f).read_text() for f in os.listdir(err_dir)
+                   if f.endswith(".csv"))
+    assert "nope" in body and "[c]" in body and "mustToFloat" in body
