@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "llm_clean_corpus",
     "llm_dedup_groups",
     "llm_embedding_ivf_topk",
+    "llm_sequence_pack",
+    "llm_contamination",
 ]
 
 
@@ -56,6 +58,16 @@ def main() -> None:
 
     # one warm-up action so JVM/codegen startup isn't billed to query 1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # spin up the per-core Python worker pool before timing: the
+    # Arrow-batched pandas-UDF queries otherwise pay worker spawn +
+    # numpy/pandas import once per core inside their first timed run —
+    # observed as multi-second stalls that min-of-N doesn't always absorb
+    from pyspark.sql.functions import PandasUDFType, pandas_udf as _pudf
+
+    _warm = _pudf(lambda s: s, "bigint", PandasUDFType.SCALAR)
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 4).repartition(n_cores).select(_warm("id")).count()
 
     # the multi-stage LLM pipelines carry the most generated code; their
     # first executions land while HotSpot is still interpreting/compiling

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from etl_tool_spark.expr import translate
 from etl_tool_spark.llm import dedup as D
 from etl_tool_spark.llm import graph as G
+from etl_tool_spark.llm import prep as P
 from etl_tool_spark.llm import similarity as S
 from etl_tool_spark.llm import text as X
 from etl_tool_spark.operators.dedup import dedup as op_dedup
@@ -1486,3 +1487,146 @@ def llm_clean_corpus_cc(spark, sf_dir):
     d = _docs(spark, sf_dir)
     staging = tempfile.mkdtemp(prefix="etl_clean_cc_sig_")
     return clean_corpus(d, staging_dir=f"{staging}/sig", transitive=True)
+
+
+# =========================================================================
+# Training-set preparation (llm/prep.py): splits/shards, PII redaction,
+# sequence packing, benchmark contamination
+# =========================================================================
+
+# DuckDB twin of text.hash64 — ('0x' || first 15 md5 hex digits)::BIGINT
+_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@query("llm_split_shard", f"""
+WITH a AS (
+  SELECT doc_id,
+         {_H64.format(x="'split:' || doc_id")} % 100 AS b,
+         ({_H64.format(x="'shard:' || doc_id")} % 8)::INT AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         {_H64.format(x="doc_id::VARCHAR")} AS h
+  FROM documents)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+       shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+       bit_xor(h) AS member_sig
+FROM a GROUP BY 1, 2
+""")
+def llm_split_shard(spark, sf_dir):
+    """Deterministic 90/5/5 train/valid/test split + 8-way shard
+    assignment, both pure functions of doc_id (salted md5) — appends and
+    re-runs never move an existing doc across the split boundary. The
+    member_sig bit_xor makes the oracle compare exact MEMBERSHIP of every
+    (split, shard) cell, not just its size. Map-side assignment + one
+    aggregation shuffle; at scale the assignment columns feed
+    write.partitionBy instead."""
+    d = _docs(spark, sf_dir)
+    key = F.col("doc_id")
+    assigned = d.select(
+        P.split_assign(key).alias("split"),
+        P.shard_assign(key, 8).alias("shard"),
+        X.token_count(F.col("text")).alias("_nt"),
+        X.hash64(key.cast("string")).alias("_h"))
+    return (assigned.groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("sum_tokens"),
+                 F.expr("bit_xor(_h)").alias("member_sig")))
+
+
+@query("llm_pii_redact", f"""
+WITH p AS (
+  SELECT source,
+         text || ' contact user' || doc_id || '@example.com from 10.'
+              || (doc_id % 200) || '.0.1 call +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS pt
+  FROM documents),
+ r AS (
+  SELECT source, pt,
+         regexp_replace(regexp_replace(regexp_replace(pt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+             '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}-?\\d{{0,4}}', '<PHONE>', 'g') AS red
+  FROM p)
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS n_emails,
+       sum(len(regexp_extract_all(pt, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) AS n_ips,
+       sum(len(regexp_extract_all(pt, '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}-?\\d{{0,4}}'))) AS n_phones,
+       bit_xor({_H64.format(x='red')}) AS redact_sig
+FROM r GROUP BY source
+""")
+def llm_pii_redact(spark, sf_dir):
+    """PII redaction (email/IPv4/phone → typed placeholders) over text
+    with deterministically synthesized PII spans (the test corpus carries
+    none). redact_sig bit_xors a hash of every REDACTED document, so the
+    oracle verifies the exact post-redaction text corpus-wide, not just
+    match counts. Pure map-side regexp chain + one aggregation."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    pt = F.concat(
+        F.col("text"), F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com from 10."), (did % 200).cast("string"),
+        F.lit(".0.1 call +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    counts = P.pii_counts(pt)
+    base = d.select(
+        "source",
+        X.hash64(P.redact_pii(pt)).alias("_rh"),
+        *[c.alias(f"_n_{k}") for k, c in counts.items()])
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n_email").alias("n_emails"),
+                 F.sum("_n_ipv4").alias("n_ips"),
+                 F.sum("_n_phone").alias("n_phones"),
+                 F.expr("bit_xor(_rh)").alias("redact_sig")))
+
+
+@query("llm_sequence_pack", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (len(toks) - 1) // 32 + 1)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id,
+       len(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS n_tokens,
+       array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ') AS chunk_text
+FROM c
+""")
+def llm_sequence_pack(spark, sf_dir):
+    """Fixed-length sequence packing: each doc's token stream cut into
+    32-token training chunks. One output row per chunk (explode factor
+    n_tokens/32, each row slicing its own window from the shared token
+    array) — not per token. The value hash covers every chunk's exact
+    text."""
+    return P.pack_sequences(_docs(spark, sf_dir), 32)
+
+
+@query("llm_contamination", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+  FROM t),
+ bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+ corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 23 <> 0),
+ sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+ ov AS (SELECT c.doc_id, count(*) AS n_overlap
+        FROM corpus c JOIN bench b USING (sh) GROUP BY 1)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap / n_shingles, 6) AS overlap_ratio
+FROM ov JOIN sizes USING (doc_id)
+WHERE n_overlap / n_shingles >= 0.5
+""")
+def llm_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents whose 3-gram
+    shingle set overlaps an eval set (here: every 23rd doc) by ≥ 50% —
+    the pre-training check that eval answers didn't leak into the corpus.
+    The benchmark shingle set broadcasts; only matched shingles shuffle."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    return P.contamination(corpus, bench).filter(F.col("overlap_ratio") >= 0.5)

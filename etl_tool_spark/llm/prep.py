@@ -1,0 +1,145 @@
+"""Training-data preparation operators: deterministic splits/shards,
+PII redaction, fixed-length sequence packing, benchmark contamination.
+
+These cover the corpus-to-training-set mile that follows cleaning/dedup
+(llm/pipeline.py). Everything is built-in-function Columns (JVM-side,
+codegen'd, no Python UDFs) and every random-looking choice is a
+deterministic md5-derived hash, so (a) results are reproducible across
+reruns and engines (DuckDB oracle parity) and (b) membership is a pure
+function of the key — re-running the pipeline after adding documents
+never reshuffles existing train/test assignments (the property that
+prevents test-set leakage across dataset versions).
+
+Scale shapes (100 TB):
+  * split/shard assignment — map-side hash, zero shuffle; writers
+    partition by the assignment column.
+  * redact_pii — map-side regexp chain, zero shuffle.
+  * pack_sequences — one explode per CHUNK (not per token): a doc row
+    fans out to ceil(n_tokens/seq_len) rows, each slicing its own token
+    window. No shuffle until the caller groups/writes.
+  * contamination — the benchmark n-gram set is tiny vs the corpus, so
+    the semi-join broadcasts; per-doc counters aggregate on doc_id
+    (one shuffle of matched shingles only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm.dedup import shingles
+from etl_tool_spark.llm.text import hash64, tokens
+
+__all__ = ["split_assign", "shard_assign", "PII_PATTERNS", "redact_pii",
+           "pii_counts", "pack_sequences", "contamination"]
+
+
+def _key_hash(key: Column, salt: str) -> Column:
+    """Salted deterministic hash of a key column. Distinct salts give
+    independent partitions (split vs shard), like seeding two RNGs."""
+    return hash64(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
+def split_assign(key: Column, splits: dict[str, int] | None = None,
+                 salt: str = "split") -> Column:
+    """Map a key to a named split by hash bucket — 'train'/'valid'/'test'
+    with 90/5/5 weights by default (weights must sum to 100). Assignment
+    is a pure function of (salt, key): stable under re-runs, appends, and
+    reorderings — the standard guard against train/test contamination
+    when a corpus is rebuilt."""
+    splits = splits or {"train": 90, "valid": 5, "test": 5}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {splits}")
+    bucket = _key_hash(key, salt) % 100
+    expr: Column | None = None
+    upper = 0
+    *head, (last_name, _) = splits.items()
+    for name, weight in head:
+        upper += weight
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+
+
+def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
+    """Deterministic shard id in [0, n_shards) — the interleave/output
+    partition for training files. Salted independently of split_assign so
+    shards are balanced within every split."""
+    return (_key_hash(key, salt) % n_shards).cast("int")
+
+
+# Ordered redaction patterns. RE2-safe subset (no lookaround, no
+# backreferences) so the same pattern strings run in Spark (Java regex)
+# and DuckDB (RE2). Email must run before phone: an address like
+# a+1-555-123@x.org would otherwise lose its local part to the phone rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3,4}-?\d{0,4}", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace e-mail / IPv4 / phone spans with typed placeholder tokens.
+    A chained map-side regexp_replace — order fixed by PII_PATTERNS."""
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts on the ORIGINAL text (size of
+    regexp_extract_all — count must precede redaction; each rule's spans
+    are disjoint with the others' by construction)."""
+    return {name: F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")
+            for name, pattern, _ in PII_PATTERNS}
+
+
+def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    sequences: (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based,
+    every chunk full except possibly the last.
+
+    Fans out one row per CHUNK, not per token: each chunk row slices its
+    own window out of the shared token array (`slice` is O(seq_len)), so
+    the explode factor is n_tokens/seq_len — ~100× smaller than a
+    posexplode-then-regroup formulation, and shuffle-free."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    chunk = F.explode(F.sequence(F.lit(0), F.floor((n - 1) / seq_len).cast("int")))
+    per_chunk = toks.select(F.col(id_col), F.col("_toks"), chunk.alias("chunk_id"))
+    start = F.col("chunk_id") * seq_len
+    window = F.slice("_toks", start + 1, seq_len)
+    return per_chunk.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"))
+
+
+def contamination(df: DataFrame, benchmark: DataFrame, shingle_n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document n-gram overlap with a benchmark/eval set: the
+    decontamination check run before training. Returns
+    (id, n_shingles, n_overlap, overlap_ratio) for every document with at
+    least one shingle in common with the benchmark.
+
+    Shape: the benchmark shingle set is tiny next to the corpus, so Spark
+    broadcasts it into the semi-ish join; only matched shingles shuffle to
+    the per-doc count. Corpus shingling is map-side."""
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_sh"))
+    bench_sh = (benchmark
+                .select(F.explode(F.array_distinct(
+                    shingles(F.col(text_col), shingle_n))).alias("_sh"))
+                .distinct())
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (doc_sh.join(F.broadcast(bench_sh), "_sh")
+                     .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_overlap")))
+    ratio = F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+    return (overlap.join(sizes, id_col)
+                   .select(F.col(id_col), "n_shingles", "n_overlap",
+                           ratio.alias("overlap_ratio")))

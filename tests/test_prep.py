@@ -1,0 +1,102 @@
+"""Training-set preparation operators (llm/prep.py): deterministic
+splits/shards, PII redaction, sequence packing, contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm import prep as P
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id", P.split_assign(F.col("doc_id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    # hash buckets over 2000 keys: within a few points of 90/5/5
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    # pure function of the key: a second evaluation and a subset evaluation
+    # agree row-for-row (append-stability)
+    again = df.filter(F.col("doc_id") < 500) \
+              .select("doc_id", P.split_assign(F.col("doc_id")).alias("split"))
+    joined = out.withColumnRenamed("split", "s1").join(again, "doc_id")
+    assert joined.filter(F.col("s1") != F.col("split")).count() == 0
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        P.split_assign(F.lit("x"), {"train": 50, "test": 40})
+
+
+def test_shard_assign_range_and_salt_independence(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = df.select(
+        P.split_assign(F.col("doc_id")).alias("split"),
+        P.shard_assign(F.col("doc_id"), 8).alias("shard"))
+    rng = out.agg(F.min("shard"), F.max("shard")).first()
+    assert rng[0] == 0 and rng[1] == 7
+    # every (split, shard) cell populated: the salts are independent, so
+    # shards don't collapse within a split
+    assert out.distinct().count() == 24
+
+
+def test_redact_pii_patterns_and_order(spark):
+    rows = [
+        ("a", "mail bob.smith+x@sub.example.org now", "mail <EMAIL> now"),
+        ("b", "from 192.168.001.5 port", "from <IP> port"),
+        ("c", "call +44-201-555-0176 today", "call <PHONE> today"),
+        ("d", "a+1-555-123@x.org", "<EMAIL>"),   # email wins over phone
+        ("e", "clean text stays", "clean text stays"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, want string")
+    out = df.select("id", "want", P.redact_pii(F.col("text")).alias("got"))
+    assert out.filter(F.col("got") != F.col("want")).count() == 0
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [("x@y.io and z@w.co at 1.2.3.4",)], "text string")
+    got = df.select(*[c.alias(k) for k, c in P.pii_counts(F.col("text")).items()]).first()
+    assert got["email"] == 2 and got["ipv4"] == 1 and got["phone"] == 0
+
+
+def test_pack_sequences_boundaries(spark):
+    text = " ".join(f"t{i}" for i in range(70))   # 70 tokens → 32+32+6
+    df = spark.createDataFrame([(1, text), (2, "only three tokens"),
+                                (3, "")], "doc_id long, text string")
+    out = P.pack_sequences(df, 32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    one = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in one] == [32, 32, 6]
+    assert one[0]["chunk_text"].startswith("t0 t1 ") and one[2]["chunk_text"] == \
+        "t64 t65 t66 t67 t68 t69"
+    assert [r["n_tokens"] for r in by_doc[2]] == [3]
+    # empty text: tokens('') == [''] — one chunk of the empty token,
+    # matching the oracle's regexp_split_to_array behavior
+    assert [r["chunk_text"] for r in by_doc[3]] == [""]
+
+
+def test_contamination_ratio(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # exact copy
+         (2, "quick brown fox jumps high"),                    # partial
+         (3, "completely unrelated words entirely")],          # none
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in P.contamination(corpus, bench).collect()}
+    assert got[1]["overlap_ratio"] == 1.0
+    assert 0 < got[2]["overlap_ratio"] < 1.0
+    assert 3 not in got
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" a b c d")).alias("text"))
+    plan = P.contamination(docs, docs.limit(5))._jdf.queryExecution() \
+            .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
