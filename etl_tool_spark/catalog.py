@@ -1630,3 +1630,120 @@ def llm_contamination(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 23 == 0)
     corpus = d.filter(F.col("doc_id") % 23 != 0)
     return P.contamination(corpus, bench).filter(F.col("overlap_ratio") >= 0.5)
+
+
+# =========================================================================
+# Distribution windows, statistical aggregates, unpivot, TPC-H Q10
+# =========================================================================
+
+@query("window_distribution", """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    one shuffle on the partition key. The order key carries o_orderkey as
+    a unique tie-break: ntile depends on row ORDER (not just key values),
+    so a total order is what makes the result deterministic across
+    engines and runs."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority",
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cum_dist")))
+
+
+@query("agg_stats", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_discount), 6) AS sd_discount,
+       round(var_samp(l_tax), 6) AS var_tax
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (corr / covar / stddev / variance): single
+    partial-aggregating shuffle (each is a sum-of-moments under the hood,
+    so map-side combine applies). Rounded on both sides — moment sums
+    accumulate in engine-specific order, so the last float digits differ
+    legitimately."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                    .alias("corr_qty_price"),
+                   F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+                    .alias("covar_qty_price"),
+                   F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+                   F.round(F.var_samp("l_tax"), 6).alias("var_tax")))
+
+
+@query("agg_unpivot", """
+WITH s AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         count(*)::DOUBLE AS n_items
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, metric, round(value, 2) AS value
+FROM (UNPIVOT s ON sum_qty, sum_price, n_items INTO NAME metric VALUE value)
+""")
+def agg_unpivot(spark, sf_dir):
+    """Wide→long unpivot (melt) after an aggregation — the inverse of
+    agg_pivot. Unpivot itself is a zero-shuffle projection (each input
+    row fans out to one row per measure column)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                   F.count(F.lit(1)).cast("double").alias("n_items")))
+    return (wide.unpivot(["l_returnflag"], ["sum_qty", "sum_price", "n_items"],
+                         "metric", "value")
+                .select("l_returnflag", "metric", F.round("value", 2).alias("value")))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: selective fact filters (pushed to both scans),
+    fact-fact shuffle join, tiny dim broadcast, top-k via
+    TakeOrderedAndProject (no global sort materialization). c_custkey in
+    the ORDER BY breaks revenue ties deterministically."""
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01"))))
+        li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        return _stamp(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+              # exact decimal sum: the per-term double products are identical
+              # across engines, but their double SUM depends on add order and
+              # here lands on a cent rounding boundary (307843.595); decimal
+              # accumulation is order-independent, so round(…, 2) agrees
+              .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                                 .cast("decimal(18,6)")), 2)
+                    .cast("double").alias("revenue"))
+              .select("c_custkey", "c_name", "revenue",
+                      F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+              .limit(20))
