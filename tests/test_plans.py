@@ -131,3 +131,42 @@ def test_dedup_groups_no_cartesian(spark, catalog):
     p = plan(catalog["llm_dedup_groups"](spark, SF_DIR))
     assert not nodes(p, "CartesianProduct")
     assert not nodes(p, "BroadcastNestedLoopJoin")
+
+
+def test_q10_pushdown_broadcast_topk(spark, catalog):
+    p = plan(catalog["q10_returned_items"](spark, SF_DIR))
+    # both selective fact filters reach their parquet scans
+    pushed = p.split("PushedFilters:")
+    all_pushed = " ".join(s.splitlines()[0] for s in pushed[1:])
+    assert "l_returnflag,R" in all_pushed.replace(" ", "")
+    assert "o_orderdate" in all_pushed
+    # top-k never materializes a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the nation dim broadcasts
+    assert "BroadcastHashJoin" in p
+
+
+def test_window_distribution_single_shuffle(spark, catalog):
+    p = plan(catalog["window_distribution"](spark, SF_DIR))
+    # ntile + percent_rank + cume_dist share one Window over one Exchange
+    assert len(nodes(p, "Window")) == 1
+    assert len(nodes(p, "Exchange")) == 1
+
+
+def test_sequence_pack_no_extra_shuffle(spark, catalog):
+    p = plan(catalog["llm_sequence_pack"](spark, SF_DIR))
+    # chunking is generate+project over the scan; the only exchange is the
+    # deliberate small-file repartition in _docs
+    assert len(nodes(p, "Exchange")) == 1
+    assert len(nodes(p, "Generate")) == 1
+
+
+def test_split_shard_map_side_assignment(spark, catalog):
+    p = plan(catalog["llm_split_shard"](spark, SF_DIR))
+    # hash-bucket assignment is pure projection: no join, no window; the
+    # shuffles are the _docs repartition + the final aggregation, with a
+    # partial aggregate (map-side combine) before the exchange
+    assert "Join" not in p and "Window" not in p
+    assert len(nodes(p, "Exchange")) == 2
+    assert len(nodes(p, "HashAggregate")) == 2
