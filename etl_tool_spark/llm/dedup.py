@@ -200,7 +200,8 @@ def _signed(df: DataFrame, id_col: str, text_col: str, num_hashes: int,
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str,
-                  payload_cols: tuple[str, ...] = ()) -> DataFrame:
+                  payload_cols: tuple[str, ...] = (),
+                  max_bucket: int | None = None) -> DataFrame:
     """All a<b pairs within each (_band, _bucket) group, via ONE shuffle:
     groupBy → sorted collect_list → nested-transform pair expansion.
 
@@ -209,9 +210,18 @@ def _bucket_pairs(banded: DataFrame, id_col: str,
     plans showed no ReusedExchange — the bucket side broadcasts), while
     grouping computes it once and shuffles each doc once per band. The
     pair fan-out per bucket is quadratic in bucket size — exactly the
-    pairs the join emitted, just materialized in the bucket's task; at
-    real scale degenerate hot buckets (empty/boilerplate docs sharing a
-    signature) should be capped or pre-filtered upstream.
+    pairs the join emitted, just materialized in the bucket's task.
+
+    ``max_bucket`` is the hot-bucket guard for real corpora: a bucket of
+    b docs emits b(b-1)/2 pairs, so one degenerate signature shared by
+    100k boilerplate/empty docs would emit 5·10⁹ pairs in a single task.
+    Buckets larger than the cap are dropped whole — the standard LSH
+    treatment (their members collide across this band only through a
+    signature so common it carries no similarity evidence; true exact
+    duplicates are handled by the exact-dedup pass, and genuinely similar
+    docs still pair in their other, less-degenerate bands). None (the
+    default, used by all oracle-checked catalog queries) keeps every
+    bucket — exact parity with the self-join formulation.
 
     Returns struct columns l/r, each (_id, *payload_cols), l._id < r._id
     (sort_array on (id-first) structs orders buckets by id; ids are
@@ -221,6 +231,8 @@ def _bucket_pairs(banded: DataFrame, id_col: str,
     grouped = (banded.groupBy("_band", "_bucket")
                      .agg(F.sort_array(F.collect_list(entry)).alias("_es"))
                      .filter(F.size("_es") > 1))
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_es") <= max_bucket)
     pairs = F.explode(F.flatten(F.transform(
         F.col("_es"),
         lambda x, i: F.transform(
@@ -232,7 +244,8 @@ def _bucket_pairs(banded: DataFrame, id_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
-                        bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                        bands: int = 8, shingle_n: int = 3,
+                        max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded minhash-LSH.
 
     rows_per_band = num_hashes / bands. Two docs collide when any band's
@@ -252,7 +265,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                   for b in range(bands)
               ])).alias("_band", "_bucket"))
     )
-    return (_bucket_pairs(banded, id_col)
+    return (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
             .distinct())
 
@@ -280,7 +293,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         bands: int = 8, shingle_n: int = 3,
                         threshold: float = 0.7,
                         persist: bool = False,
-                        staging_dir: str | None = None) -> DataFrame:
+                        staging_dir: str | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH banding → exact-Jaccard verify.
 
     Jaccard is computed on the 60-bit shingle hashes, not the strings:
@@ -293,7 +307,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     5× at document sizes like the test corpus, so the default is off;
     turn it on when text is large enough that md5 dominates (the
     persist-signatures pattern used at 100 TB, where signatures are
-    typically written to a table once and joined from there)."""
+    typically written to a table once and joined from there).
+
+    ``max_bucket``: optional hot-bucket cap forwarded to the banding
+    stage (see _bucket_pairs) — None keeps exact-parity semantics."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
@@ -319,7 +336,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                                for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("_band", "_bucket"))
-    cands = (_bucket_pairs(banded, id_col)
+    cands = (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
              .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
              .distinct())
 
@@ -378,7 +395,8 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 64,
-                       blocks: int = 4, max_hamming: int = 3) -> DataFrame:
+                       blocks: int = 4, max_hamming: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
     """Hamming-distance near-dup pairs over a ``bits``-bit SimHash.
 
     Pigeonhole banding: any two fingerprints within ``max_hamming`` bit
@@ -387,7 +405,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     (block_id, block_value) and pairing within each bucket — never a
     cross join — then the exact popcount(xor) verifies. The 100 TB
     shape: docs shuffle ``blocks`` times on short keys; block buckets
-    are small because each block carries bits/blocks bits of entropy."""
+    are small because each block carries bits/blocks bits of entropy.
+    ``max_bucket``: optional hot-bucket cap (see _bucket_pairs)."""
     assert blocks > max_hamming, "pigeonhole needs blocks > max_hamming"
     assert bits % blocks == 0, "blocks must divide bits"
     width = bits // blocks
@@ -403,7 +422,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     ])
     banded = fp.select(id_col, "_fp",
                        F.posexplode(block_vals).alias("_band", "_bucket"))
-    cands = (_bucket_pairs(banded, id_col, payload_cols=("_fp",))
+    cands = (_bucket_pairs(banded, id_col, payload_cols=("_fp",),
+                           max_bucket=max_bucket)
              .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"),
                      F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb"))
              .distinct())

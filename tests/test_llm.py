@@ -254,3 +254,21 @@ def test_vectorized_simhash_equals_hof(spark):
             D.simhash_from_hashes_vec(F.col("_th"), bits).alias("vec"),
             D.simhash_from_hashes(F.col("_th"), bits).alias("hof"))
         assert both.filter(F.col("vec") != F.col("hof")).count() == 0
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops degenerate buckets whole: 40 identical boilerplate
+    docs (one hot bucket per band) emit no pairs under the cap, while a
+    genuine near-dup pair in a small bucket survives."""
+    boiler = [(i, "the exact same boilerplate line repeated verbatim")
+              for i in range(40)]
+    near = [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = D.lsh_candidate_pairs(df, max_bucket=10).collect()
+    ids = {i for r in capped for i in (r["a"], r["b"])}
+    assert (100, 101) in {(r["a"], r["b"]) for r in capped}
+    assert all(i >= 100 for i in ids), "boilerplate bucket must be dropped whole"
+    # default (None) keeps every bucket: 40 docs → C(40,2) boilerplate pairs
+    full = D.lsh_candidate_pairs(df).count()
+    assert full == 40 * 39 // 2 + 1
