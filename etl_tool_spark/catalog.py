@@ -1747,3 +1747,24 @@ def q10_returned_items(spark, sf_dir):
                       F.round("c_acctbal", 2).alias("acctbal"), "n_name")
               .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
               .limit(20))
+
+
+@query("llm_incremental_dedup", _oracle_minhash())
+def llm_incremental_dedup(spark, sf_dir):
+    """Incremental near-dedup against a growing signature store
+    (llm/dedup.py:incremental_minhash_pairs): the corpus arrives as two
+    batches (even ids, then odd ids); each batch is hashed once, banded
+    against the store, verified, and appended. The union of the two
+    batches' outputs must equal the one-shot pipeline over the full
+    corpus — so this query shares llm_minhash_lsh_pairs' full SQL oracle
+    (signatures → banding → exact-Jaccard replay in DuckDB)."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="etl_incr_sig_") + "/store"
+    # each call appends its batch's signatures EAGERLY (write is an
+    # action) and pins the old-side read to the pre-append part files,
+    # so the two lazily-returned frames stay correct in any order
+    p1 = D.incremental_minhash_pairs(d.filter(F.col("doc_id") % 2 == 0), store)
+    p2 = D.incremental_minhash_pairs(d.filter(F.col("doc_id") % 2 == 1), store)
+    return p1.unionByName(p2)

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from etl_tool_spark.llm.text import fingerprint, hash64, tokens
 
 __all__ = ["exact_dedup", "shingles", "minhash_signature", "lsh_candidate_pairs",
-           "minhash_dedup_pairs", "jaccard_pairs", "simhash", "simhash_buckets",
+           "minhash_dedup_pairs", "incremental_minhash_pairs", "jaccard_pairs",
+           "simhash", "simhash_buckets",
            "minhash_from_hashes_vec", "simhash_from_hashes_vec"]
 
 
@@ -326,20 +327,34 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     elif persist:
         hs_frame = hs_frame.persist()
 
+    banded = _band_frame(hs_frame, id_col, num_hashes, bands)
+    cands = (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
+             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+             .distinct())
+    return _jaccard_verify(hs_frame, cands, id_col, threshold)
+
+
+def _band_frame(hs_frame: DataFrame, id_col: str, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(id, _band, _bucket) — one row per (doc, band); bucket key is the
+    band's signature slice rendered as a short string."""
+    rows_per_band = num_hashes // bands
     sig = hs_frame.select(
         id_col,
         minhash_from_hashes_vec(F.col("_hs"), num_hashes).alias("_sig"))
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.posexplode(F.array(*[
             F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
                                for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("_band", "_bucket"))
-    cands = (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
-             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
-             .distinct())
 
+
+def _jaccard_verify(hs_frame: DataFrame, cands: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate (a, b) pairs from the shingle-hash
+    frame: inverted-index intersection counts + per-doc distinct sizes."""
     dsh = hs_frame.select(F.col(id_col), F.explode(F.array_distinct("_hs")).alias("_h"))
     sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = dsh.select(F.col(id_col).alias("a"), "_h")
@@ -352,6 +367,81 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (inter.join(sa, "a").join(sb, "b")
                  .filter(jac >= threshold)
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
+
+
+def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              num_hashes: int = 16, bands: int = 8,
+                              shingle_n: int = 3, threshold: float = 0.7,
+                              max_bucket: int | None = None,
+                              update_store: bool = True) -> DataFrame:
+    """Near-dup pairs for a NEW batch against a growing corpus, without
+    ever re-hashing old documents — the continuous corpus-building
+    workflow (nightly crawl drops, streaming ingests).
+
+    ``store_dir`` is a parquet signature store of (id, _hs shingle-hash
+    array) rows, created on first call. Each call:
+
+      1. hashes only the new batch (old docs' signatures are read back);
+      2. emits candidate pairs touching ≥1 new doc: new×old via an
+         equi-join of the new batch's band keys against the store's
+         (at 100 TB: store the banded table bucketed by (band, bucket)
+         and this join is co-located and prunes to matching buckets —
+         the new batch is typically small enough to broadcast), plus
+         new×new via the usual in-bucket pairing;
+      3. verifies exact Jaccard on candidates only, reading old shingle
+         hashes from the store;
+      4. appends the new signatures to the store (``update_store``).
+
+    Old–old pairs are never re-emitted — they were reported when their
+    younger member arrived. Union of every batch's output == the
+    one-shot ``minhash_dedup_pairs`` over the full corpus (asserted in
+    tests). Ids must be globally unique across batches; the old-side
+    read is pinned to the store's pre-append part files, so the lazily
+    evaluated result stays correct after the append.
+
+    Returns (a, b, jaccard) with a < b, jaccard ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    spark = new_df.sparkSession
+
+    hs_new = new_df.select(F.col(id_col),
+                           shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    # pin the read to the store's CURRENT part files: the result plan is
+    # lazy, and without pinning the post-run append would leak the new
+    # batch into hs_old on a later re-execution (double-counted shingles
+    # ⇒ wrong Jaccard). A production deployment would use a table format
+    # with snapshot isolation (Iceberg/Delta) instead of raw parquet.
+    import glob as _glob
+    import os as _os
+
+    part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
+    first_batch = not part_files
+    if first_batch:
+        hs_old = spark.createDataFrame([], hs_new.schema)
+    else:
+        hs_old = spark.read.parquet(*part_files)
+
+    banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
+    new_new = (_bucket_pairs(banded_new, id_col, max_bucket=max_bucket)
+               .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
+    if first_batch:
+        cands = new_new.distinct()
+    else:
+        banded_old = _band_frame(hs_old, id_col, num_hashes, bands)
+        new_old = (banded_old
+                   .join(banded_new
+                         .withColumnRenamed(id_col, "_nid"),
+                         ["_band", "_bucket"])
+                   .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),
+                           F.greatest(F.col(id_col), F.col("_nid")).alias("b")))
+        cands = new_new.unionByName(new_old).distinct()
+
+    hs_all = hs_new.unionByName(hs_old)
+    pairs = _jaccard_verify(hs_all, cands, id_col, threshold)
+    if update_store:
+        hs_new.write.mode("append").parquet(store_dir)
+    return pairs
 
 
 def simhash_from_hashes(th: Column, bits: int = 16) -> Column:

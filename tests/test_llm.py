@@ -272,3 +272,44 @@ def test_lsh_hot_bucket_cap(spark):
     # default (None) keeps every bucket: 40 docs → C(40,2) boilerplate pairs
     full = D.lsh_candidate_pairs(df).count()
     assert full == 40 * 39 // 2 + 1
+
+
+def test_incremental_minhash_equals_one_shot(spark, tmp_path):
+    """Batch-by-batch incremental dedup must reproduce exactly the
+    one-shot pair set over the full corpus: batch1 reports its internal
+    pairs, batch2 reports new-new plus new-old pairs, nothing twice."""
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .limit(300).cache())
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in D.minhash_dedup_pairs(docs).collect()}
+    store = str(tmp_path / "sig_store")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p1 = {(r["a"], r["b"]): r["jaccard"]
+          for r in D.incremental_minhash_pairs(b1, store).collect()}
+    p2 = {(r["a"], r["b"]): r["jaccard"]
+          for r in D.incremental_minhash_pairs(b2, store).collect()}
+    assert not set(p1) & set(p2), "no pair reported twice"
+    merged = {**p1, **p2}
+    assert merged == full
+    # store now holds every doc's signatures exactly once
+    assert spark.read.parquet(store).count() == docs.count()
+    docs.unpersist()
+
+
+def test_incremental_result_valid_after_store_append(spark, tmp_path):
+    """The returned frame is lazy; re-executing it AFTER the store append
+    must not double-count the new batch (old-side read is pinned to the
+    pre-append part files)."""
+    store = str(tmp_path / "sig_store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    b1 = spark.createDataFrame(
+        [(1, base + " omega")], "doc_id long, text string")
+    D.incremental_minhash_pairs(b1, store).count()
+    b2 = spark.createDataFrame(
+        [(2, base + " sigma")], "doc_id long, text string")
+    pairs = D.incremental_minhash_pairs(b2, store)
+    first = pairs.collect()           # executes after the append
+    second = pairs.collect()          # re-executes on the mutated store dir
+    assert first == second
+    assert [(r["a"], r["b"]) for r in first] == [(1, 2)]
