@@ -184,3 +184,33 @@ def test_cdc_merge_stream_matches_batch_fold(spark, tmp_path):
     expect.update({i: f"v{i}.2" for i in range(0, 8, 2)})
     del expect[0]  # deleted at seq 3
     assert got == expect
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """Streaming micro-batches through the incremental signature store
+    must surface exactly the one-shot batch pipeline's pair set over
+    everything ingested."""
+    from etl_tool_spark.llm.dedup import minhash_dedup_pairs
+    from etl_tool_spark.streaming.dedup import near_dedup_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .limit(200).cache())
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    near_dedup_stream(stream, str(tmp_path / "sig_store"),
+                      str(tmp_path / "pairs"), str(tmp_path / "ckpt"))
+
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    want = {(r["a"], r["b"]): r["jaccard"]
+            for r in minhash_dedup_pairs(docs).collect()}
+    assert got == want
+    docs.unpersist()
