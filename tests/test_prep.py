@@ -100,3 +100,24 @@ def test_contamination_broadcasts_benchmark(spark):
     plan = P.contamination(docs, docs.limit(5))._jdf.queryExecution() \
             .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_split_partitioned_write_prunes(spark, tmp_path):
+    """The 100 TB layout: assign split/shard, write partitionBy(split),
+    and a reader filtering one split must prune partitions at the scan
+    (PartitionFilters), not read-then-filter."""
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"))
+    assigned = docs.select(
+        "doc_id", "text",
+        P.split_assign(F.col("doc_id")).alias("split"),
+        P.shard_assign(F.col("doc_id"), 4).alias("shard"))
+    out = str(tmp_path / "corpus")
+    assigned.write.partitionBy("split", "shard").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("split") == "test")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:120]
+    want = assigned.filter(F.col("split") == "test").count()
+    assert back.count() == want > 0
