@@ -1,0 +1,39 @@
+"""The examples/ directory must stay runnable — each example is an
+end-to-end drive of a full engine personality."""
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_orders_cleanup_playbook(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    cfg = load_config(os.path.join(REPO, "examples", "orders_cleanup.yaml"))
+    res = run_pipeline(spark, cfg)
+    assert res.written
+    out = spark.read.option("header", True).csv(str(tmp_path / "top_orders.csv"))
+    assert out.count() > 0
+    # dedup kept one (max-total) order per customer
+    assert out.groupBy("customer_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_corpus_prep_example(spark, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    try:
+        from corpus_prep import prepare_corpus
+    finally:
+        sys.path.pop(0)
+    out = prepare_corpus(spark, "/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert out.count() > 0
+    assert {"split", "shard", "chunk_id", "chunk_text"} <= set(out.columns)
+    # partitioned layout on disk
+    assert any(p.name.startswith("split=") for p in (tmp_path / "out").iterdir())
+    # redaction ran before packing: no raw emails survive
+    assert out.filter(F.col("chunk_text").rlike("@[a-z]+\\.")).count() == 0
