@@ -63,11 +63,12 @@ def main() -> None:
     # Arrow-batched pandas-UDF queries otherwise pay worker spawn +
     # numpy/pandas import once per core inside their first timed run —
     # observed as multi-second stalls that min-of-N doesn't always absorb
-    from pyspark.sql.functions import PandasUDFType, pandas_udf as _pudf
+    from etl_tool_spark.llm.dedup import simhash_from_hashes_vec
+    from pyspark.sql import functions as _F
 
-    _warm = _pudf(lambda s: s, "bigint", PandasUDFType.SCALAR)
     n_cores = spark.sparkContext.defaultParallelism
-    spark.range(n_cores * 4).repartition(n_cores).select(_warm("id")).count()
+    (spark.range(n_cores * 4).repartition(n_cores)
+          .select(simhash_from_hashes_vec(_F.array("id"), 1)).count())
 
     # the multi-stage LLM pipelines carry the most generated code; their
     # first executions land while HotSpot is still interpreting/compiling

@@ -1629,7 +1629,11 @@ def llm_contamination(spark, sf_dir):
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 23 == 0)
     corpus = d.filter(F.col("doc_id") % 23 != 0)
-    return P.contamination(corpus, bench).filter(F.col("overlap_ratio") >= 0.5)
+    # threshold on the UNROUNDED ratio, like the oracle's WHERE — filtering
+    # the 6dp-rounded output column would disagree for raw ratios in
+    # [0.4999995, 0.5) (the round-then-compare parity pitfall)
+    return (P.contamination(corpus, bench)
+            .filter(F.col("n_overlap") / F.col("n_shingles") >= 0.5))
 
 
 # =========================================================================

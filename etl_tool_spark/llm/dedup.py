@@ -128,8 +128,14 @@ def minhash_from_hashes_vec(hs: Column, num_hashes: int) -> Column:
     of ``num_hashes`` interpreted array walks per row. The HOF form
     remains the oracle-shape documentation; tests assert equality.
     Rows with an empty/null hash array yield null (the HOF form yields
-    an array of nulls — unreachable for non-null text, where tokens()
-    always returns ≥1 element)."""
+    an array of nulls).
+
+    Null ELEMENTS are filtered JVM-side before the UDF: a single null in
+    any row's array (null text produces ``[null]``) would otherwise make
+    pyarrow hand the whole batch's flattened child array over as float64
+    — NaN for the null, and silent precision loss past 2^53 for every
+    OTHER row's 60-bit hashes in the batch (verified empirically: one
+    null-text row changed its batch-mates' signatures)."""
     consts = np.asarray([perm_consts(i) for i in range(num_hashes)],
                         dtype=np.int64)
     A, B, C = consts[:, 0:1], consts[:, 1:2], consts[:, 2:3]  # (P, 1) each
@@ -139,16 +145,21 @@ def minhash_from_hashes_vec(hs: Column, num_hashes: int) -> Column:
         flat, lens = _ragged(hs_s)
         out: list = [None] * len(lens)
         if flat.size:
+            # per-permutation passes: peak temp is one batch-width row,
+            # not a (num_hashes x batch_shingles) matrix — bounds worker
+            # memory at large document sizes
             lo = flat & LO_MASK
             hi = flat >> 30
-            vals = (A * lo[None, :] + B * hi[None, :] + C) % MERSENNE61
             nz, starts = _nonempty_starts(lens)
-            mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
+            mins = np.empty((num_hashes, nz.size), dtype=np.int64)
+            for p in range(num_hashes):
+                vals = (A[p, 0] * lo + B[p, 0] * hi + C[p, 0]) % MERSENNE61
+                mins[p] = np.minimum.reduceat(vals, starts)
             for j, idx in enumerate(nz):
                 out[idx] = mins[:, j].tolist()
         return pd.Series(out, dtype=object)
 
-    return sigs(hs)
+    return sigs(F.filter(hs, lambda x: x.isNotNull()))
 
 
 def simhash_from_hashes_vec(th: Column, bits: int = 16) -> Column:
@@ -174,7 +185,9 @@ def simhash_from_hashes_vec(th: Column, bits: int = 16) -> Column:
                     out[sel] += 1 << b
         return pd.Series(out)
 
-    return fp(th)
+    # null elements filtered JVM-side — same Arrow float64-batch-poisoning
+    # guard as minhash_from_hashes_vec
+    return fp(F.filter(th, lambda x: x.isNotNull()))
 
 
 def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
@@ -182,22 +195,10 @@ def minhash_signature(col: Column, num_hashes: int = 16, shingle_n: int = 3) -> 
     oracle-reproducible. Map-side only: no shuffle, no UDF.
 
     NOTE: when composing into a frame, materialize the shingle-hash array
-    into its own column first (``_signed``) so it isn't re-inlined once
-    per permutation."""
+    into its own column first (see _band_frame) so it isn't re-inlined
+    once per permutation."""
     hs = shingle_hashes(col, shingle_n)
     return F.array(*[_perm_min(hs, i) for i in range(num_hashes)])
-
-
-def _signed(df: DataFrame, id_col: str, text_col: str, num_hashes: int,
-            shingle_n: int) -> DataFrame:
-    """(id, signature) frame with the shingle hashes computed exactly once
-    per row (separate projection, multiply-referenced so Catalyst's
-    CollapseProject keeps it un-inlined)."""
-    with_hs = df.select(F.col(id_col),
-                        shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
-    return with_hs.select(
-        id_col,
-        minhash_from_hashes_vec(F.col("_hs"), num_hashes).alias("_sig"))
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str,
@@ -254,18 +255,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     (band_id, slice) and pairing within each bucket — at 100 TB this
     shuffles each doc ``bands`` times on a short key instead of
     comparing all pairs. Output: (a, b) id pairs with a < b, distinct."""
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
-    banded = (
-        _signed(df, id_col, text_col, num_hashes, shingle_n)
-          .select(
-              id_col,
-              F.posexplode(F.array(*[
-                  F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                                     for r in range(rows_per_band)])
-                  for b in range(bands)
-              ])).alias("_band", "_bucket"))
-    )
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    hs_frame = df.select(F.col(id_col),
+                         shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    banded = _band_frame(hs_frame, id_col, num_hashes, bands)
     return (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
             .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
             .distinct())
@@ -319,9 +312,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                          shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
     if staging_dir:
         # the 100 TB pattern: write signatures ONCE to storage and join
-        # from there — the hs subtree feeds four consumers (both sides of
-        # the banding self-join and of the verify join), and without
-        # staging each consumer recomputes the shingle+md5 pipeline
+        # from there — the hs subtree feeds three consumers (the banding
+        # pass and both sides of the verify join), and without staging
+        # each consumer recomputes the shingle+md5 pipeline
         hs_frame.write.mode("overwrite").parquet(staging_dir)
         hs_frame = df.sparkSession.read.parquet(staging_dir)
     elif persist:
@@ -423,12 +416,33 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         hs_old = spark.read.parquet(*part_files)
 
     banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
-    new_new = (_bucket_pairs(banded_new, id_col, max_bucket=max_bucket)
-               .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
     if first_batch:
+        new_new = (_bucket_pairs(banded_new, id_col, max_bucket=max_bucket)
+                   .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
         cands = new_new.distinct()
     else:
         banded_old = _band_frame(hs_old, id_col, num_hashes, bands)
+        if max_bucket is not None:
+            # the hot-bucket guard must bound the new×old JOIN too, and
+            # bucket size is the COMBINED (store + batch) population — a
+            # stored bucket just under the cap that the batch pushes over
+            # is dropped whole this batch. Sizing costs one count shuffle
+            # over band rows, never a pair fan-out. Note the incremental
+            # cap is necessarily time-dependent: pairs emitted while a
+            # bucket was still small are never retracted when it later
+            # goes hot, so under a cap the incremental union is a
+            # superset of the one-shot-with-cap result (exact equality
+            # holds only for the uncapped default).
+            hot = (banded_new.select("_band", "_bucket")
+                   .unionByName(banded_old.select("_band", "_bucket"))
+                   .groupBy("_band", "_bucket")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > max_bucket)
+                   .select("_band", "_bucket"))
+            banded_new = banded_new.join(hot, ["_band", "_bucket"], "left_anti")
+            banded_old = banded_old.join(hot, ["_band", "_bucket"], "left_anti")
+        new_new = (_bucket_pairs(banded_new, id_col)
+                   .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
         new_old = (banded_old
                    .join(banded_new
                          .withColumnRenamed(id_col, "_nid"),

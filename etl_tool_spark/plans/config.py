@@ -126,6 +126,9 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
         errorHandling=ErrorHandlingConfig(**(raw.get("errorHandling") or {})),
         fipsMode=bool(raw.get("fipsMode", False)),
     )
+    if cfg.errorHandling.errorFile:
+        # the reference expands the error-file path too (app.go:106-110)
+        cfg.errorHandling.errorFile = expand_env(str(cfg.errorHandling.errorFile))
     validate_config(cfg)
     return cfg
 

@@ -313,3 +313,27 @@ def test_incremental_result_valid_after_store_append(spark, tmp_path):
     second = pairs.collect()          # re-executes on the mutated store dir
     assert first == second
     assert [(r["a"], r["b"]) for r in first] == [(1, 2)]
+
+
+def test_null_text_does_not_poison_batch(spark):
+    """A null-text row ([null] shingle-hash array) must not corrupt its
+    Arrow batch-mates' signatures: without the JVM-side null-element
+    filter, pyarrow hands the batch's child array over as float64 and
+    every 60-bit hash in the batch loses precision past 2^53."""
+    good = [(i, f"alpha beta gamma delta epsilon word{i} zeta eta theta")
+            for i in range(50)]
+    df_clean = spark.createDataFrame(good, "doc_id long, text string") \
+                    .coalesce(1)
+    df_dirty = spark.createDataFrame(good + [(999, None)],
+                                     "doc_id long, text string").coalesce(1)
+
+    def sigs(df):
+        hs = df.select("doc_id", D.shingle_hashes(F.col("text")).alias("_hs"))
+        return {r["doc_id"]: r["s"] for r in
+                hs.select("doc_id",
+                          D.minhash_from_hashes_vec(F.col("_hs"), 16).alias("s"))
+                  .collect()}
+
+    clean, dirty = sigs(df_clean), sigs(df_dirty)
+    assert dirty[999] is None          # null text → null signature
+    assert {k: v for k, v in dirty.items() if k != 999} == clean
