@@ -337,3 +337,31 @@ def test_null_text_does_not_poison_batch(spark):
     clean, dirty = sigs(df_clean), sigs(df_dirty)
     assert dirty[999] is None          # null text → null signature
     assert {k: v for k, v in dirty.items() if k != 999} == clean
+
+
+def test_incremental_hot_bucket_cap_spans_store(spark, tmp_path):
+    """The incremental cap measures COMBINED (store + batch) bucket size:
+    a stored bucket just under the cap that the new batch pushes over is
+    dropped whole, while genuine pairs in small buckets still emit."""
+    boiler = "the exact same boilerplate line repeated verbatim"
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(30)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta theta iota one")],
+        "doc_id long, text string")
+    D.incremental_minhash_pairs(b1, store, threshold=0.7, max_bucket=40).count()
+    b2 = spark.createDataFrame(
+        [(i, boiler) for i in range(200, 220)]
+        + [(101, "alpha beta gamma delta epsilon zeta eta theta iota two")],
+        "doc_id long, text string")
+    got = D.incremental_minhash_pairs(b2, store, threshold=0.7,
+                                      max_bucket=40, update_store=False).collect()
+    ids = {i for r in got for i in (r["a"], r["b"])}
+    # 30 stored + 20 new boilerplate = 50 > 40 ⇒ bucket dropped whole,
+    # across the store boundary too; the real near-dup pair survives
+    assert (100, 101) in {(r["a"], r["b"]) for r in got}
+    assert ids == {100, 101}
+    # uncapped: the join emits the 30x20 cross-batch boilerplate pairs
+    uncapped = D.incremental_minhash_pairs(b2, store, threshold=0.7,
+                                           update_store=False).count()
+    assert uncapped == 30 * 20 + 20 * 19 // 2 + 1
