@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "llm_embedding_ivf_topk",
     "llm_sequence_pack",
     "llm_contamination",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "llm_repetition_stats",
 ]
 
 

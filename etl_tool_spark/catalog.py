@@ -39,19 +39,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros (exactly
-    what DuckDB's micro-precision TIMESTAMP does on the same file)."""
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
+    """events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    parquet across driver data generations; normalize either to a
+    micro-precision TIMESTAMP (exactly what DuckDB's TIMESTAMP reads from
+    the same file). Nanos needs the legacy long bridge because Spark's
+    vectorized reader rejects INT64(TIMESTAMP(NANOS))."""
+    path = f"{sf_dir}/events.parquet"
     try:
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    finally:
-        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
-    # integer `div` — a double division would lose precision above 2^53
-    # nanos and round the microsecond (off-by-one vs DuckDB's truncation)
-    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        e = spark.read.parquet(path)
+    except Exception:  # Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            e = spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer `div` — a double division would lose precision above 2^53
+        # nanos and round the microsecond (off-by-one vs DuckDB's truncation)
+        return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        # interpret the naive value as a UTC instant (what DuckDB's naive
+        # TIMESTAMP view of the same file reads). withColumn analyzes
+        # eagerly, so stamping inside _utc pins the cast's zone no matter
+        # what the caller session's timeZone is.
+        with _utc(spark):
+            return _stamp(e.withColumn("ts", F.col("ts").cast("timestamp")))
+    return e
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,6 +1767,221 @@ def q10_returned_items(spark, sf_dir):
                       F.round("c_acctbal", 2).alias("acctbal"), "n_name")
               .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
               .limit(20))
+
+
+# =========================================================================
+# TPC-H join/agg shapes q4/q12/q14/q18/q19 (adapted to the driver's
+# TPC-H-ish schema — no shipmode/commitdate/container columns)
+# =========================================================================
+
+@query("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition →
+    LEFT SEMI join (each order emitted once however many lines match),
+    date range pushed into the orders scan. The semi join shuffles both
+    sides on orderkey; the extra l_shipdate > o_orderdate conjunct rides
+    on the hash join as a post-probe filter, not a theta join."""
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01"))))
+        li = _t(spark, sf_dir, "lineitem")
+        return _stamp(
+            o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate), "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query("q12_priority_shipping", """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""")
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact equi-join with conditional (CASE) sums
+    — the late-shipment priority split. l_shipdate's range predicate is
+    pushed to the lineitem scan; the cross-table l_shipdate > o_orderdate
+    residual evaluates on the join output."""
+    with _utc(spark):
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority")
+        li = _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return _stamp(
+            li.join(o, (li.l_orderkey == o.o_orderkey)
+                    & (li.l_shipdate > o.o_orderdate))
+              .groupBy("l_returnflag")
+              .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                   F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+@query("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+                              ELSE 0::DECIMAL(18,6) END)
+             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 4)::DOUBLE
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month. part is the
+    small side → broadcast (no fact shuffle at all: scan → broadcast
+    probe → one-row global agg). Decimal accumulation makes the ratio's
+    4th decimal independent of double-add order (q10's rationale)."""
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+        p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(18,6)")
+        return _stamp(
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .agg(F.round(
+                  F.lit(100.0)
+                  * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                  / F.sum(rev), 4).cast("double").alias("promo_revenue_pct")))
+
+
+@query("q18_large_orders", """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-join. The HAVING collapses
+    lineitem to few surviving orderkeys BEFORE any join — at scale this
+    is the difference between joining 100 TB of lines and joining a few
+    MB of qualifying keys (which AQE then turns into broadcast probes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 150))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+               .join(c, o.o_custkey == c.c_custkey)
+               .select("c_custkey", "c_name", "o_orderkey",
+                       F.round("o_totalprice", 2).alias("totalprice"),
+                       F.round("sum_qty", 2).alias("sum_qty")))
+
+
+@query("q19_disjunctive", """
+SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+       AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses. The single-table implicates are factored out and pushed to
+    each scan (part: brand ∈ {...} ∧ size ∈ [1,50]; lineitem: quantity ∈
+    [1,30]) so the broadcast probe sees pre-filtered rows; the full OR
+    evaluates as the join residual."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30))
+    p = (_t(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_size")
+         .filter(F.col("p_brand").isin("Brand#11", "Brand#19", "Brand#22")))
+    clause = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .filter(clause)
+              .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
+
+
+# =========================================================================
+# Repetition-quality signals + deterministic stratified sampling
+# =========================================================================
+
+@query("llm_repetition_stats", """
+WITH a AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM a),
+tc AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+  FROM (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2) GROUP BY 1),
+bgi AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM a WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg FROM bgi),
+bgc AS (
+  SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+SELECT tc.doc_id, n_tokens,
+       round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
+       round(top_c / n_tokens::DOUBLE, 6) AS top_token_frac,
+       round(coalesce(top_bg / n_bg::DOUBLE, 0), 6) AS top_bigram_frac
+FROM tc LEFT JOIN bgc USING (doc_id)
+""")
+def llm_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition signals per document: type-token
+    ratio, top-token fraction, top-bigram fraction (llm/text.py
+    repetition_stats — bigrams zip map-side, term counts partial-
+    aggregate before the per-doc rollup)."""
+    return X.repetition_stats(_docs(spark, sf_dir))
+
+
+@query("llm_stratified_sample", f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_H64.format(x="'sample:' || doc_id")} % 100 AS b,
+         {_H64.format(x="doc_id::VARCHAR")} AS h
+  FROM documents)
+SELECT lang, count(*) AS n_sampled, bit_xor(h) AS member_sig
+FROM s
+WHERE b < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+                    WHEN 'fr' THEN 50 WHEN 'es' THEN 50 ELSE 25 END
+GROUP BY lang
+""")
+def llm_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus mixing (llm/prep.py
+    stratified_sample): keep 80% en / 50% de,fr,es / 25% other, with
+    membership a pure salted-hash function of doc_id — reproducible
+    across engines and stable under appends. The member_sig bit_xor
+    checks exact membership per stratum, not just counts."""
+    d = _docs(spark, sf_dir)
+    s = P.stratified_sample(
+        d, "lang", {"en": 80, "de": 50, "fr": 50, "es": 50},
+        default_pct=25)
+    return (s.select("lang",
+                     X.hash64(F.col("doc_id").cast("string")).alias("_h"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.expr("bit_xor(_h)").alias("member_sig")))
 
 
 @query("llm_incremental_dedup", _oracle_minhash())

@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 from etl_tool_spark.llm.dedup import shingles
 from etl_tool_spark.llm.text import hash64, tokens
 
-__all__ = ["split_assign", "shard_assign", "PII_PATTERNS", "redact_pii",
-           "pii_counts", "pack_sequences", "contamination"]
+__all__ = ["split_assign", "shard_assign", "stratified_sample",
+           "PII_PATTERNS", "redact_pii", "pii_counts", "pack_sequences",
+           "contamination"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -66,6 +67,35 @@ def shard_assign(key: Column, n_shards: int, salt: str = "shard") -> Column:
     partition for training files. Salted independently of split_assign so
     shards are balanced within every split."""
     return (_key_hash(key, salt) % n_shards).cast("int")
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, int], default_pct: int = 0,
+                      key_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic stratified sampling: keep ``rates[stratum]`` percent
+    of each stratum (``default_pct`` for unlisted strata), where
+    membership is a pure function of (salt, key) — the corpus-mixing
+    primitive (down-weight over-represented languages/sources) that,
+    unlike ``df.sample``/``sampleBy``, is reproducible across engines,
+    reruns, and appends: a kept document stays kept when the corpus
+    grows, so dataset versions stay comparable.
+
+    Map-side filter, zero shuffle; at 100 TB this is a scan-rate
+    predicate evaluated next to the parquet reader."""
+    for stratum, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {stratum!r} outside [0, 100]: {pct}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct outside [0, 100]: {default_pct}")
+    bucket = _key_hash(F.col(key_col), salt) % 100
+    rate: Column | None = None
+    for stratum, pct in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate = (F.when(cond, F.lit(pct)) if rate is None
+                else rate.when(cond, F.lit(pct)))
+    rate = F.lit(default_pct) if rate is None else rate.otherwise(F.lit(default_pct))
+    return df.filter(bucket < rate)
 
 
 # Ordered redaction patterns. RE2-safe subset (no lookaround, no

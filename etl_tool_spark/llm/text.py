@@ -12,7 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
-           "quality_features", "language_id", "fingerprint", "STOPWORDS"]
+           "quality_features", "language_id", "fingerprint",
+           "repetition_stats", "STOPWORDS"]
 
 
 def hash64(col: Column) -> Column:
@@ -126,3 +127,51 @@ def fingerprint(col: Column) -> Column:
     reproducibility."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4-style quality
+    rules): type-token ratio, most-frequent-token fraction, and
+    most-frequent-bigram fraction. High top-fractions flag boilerplate,
+    keyword stuffing, and generation loops.
+
+    Shape for 100 TB: tokens and bigrams derive map-side (the bigram
+    array is a zip of the token array with its own tail — no
+    self-join); each then partial-aggregates on (doc, term) before the
+    per-doc rollup, so the shuffle carries distinct counts, not raw
+    token streams. Empty documents are excluded (no tokens → no ratio).
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    base = (df.filter(t != "")
+              .select(F.col(id_col), toks.alias("_toks"),
+                      bigrams.alias("_bgs")))
+    tok_counts = (base.select(id_col, F.explode("_toks").alias("tok"))
+                      .groupBy(id_col, "tok")
+                      .agg(F.count(F.lit(1)).alias("c"))
+                      .groupBy(id_col)
+                      .agg(F.sum("c").alias("n_tokens"),
+                           F.count(F.lit(1)).alias("n_distinct"),
+                           F.max("c").alias("top_c")))
+    bg_counts = (base.select(id_col, F.explode("_bgs").alias("bg"))
+                     .groupBy(id_col, "bg")
+                     .agg(F.count(F.lit(1)).alias("c"))
+                     .groupBy(id_col)
+                     .agg(F.sum("c").alias("n_bg"),
+                          F.max("c").alias("top_bg")))
+    return (tok_counts.join(bg_counts, id_col, "left")
+            .select(
+                id_col,
+                F.col("n_tokens"),
+                F.round(F.col("n_distinct") / F.col("n_tokens").cast("double"),
+                        6).alias("distinct_ratio"),
+                F.round(F.col("top_c") / F.col("n_tokens").cast("double"),
+                        6).alias("top_token_frac"),
+                F.round(F.coalesce(
+                    F.col("top_bg") / F.col("n_bg").cast("double"),
+                    F.lit(0.0)), 6).alias("top_bigram_frac")))

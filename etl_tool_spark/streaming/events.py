@@ -16,35 +16,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog._events)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_unit: str) -> T.StructType:
+    # nanos parquet needs the long bridge (catalog._events); micros reads
+    # directly as a naive timestamp
+    ts_type = T.LongType() if ts_unit == "ns" else T.TimestampNTZType()
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+def _ts_unit(events_path: str) -> str:
+    """Physical unit of the ts column ('ns'/'us'/'ms') from the parquet
+    footer — the driver's generator has shipped both nanos and micros."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = events_path
+    if os.path.isdir(events_path):
+        f = sorted(glob.glob(os.path.join(events_path, "*.parquet")))[0]
+    t = pq.read_schema(f).field("ts").type
+    return getattr(t, "unit", "us")
 
 
 def read_events_stream(spark: SparkSession, events_path: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over the events parquet. The nanos timestamp is
-    read as long (schema above) and truncated to micros, matching the
-    batch reader. ``events_path`` may be a directory or a single file
+    """File-source stream over the events parquet; ts is normalized to a
+    micro-precision timestamp whatever the file's physical unit, matching
+    the batch reader. ``events_path`` may be a directory or a single file
     (the file source requires a directory, so a file path becomes
     parent-dir + glob filter)."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    unit = _ts_unit(events_path)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_schema(unit))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(events_path):
         reader = reader.option("pathGlobFilter", os.path.basename(events_path))
         events_path = os.path.dirname(events_path)
     df = reader.parquet(events_path)
-    # integer `div`: double division loses precision above 2^53 nanos
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if unit == "ns":
+        # integer `div`: double division loses precision above 2^53 nanos
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",

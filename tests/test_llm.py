@@ -365,3 +365,25 @@ def test_incremental_hot_bucket_cap_spans_store(spark, tmp_path):
     uncapped = D.incremental_minhash_pairs(b2, store, threshold=0.7,
                                            update_store=False).count()
     assert uncapped == 30 * 20 + 20 * 19 // 2 + 1
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"),            # 3 toks, 2 distinct; bigrams: "a a","a b"
+         (2, "x"),                # single token → no bigrams
+         (3, "go go go go"),      # pure repetition
+         (4, "   ")],             # blank → excluded
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.repetition_stats(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert r1["n_tokens"] == 3
+    assert r1["distinct_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["top_token_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["top_bigram_frac"] == 0.5
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["top_bigram_frac"]) == (1, 0.0)
+    assert r2["distinct_ratio"] == 1.0
+    r3 = got[3]
+    assert r3["top_token_frac"] == 1.0 and r3["top_bigram_frac"] == 1.0
+    assert r3["distinct_ratio"] == 0.25

@@ -170,3 +170,59 @@ def test_split_shard_map_side_assignment(spark, catalog):
     assert "Join" not in p and "Window" not in p
     assert len(nodes(p, "Exchange")) == 2
     assert len(nodes(p, "HashAggregate")) == 2
+
+
+def test_q4_semi_join_with_date_pushdown(spark, catalog):
+    p = plan(catalog["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p            # EXISTS compiled to semi, not inner+distinct
+    assert "o_orderdate" in p.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q12_shipdate_pushdown_no_cartesian(spark, catalog):
+    p = plan(catalog["q12_priority_shipping"](spark, SF_DIR))
+    # the single-table range predicate reaches a scan; the cross-table
+    # l_shipdate > o_orderdate must ride the equi-join as a residual
+    assert any("l_shipdate" in seg.splitlines()[0]
+               for seg in p.split("PushedFilters:")[1:])
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q14_broadcast_probe_no_shuffle_join(spark, catalog):
+    p = plan(catalog["q14_promo_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # month filter pushed to the lineitem scan
+    assert any("l_shipdate" in seg.splitlines()[0]
+               for seg in p.split("PushedFilters:")[1:])
+
+
+def test_q18_aggregates_before_join(spark, catalog):
+    p = plan(catalog["q18_large_orders"](spark, SF_DIR))
+    # lineitem scan reads only the agg inputs — the qty rollup happens
+    # below the joins, so joins see collapsed orderkeys, not raw lines
+    li_schemas = [seg.splitlines()[0] for seg in p.split("ReadSchema:")[1:]
+                  if "l_orderkey" in seg.splitlines()[0]]
+    assert li_schemas and all(
+        "l_quantity" in s and "l_extendedprice" not in s for s in li_schemas)
+
+
+def test_q19_factored_pushdown(spark, catalog):
+    p = plan(catalog["q19_disjunctive"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    # single-table implicates factored out of the OR and pushed down
+    assert any("l_quantity" in s for s in pushed)
+    assert any("p_brand" in s for s in pushed)
+
+
+def test_repetition_stats_partial_agg_no_cartesian(spark, catalog):
+    p = plan(catalog["llm_repetition_stats"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # term counts partial-aggregate map-side before the shuffle
+    assert len(nodes(p, "HashAggregate")) >= 4
+
+
+def test_stratified_sample_map_side_filter(spark, catalog):
+    p = plan(catalog["llm_stratified_sample"](spark, SF_DIR))
+    # only the _docs repartition and the final groupBy shuffle — the
+    # sampling predicate itself adds no exchange
+    assert len(nodes(p, "Exchange")) <= 2

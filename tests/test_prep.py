@@ -121,3 +121,39 @@ def test_split_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters")[1][:120]
     want = assigned.filter(F.col("split") == "test").count()
     assert back.count() == want > 0
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de").otherwise("xx").alias("lang"))
+    rates = {"en": 80, "de": 40}
+    kept = {r["doc_id"] for r in
+            P.stratified_sample(docs, "lang", rates, default_pct=10).collect()}
+    # re-run: identical membership (pure function of the key)
+    again = {r["doc_id"] for r in
+             P.stratified_sample(docs, "lang", rates, default_pct=10).collect()}
+    assert kept == again
+    # append stability: sampling a subset == subset of the full sample
+    subset = docs.filter(F.col("doc_id") < 200)
+    sub_kept = {r["doc_id"] for r in
+                P.stratified_sample(subset, "lang", rates, default_pct=10).collect()}
+    assert sub_kept == {d for d in kept if d < 200}
+    # rates roughly honored per stratum (hash-uniform over ~133 docs each)
+    by_lang = {"en": 0, "de": 0, "xx": 0}
+    rows = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for d in kept:
+        by_lang[rows[d]] += 1
+    assert 0.6 < by_lang["en"] / 134 < 1.0
+    assert 0.25 < by_lang["de"] / 133 < 0.55
+    assert by_lang["xx"] / 133 < 0.25
+
+
+def test_stratified_sample_rejects_bad_rates(spark):
+    docs = spark.range(5).select(F.col("id").alias("doc_id"),
+                                 F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        P.stratified_sample(docs, "lang", {"en": 120})
+    with pytest.raises(ValueError):
+        P.stratified_sample(docs, "lang", {"en": 50}, default_pct=-1)
