@@ -1923,6 +1923,89 @@ def q19_disjunctive(spark, sf_dir):
 
 
 # =========================================================================
+# Warehouse time-series shapes: SCD2 intervals, hopping windows, islands
+# =========================================================================
+
+@query("etl_scd2_intervals", """
+SELECT user_id, event_id, round(value, 2) AS value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+""")
+def etl_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each change record gets a
+    validity interval [ts, next-change ts) and the latest per key is
+    flagged current. One shuffle on the dimension key; event_id breaks
+    same-timestamp ties so both engines pick the same successor."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    with _utc(spark):
+        return _stamp(
+            e.select("user_id", "event_id",
+                     F.round("value", 2).alias("value"),
+                     F.col("ts").alias("valid_from"),
+                     nxt.alias("valid_to"),
+                     nxt.isNull().alias("is_current")))
+
+
+@query("events_hopping_window", """
+WITH k AS (SELECT unnest(range(4)) AS k)
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+         AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events CROSS JOIN k
+GROUP BY 1, 2
+""")
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregate — 1-hour windows every 15
+    minutes, so each event lands in 4 overlapping windows. Spark's
+    window() expands map-side (a 4× projection, not a join) and both
+    engines align window starts to the epoch-aligned slide grid."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        return _stamp(
+            e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("total_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n", "total_value"))
+
+
+@query("events_islands", """
+WITH r AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events)
+SELECT user_id, event_type, min(ts) AS island_start,
+       count(*) AS island_len
+FROM r GROUP BY user_id, event_type, grp
+""")
+def events_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user via the classic row_number-difference grouping. Two window
+    passes (user grid, then user×type grid) + one aggregation; all three
+    hash on user_id-prefixed keys, so AQE coalesces them onto one
+    exchange lineage."""
+    e = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    with _utc(spark):
+        return _stamp(
+            e.select("user_id", "event_type", "ts",
+                     (F.row_number().over(wu)
+                      - F.row_number().over(wt)).alias("grp"))
+             .groupBy("user_id", "event_type", "grp")
+             .agg(F.min("ts").alias("island_start"),
+                  F.count(F.lit(1)).alias("island_len"))
+             .drop("grp"))
+
+
+# =========================================================================
 # Repetition-quality signals + deterministic stratified sampling
 # =========================================================================
 

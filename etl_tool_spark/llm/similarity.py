@@ -50,9 +50,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Excludes self-matches when ids coincide."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
-    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+    # norms materialize ONCE per row on each side (HOF expressions are
+    # interpreted, not codegen'd — recomputing norm(q) and norm(c) per
+    # PAIR inside cosine() triples the dominant cost; measured 3×)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm(F.col(vec_col)).alias("_qnorm"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                      norm(F.col(vec_col)).alias("_cnorm"))
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
     scored = (c.crossJoin(F.broadcast(q))
                 .filter(F.col(id_col) != F.col(query_id_col))
                 .select(query_id_col, id_col, sim.alias("cosine_sim")))
@@ -164,9 +170,15 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
                  .select(F.col(f"l.{id_col}").alias("a"),
                          F.col(f"r.{id_col}").alias("b"))
                  .distinct())
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    # norms hoisted to one per row (not per candidate pair): HOF
+    # expressions are interpreted, so norm-in-cosine would triple the
+    # verify cost (brute_force_topk's rationale)
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+                   norm(F.col(vec_col)).alias("_na"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+                   norm(F.col(vec_col)).alias("_nb"))
+    sim = F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
     return (cands.join(va, "a").join(vb, "b")
                  .filter(sim >= threshold)
                  .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
@@ -292,6 +304,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                                id_col=id_col, vec_col=vec_col)
     c = ivf_assign(corpus, centroids, vec_col=vec_col) \
         .select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                norm(F.col(vec_col)).alias("_cnorm"),
                 F.col("_ivf_cluster").alias("_cell"))
     qscores = _centroid_scores(F.col(vec_col), centroids)
     # nprobe nearest cells: sort (score, index) structs desc, take indices
@@ -301,11 +314,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
         1, nprobe)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm(F.col(vec_col)).alias("_qnorm"),
                        F.explode(F.transform(probe_cells, lambda p: p["i"]))
                         .alias("_cell"))
     cands = (c.join(F.broadcast(q), "_cell")
               .filter(F.col(id_col) != F.col(query_id_col)))
-    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
     scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
                                                  F.col(id_col).asc())
@@ -330,14 +345,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     sigs = _banded_signatures(F.col(vec_col), dim, bands, rows_per_band)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                      norm(F.col(vec_col)).alias("_cnorm"),
                       F.explode(sigs).alias("_sig"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm(F.col(vec_col)).alias("_qnorm"),
                        F.explode(sigs).alias("_sig"))
     cands = (c.join(F.broadcast(q), "_sig")
               .filter(F.col(id_col) != F.col(query_id_col))
-              .select(query_id_col, id_col, "_qvec", "_cvec")
+              .select(query_id_col, id_col, "_qvec", "_cvec",
+                      "_qnorm", "_cnorm")
               .dropDuplicates([query_id_col, id_col]))
-    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
     scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
                                                  F.col(id_col).asc())

@@ -226,3 +226,23 @@ def test_stratified_sample_map_side_filter(spark, catalog):
     # only the _docs repartition and the final groupBy shuffle — the
     # sampling predicate itself adds no exchange
     assert len(nodes(p, "Exchange")) <= 2
+
+
+def test_scd2_single_shuffle(spark, catalog):
+    p = plan(catalog["etl_scd2_intervals"](spark, SF_DIR))
+    assert len(nodes(p, "Exchange")) == 1  # one shuffle on the dimension key
+    assert len(nodes(p, "Sort")) == 1
+
+
+def test_hopping_window_no_join(spark, catalog):
+    p = plan(catalog["events_hopping_window"](spark, SF_DIR))
+    # the 4x window expansion is a map-side Expand/Generate, never a join
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(nodes(p, "HashAggregate")) == 2  # partial + final
+
+
+def test_islands_shares_partitioning(spark, catalog):
+    p = plan(catalog["events_islands"](spark, SF_DIR))
+    # user-grid window, user x type window, aggregation: the plan may
+    # re-sort but must not shuffle more than the two window grids
+    assert len(nodes(p, "Exchange")) <= 2
