@@ -1923,6 +1923,58 @@ def q19_disjunctive(spark, sf_dir):
 
 
 # =========================================================================
+# Skew-safe aggregation over hot keys
+# =========================================================================
+
+@query("agg_salted_skew", """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""")
+def agg_salted_skew(spark, sf_dir):
+    """Salted two-phase aggregation (operators/skew.py) on a genuinely
+    skewed grid — events has a handful of hot event_type keys, so a
+    plain groupBy funnels the table through 5 reducers. Salting fans
+    each hot key over 16 partial groups, then merges; the oracle is the
+    plain GROUP BY (identical result, different physical shape)."""
+    from etl_tool_spark.operators.skew import salted_agg
+
+    e = _events(spark, sf_dir)
+    out = salted_agg(e.select("event_type", "value"), ["event_type"],
+                     {"n": ("count", "value"),
+                      "total_value": ("sum", "value")})
+    return out.select("event_type", "n",
+                      F.round("total_value", 2).alias("total_value"))
+
+
+# =========================================================================
+# Raw SQL surface: one ANSI text, two engines
+# =========================================================================
+
+_SQL_SEGMENT_ORDERS = """
+WITH co AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       coalesce(sum(n_orders), 0) AS n_orders,
+       coalesce(max(n_orders), 0) AS max_orders
+FROM customer LEFT JOIN co ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_segment_orders", _SQL_SEGMENT_ORDERS)
+def sql_segment_orders(spark, sf_dir):
+    """The engine's raw SQL entry point: the IDENTICAL ANSI text runs as
+    spark.sql over temp views here and as the DuckDB oracle — no
+    DataFrame translation layer. Catalyst plans it like the equivalent
+    DataFrame chain (pushdown, partial aggs, AQE) because SQL and
+    DataFrames share the same logical plan."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_SEGMENT_ORDERS)
+
+
+# =========================================================================
 # Warehouse time-series shapes: SCD2 intervals, hopping windows, islands
 # =========================================================================
 

@@ -8,6 +8,7 @@ from etl_tool_spark.streaming.cdc import (
     read_snapshot,
 )
 from etl_tool_spark.streaming.events import (
+    interval_join_streams,
     read_events_stream,
     sessionize_stream,
     stream_to_memory,
@@ -17,5 +18,5 @@ from etl_tool_spark.streaming.events import (
 
 __all__ = ["near_dedup_stream",
            "read_events_stream", "windowed_counts", "sessionize_stream",
-           "streaming_dedup", "stream_to_memory",
+           "streaming_dedup", "stream_to_memory", "interval_join_streams",
            "merge_cdc_batch", "cdc_merge_stream", "read_snapshot"]

@@ -115,6 +115,34 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
     return wm.dropDuplicates(keys + ["ts"])
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id", window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the right
+    events of the same key whose timestamp falls in
+    [left.ts - window, left.ts]. Both sides are watermarked and the
+    range condition is what lets Spark garbage-collect join state — a
+    right event can be dropped once the watermark passes its ts + window
+    (without the bound, both state stores grow forever). The per-key
+    state shards across executors exactly like the batch shuffle would.
+
+    Output columns: key, l_id/l_ts/l_value, r_id/r_ts/r_value."""
+    l = (left.select(F.col(key),
+                     F.col("event_id").alias("l_id"),
+                     F.col("ts").alias("l_ts"),
+                     F.col("value").alias("l_value"))
+             .withWatermark("l_ts", watermark))
+    r = (right.select(F.col(key).alias("_rkey"),
+                      F.col("event_id").alias("r_id"),
+                      F.col("ts").alias("r_ts"),
+                      F.col("value").alias("r_value"))
+              .withWatermark("r_ts", watermark))
+    cond = ((F.col(key) == F.col("_rkey"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window}"))
+            & (F.col("r_ts") <= F.col("l_ts")))
+    return l.join(r, cond, "inner").drop("_rkey")
+
+
 def stream_foreach_batch(stream: DataFrame, sink_fn, checkpoint: str,
                          output_mode: str = "update"):
     """Micro-batch sink bridge: each batch is a normal DataFrame handed to

@@ -214,3 +214,31 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
             for r in minhash_dedup_pairs(docs).collect()}
     assert got == want
     docs.unpersist()
+
+
+def test_interval_join_matches_batch(spark):
+    """Stream-stream interval join ≡ the equivalent batch range join:
+    purchases paired with same-user clicks in the trailing 1 hour."""
+    from etl_tool_spark.catalog import _events
+    from etl_tool_spark.streaming import interval_join_streams
+
+    purchases = read_events_stream(spark, f"{SF_DIR}/events.parquet") \
+        .filter(F.col("event_type") == "purchase")
+    clicks = read_events_stream(spark, f"{SF_DIR}/events.parquet") \
+        .filter(F.col("event_type") == "click")
+    stream_to_memory(interval_join_streams(purchases, clicks), "ssj")
+    streamed = spark.sql("SELECT l_id, r_id FROM ssj").collect()
+
+    e = _events(spark, SF_DIR)
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", F.col("event_id").alias("l_id"),
+                  F.col("ts").alias("l_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+          .select(F.col("user_id").alias("_u"),
+                  F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")))
+    batch = (p.join(c, (F.col("user_id") == F.col("_u"))
+                    & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 hour"))
+                    & (F.col("r_ts") <= F.col("l_ts")))
+              .select("l_id", "r_id").collect())
+    assert len(streamed) > 0
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
