@@ -55,7 +55,7 @@ class ErrorHandlingConfig:
 
 @dataclass
 class PlaybookConfig:
-    source: EndpointConfig
+    source: EndpointConfig | None = None
     destination: EndpointConfig | None = None
     filter: str | None = None
     mappings: list[dict] = field(default_factory=list)
@@ -64,6 +64,11 @@ class PlaybookConfig:
     errorHandling: ErrorHandlingConfig = field(default_factory=ErrorHandlingConfig)
     fipsMode: bool = False
     dryRun: bool = False
+    # Spark-native extension (SURVEY §7 M5 — ABSENT in the reference):
+    # named additional sources registered as temp views, and a SQL stage
+    # producing the working frame the standard chain then runs on.
+    sources: dict[str, EndpointConfig] = field(default_factory=dict)
+    sql: str | None = None
 
 
 _VALID_TYPES = {"csv", "json", "parquet", "orc", "yaml", "yml", "xml", "xlsx",
@@ -114,10 +119,16 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
 
         with open(path_or_dict) as f:
             raw = yaml.safe_load(f) or {}
-    if "source" not in raw:
-        raise ConfigError("playbook requires a 'source'")
+    if "source" not in raw and not raw.get("sources"):
+        raise ConfigError("playbook requires a 'source' (or 'sources' + 'sql')")
+    raw_sources = raw.get("sources") or {}
+    if not isinstance(raw_sources, dict):
+        raise ConfigError("'sources' must be a mapping of name -> endpoint")
     cfg = PlaybookConfig(
-        source=_endpoint(raw["source"], "source"),
+        source=_endpoint(raw["source"], "source") if "source" in raw else None,
+        sources={str(n): _endpoint(ep, f"sources.{n}")
+                 for n, ep in raw_sources.items()},
+        sql=raw.get("sql"),
         destination=_endpoint(raw["destination"], "destination") if raw.get("destination") else None,
         filter=raw.get("filter"),
         mappings=list(raw.get("mappings") or []),
@@ -133,8 +144,28 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
     return cfg
 
 
+_VIEW_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def validate_config(cfg: PlaybookConfig) -> None:
     errors: list[str] = []
+
+    if cfg.sources and not cfg.sql:
+        errors.append("'sources' requires a 'sql' stage that consumes them")
+    if cfg.sql is not None:
+        if not str(cfg.sql).strip():
+            errors.append("sql: must be a non-empty query")
+        if not cfg.sources and cfg.source is None:
+            errors.append("sql: requires 'sources' (or a 'source', "
+                          "registered as view 'src')")
+        for name in cfg.sources:
+            if not _VIEW_NAME.match(name):
+                errors.append(f"sources.{name}: not a valid view name")
+            if name == "src" and cfg.source is not None:
+                errors.append("sources.src: name collides with the implicit "
+                              "'src' view of the primary source")
+    if cfg.source is None and cfg.sql is None:
+        errors.append("playbook requires a 'source' or a 'sources' + 'sql' stage")
 
     if cfg.filter:
         try:

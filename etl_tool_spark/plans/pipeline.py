@@ -44,8 +44,26 @@ def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
     without executing. Filter-eval errors are a SEPARATE channel: the
     reference writes them to the error file but never halts on them
     (app.go:156-161), while processing errors can halt."""
-    src = cfg.source
-    df = read_source(spark, src.type, src.file or src.query or "", src.options)
+    if cfg.sql:
+        # Spark-native SQL stage (beyond the reference): named sources
+        # register as temp views (seq-free — SELECT * must not leak
+        # engine columns), the query's result becomes the working frame,
+        # and a fresh encounter-order seq is attached for dedup
+        # first/last semantics downstream.
+        views = dict(cfg.sources)
+        if cfg.source is not None:
+            views["src"] = cfg.source
+        for name, ep in views.items():
+            read_source(spark, ep.type, ep.file or ep.query or "",
+                        ep.options, attach_seq=False) \
+                .createOrReplaceTempView(name)
+        from pyspark.sql import functions as _F
+
+        df = spark.sql(cfg.sql).withColumn(
+            SEQ_COL, _F.monotonically_increasing_id())
+    else:
+        src = cfg.source
+        df = read_source(spark, src.type, src.file or src.query or "", src.options)
 
     # Filter runs on source records, pre-transform (app.go:150-164)
     df, filter_errors = apply_filter_with_errors(df, cfg.filter)

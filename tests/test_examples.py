@@ -37,3 +37,18 @@ def test_corpus_prep_example(spark, tmp_path):
     assert any(p.name.startswith("split=") for p in (tmp_path / "out").iterdir())
     # redaction ran before packing: no raw emails survive
     assert out.filter(F.col("chunk_text").rlike("@[a-z]+\\.")).count() == 0
+
+
+def test_revenue_by_region_playbook(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    cfg = load_config(os.path.join(REPO, "examples", "revenue_by_region.yaml"))
+    res = run_pipeline(spark, cfg)
+    assert res.written
+    out = spark.read.option("header", True).csv(
+        str(tmp_path / "revenue_by_region.csv"))
+    rows = {r["nation"]: float(r["revenue"]) for r in out.collect()}
+    assert len(rows) == 25 and all(v > 0 for v in rows.values())
+    assert all(n == n.upper() for n in rows)

@@ -223,3 +223,63 @@ def test_error_file_stringifies_complex_columns(spark, tmp_path):
     body = "".join((err_dir / f).read_text() for f in os.listdir(err_dir)
                    if f.endswith(".csv"))
     assert "nope" in body and "[c]" in body and "mustToFloat" in body
+
+
+def test_sql_stage_join_two_sources(spark, tmp_path):
+    """Spark-native playbook extension: two named sources joined by a
+    'sql' stage, with the standard mapping/dedup/load chain on top."""
+    orders = tmp_path / "orders.csv"
+    orders.write_text("order_id,cust,amount\n1,a,10\n2,b,5\n3,a,7\n")
+    custs = tmp_path / "custs.csv"
+    custs.write_text("cust,region\na,west\nb,east\n")
+    out = tmp_path / "out.csv"
+    cfg = load_config({
+        "sources": {
+            "orders": {"type": "csv", "file": str(orders)},
+            "custs": {"type": "csv", "file": str(custs)},
+        },
+        "sql": """
+            SELECT o.order_id, o.amount, c.region
+            FROM orders o JOIN custs c ON o.cust = c.cust
+        """,
+        "mappings": [
+            {"source": "order_id", "target": "order_id", "transform": "mustToInt"},
+            {"source": "region", "target": "region", "transform": "toUpperCase"},
+            {"source": "amount", "target": "amount", "transform": "toInt"},
+        ],
+        "destination": {"type": "csv", "file": str(out)},
+    })
+    run_pipeline(spark, cfg)
+    import csv as _csv
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    rows = []
+    for f in files:
+        with open(out / f) as fh:
+            rows.extend(_csv.DictReader(fh))
+    got = sorted((r["order_id"], r["region"], r["amount"]) for r in rows)
+    assert got == [("1", "WEST", "10"), ("2", "EAST", "5"), ("3", "WEST", "7")]
+
+
+def test_sql_stage_primary_source_is_src_view(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,x\n2,y\n")
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(src)},
+        "sql": "SELECT id, upper(v) AS v FROM src WHERE id <> '2'",
+    })
+    res = run_pipeline(spark, cfg)
+    assert [(r["id"], r["v"]) for r in res.output.collect()] == [("1", "X")]
+
+
+def test_sql_stage_validation():
+    with pytest.raises(ConfigError, match="requires a 'sql' stage"):
+        load_config({"sources": {"a": {"type": "csv", "file": "x.csv"}}})
+    with pytest.raises(ConfigError, match="not a valid view name"):
+        load_config({"sources": {"bad-name": {"type": "csv", "file": "x.csv"}},
+                     "sql": "SELECT 1"})
+    with pytest.raises(ConfigError, match="requires a 'source'"):
+        load_config({"sql": "SELECT 1"})
+    with pytest.raises(ConfigError, match="collides with the implicit"):
+        load_config({"source": {"type": "csv", "file": "x.csv"},
+                     "sources": {"src": {"type": "csv", "file": "y.csv"}},
+                     "sql": "SELECT * FROM src"})
