@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "error", "warn", "info", "debug"])
     p.add_argument("-dry-run", "--dry-run", dest="dry_run", action="store_true",
                    help="run the pipeline but skip the load stage")
+    p.add_argument("-explain", "--explain", action="store_true",
+                   help="print the optimized physical plan (formatted) "
+                        "for the playbook's clean output and exit — "
+                        "nothing executes")
     p.add_argument("-fips", "--fips", action="store_true",
                    help="FIPS mode: forbid md5 hashing")
     return p
@@ -56,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {e}", file=sys.stderr)
         return 2
 
-    if args.input:
+    if args.input and cfg.source is not None:
         cfg.source.file = args.input
     if args.output and cfg.destination:
         cfg.destination.file = args.output
@@ -79,7 +83,20 @@ def main(argv: list[str] | None = None) -> int:
                 ep.options.setdefault("url", db)
         logging.info("db connection: %s", mask_credentials(db))
 
-    from etl_tool_spark.plans.pipeline import run_pipeline
+    from etl_tool_spark.plans.pipeline import build_pipeline, run_pipeline
+
+    if args.explain:
+        # plan-only path: compile the playbook and print what Catalyst
+        # would execute (PushedFilters/ReadSchema/join strategies) —
+        # the tuning loop for the 100 TB checklist, no data touched
+        try:
+            clean, _, _ = build_pipeline(spark, cfg)
+        except Exception as e:
+            print(f"pipeline failed: {e}", file=sys.stderr)
+            return 1
+        print(spark._jvm.PythonSQLUtils.explainString(
+            clean._jdf.queryExecution(), "formatted"))
+        return 0
 
     try:
         result = run_pipeline(spark, cfg, dry_run=args.dry_run)

@@ -1923,6 +1923,105 @@ def q19_disjunctive(spark, sf_dir):
 
 
 # =========================================================================
+# Histogram, funnel, corpus-LM scoring
+# =========================================================================
+
+@query("agg_histogram", """
+WITH b AS (
+  SELECT least(floor(o_totalprice / 20000), 9)::BIGINT AS bucket
+  FROM orders)
+SELECT bucket, count(*) AS n
+FROM b GROUP BY bucket
+""")
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (10 buckets of 20k, top bucket open) — the
+    scan→project→partial-agg shape: one pass, one tiny shuffle of at
+    most 10 groups per mapper."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 20000), F.lit(9)) \
+        .cast("bigint")
+    return (o.select(bucket.alias("bucket"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("events_funnel", """
+WITH s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                THEN 1 ELSE 0 END) AS n_signup_view,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                 AND t_purchase > t_view THEN 1 ELSE 0 END)
+         AS n_signup_view_purchase
+FROM s
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (signup → first later view → first later purchase):
+    conditional min-timestamps collapse each user to one row in a single
+    shuffle, then the step predicates evaluate on that row — no joins,
+    no window, no per-step passes."""
+    e = _events(spark, sf_dir)
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    with _utc(spark):
+        s = (e.groupBy("user_id")
+              .agg(first_ts("signup").alias("t_signup"),
+                   first_ts("view").alias("t_view"),
+                   first_ts("purchase").alias("t_purchase")))
+        step1 = F.col("t_signup").isNotNull()
+        step2 = step1 & (F.col("t_view") > F.col("t_signup"))
+        step3 = step2 & (F.col("t_purchase") > F.col("t_view"))
+        one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+        return _stamp(
+            s.agg(F.count(F.lit(1)).alias("n_users"),
+                  one_if(step1).alias("n_signup"),
+                  one_if(step2).alias("n_signup_view"),
+                  one_if(step3).alias("n_signup_view_purchase")))
+
+
+@query("llm_unigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total FROM freq)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(log10(c / total)), 6) AS avg_logprob
+FROM toks JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def llm_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality proxy: average unigram log-probability per
+    document under the corpus's own empirical distribution (the cheap
+    stand-in for a KenLM-style perplexity filter). Two-pass over one
+    tokenization: (1) global token frequencies, (2) re-join tokens to
+    frequencies and average per doc. The frequency table is vocabulary-
+    sized — orders smaller than the corpus — and joins on the token key;
+    the global total rides along as a broadcast scalar."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select("doc_id", F.explode(F.split(t, r"\s+")).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    return (toks.join(freq, "tok")
+                .crossJoin(F.broadcast(total))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.round(F.avg(F.log10(F.col("c") / F.col("total"))), 6)
+                      .alias("avg_logprob")))
+
+
+# =========================================================================
 # Skew-safe aggregation over hot keys
 # =========================================================================
 

@@ -27,6 +27,11 @@ class EndpointConfig:
     query: str | None = None
     options: dict[str, Any] = field(default_factory=dict)
     loader: dict[str, Any] = field(default_factory=dict)
+    # Spark-native extension: stream this endpoint with Structured
+    # Streaming (source: readStream over the file/dir; destination:
+    # checkpointed writeStream)
+    stream: bool = False
+    checkpoint: str | None = None
 
 
 @dataclass
@@ -107,8 +112,13 @@ def _endpoint(raw: dict, which: str) -> EndpointConfig:
               "xmlRecordTag", "url", "connectionString"):
         if k in raw:
             options[k] = raw[k]
+    checkpoint = raw.get("checkpoint")
+    if checkpoint:
+        checkpoint = expand_env(str(checkpoint))
     return EndpointConfig(type=t, file=file, query=raw.get("query"),
-                          options=options, loader=dict(raw.get("loader") or {}))
+                          options=options, loader=dict(raw.get("loader") or {}),
+                          stream=bool(raw.get("stream", False)),
+                          checkpoint=checkpoint)
 
 
 def load_config(path_or_dict: str | dict) -> PlaybookConfig:
@@ -166,6 +176,28 @@ def validate_config(cfg: PlaybookConfig) -> None:
                               "'src' view of the primary source")
     if cfg.source is None and cfg.sql is None:
         errors.append("playbook requires a 'source' or a 'sources' + 'sql' stage")
+
+    if cfg.source is not None and cfg.source.stream:
+        # Streaming pipeline restrictions (each would need an action or
+        # an unsupported-on-stream operator):
+        if cfg.source.type not in ("csv", "json", "parquet", "orc"):
+            errors.append("source.stream: only file sources "
+                          "(csv/json/parquet/orc) can stream")
+        if cfg.sql:
+            errors.append("source.stream: the 'sql' stage is batch-only")
+        if cfg.dedup:
+            errors.append("source.stream: dedup needs a window over the "
+                          "whole input — use streaming dedup "
+                          "(etl_tool_spark.streaming) instead")
+        if cfg.errorHandling.mode == "halt":
+            errors.append("source.stream: halt mode needs a blocking error "
+                          "count; use errorHandling.mode: skip")
+        if cfg.errorHandling.errorFile:
+            errors.append("source.stream: errorFile is batch-only")
+        if cfg.destination is not None and cfg.destination.type not in (
+                "csv", "json", "parquet", "orc"):
+            errors.append("source.stream: destination must be a file sink "
+                          "(csv/json/parquet/orc)")
 
     if cfg.filter:
         try:

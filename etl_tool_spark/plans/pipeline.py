@@ -61,6 +61,8 @@ def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
 
         df = spark.sql(cfg.sql).withColumn(
             SEQ_COL, _F.monotonically_increasing_id())
+    elif cfg.source is not None and cfg.source.stream:
+        df = _read_stream_source(spark, cfg.source)
     else:
         src = cfg.source
         df = read_source(spark, src.type, src.file or src.query or "", src.options)
@@ -102,9 +104,62 @@ def _union_errors(errors: DataFrame, filter_errors: DataFrame) -> DataFrame:
         return errors
 
 
+def _read_stream_source(spark: SparkSession, src) -> DataFrame:
+    """readStream over a file endpoint. Streams need an explicit schema,
+    so one batch read infers it from the existing files (at a real
+    deployment the schema comes from the table catalog). File paths
+    become parent-dir + glob, like streaming/events.py."""
+    import os
+
+    path = src.file or ""
+    batch = read_source(spark, src.type, path, src.options, attach_seq=False)
+    reader = spark.readStream.schema(batch.schema)
+    fmt = {"csv": "csv", "json": "json", "parquet": "parquet", "orc": "orc"}[src.type]
+    opts = dict(src.options)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        if "delimiter" in opts:
+            opts["sep"] = opts.pop("delimiter")
+    for k, v in opts.items():
+        if isinstance(v, (str, int, bool)):
+            reader = reader.option(k, v)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.format(fmt).load(path)
+
+
+def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
+                clean: DataFrame, errors: DataFrame) -> PipelineResult:
+    """Checkpointed availableNow writeStream to the file destination;
+    the returned ``output`` is a batch read-back of what was written (so
+    PipelineResult keeps its contract — counts/collect work)."""
+    dst = cfg.destination
+    checkpoint = dst.checkpoint or (dst.file or "") + "_checkpoint"
+    writer = (clean.writeStream.format(dst.type)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append")
+              .trigger(availableNow=True))
+    if dst.type == "csv":
+        writer = writer.option("header", "true")
+    q = writer.start(dst.file or "")
+    q.awaitTermination()
+    read_opts = {"header": True} if dst.type == "csv" else {}
+    out = spark.read.options(**read_opts).format(dst.type).load(dst.file or "")
+    return PipelineResult(out, errors, written=True)
+
+
 def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
                  dry_run: bool = False) -> PipelineResult:
     clean, errors, filter_errors = build_pipeline(spark, cfg)
+
+    streaming = cfg.source is not None and cfg.source.stream
+    if streaming:
+        if dry_run or cfg.dryRun or cfg.destination is None:
+            raise ValueError("streaming playbooks need a destination "
+                             "and cannot dry-run")
+        # validation already forced mode=skip / no errorFile / no halt
+        return _run_stream(spark, cfg, clean, errors)
 
     mode = cfg.errorHandling.mode
     if mode == "halt":

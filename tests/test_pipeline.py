@@ -283,3 +283,50 @@ def test_sql_stage_validation():
         load_config({"source": {"type": "csv", "file": "x.csv"},
                      "sources": {"src": {"type": "csv", "file": "y.csv"}},
                      "sql": "SELECT * FROM src"})
+
+
+def test_streaming_playbook_matches_batch(spark, tmp_path):
+    """source.stream: the same playbook semantics through Structured
+    Streaming — the streamed output equals the batch run's output."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.csv").write_text("id,status,amount\n1,active,10\n2,bad,3\n")
+    (src_dir / "b.csv").write_text("id,status,amount\n3,active,7\n4,active,x\n")
+    base = {
+        "filter": "status == 'active'",
+        "mappings": [
+            {"source": "id", "target": "id", "transform": "mustToInt"},
+            {"source": "amount", "target": "amount", "transform": "toFloat"},
+        ],
+        "errorHandling": {"mode": "skip"},
+    }
+    stream_out = tmp_path / "out_stream"
+    cfg_s = load_config({
+        **base,
+        "source": {"type": "csv", "file": str(src_dir), "stream": True},
+        "destination": {"type": "parquet", "file": str(stream_out),
+                        "checkpoint": str(tmp_path / "ckpt")},
+    })
+    res_s = run_pipeline(spark, cfg_s)
+    assert res_s.written
+
+    cfg_b = load_config({
+        **base,
+        "source": {"type": "csv", "file": str(src_dir)},
+    })
+    res_b = run_pipeline(spark, cfg_b)
+    want = sorted((r["id"], r["amount"]) for r in res_b.output.collect())
+    got = sorted((r["id"], r["amount"]) for r in res_s.output.collect())
+    assert got == want and len(got) == 3  # id=4 amount 'x' -> toFloat null ok
+
+
+def test_streaming_playbook_validation():
+    src = {"type": "csv", "file": "in.csv", "stream": True}
+    with pytest.raises(ConfigError, match="halt mode"):
+        load_config({"source": src, "errorHandling": {"mode": "halt"}})
+    with pytest.raises(ConfigError, match="dedup"):
+        load_config({"source": src, "errorHandling": {"mode": "skip"},
+                     "dedup": {"keys": ["id"]}})
+    with pytest.raises(ConfigError, match="batch-only"):
+        load_config({"source": src, "errorHandling": {"mode": "skip"},
+                     "sql": "SELECT * FROM src"})

@@ -246,3 +246,17 @@ def test_islands_shares_partitioning(spark, catalog):
     # user-grid window, user x type window, aggregation: the plan may
     # re-sort but must not shuffle more than the two window grids
     assert len(nodes(p, "Exchange")) <= 2
+
+
+def test_funnel_single_shuffle_no_join(spark, catalog):
+    p = plan(catalog["events_funnel"](spark, SF_DIR))
+    assert "Join" not in p  # conditional-min collapse, not per-step joins
+    # user rollup + global rollup, each partial+final
+    assert len(nodes(p, "HashAggregate")) >= 3
+
+
+def test_unigram_logprob_vocab_join_not_cartesian(spark, catalog):
+    p = plan(catalog["llm_unigram_logprob"](spark, SF_DIR))
+    # token->frequency is an equi-join; only the 1-row total broadcasts
+    assert "CartesianProduct" not in p
+    assert len(nodes(p, "BroadcastNestedLoopJoin")) <= 1

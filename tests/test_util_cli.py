@@ -39,3 +39,16 @@ def test_cli_bad_config_exit_code(tmp_path):
     from etl_tool_spark.__main__ import main
 
     assert main(["-config", str(tmp_path / "missing.yaml")]) == 2
+
+
+def test_cli_explain_flag(tmp_path, capsys):
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,x\n")
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(f"source: {{type: csv, file: {src}}}\n"
+                   "filter: \"id == '1'\"\n")
+    from etl_tool_spark.__main__ import main
+
+    assert main(["-config", str(cfg), "-explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan csv" in out
