@@ -103,7 +103,11 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:
         print(f"pipeline failed: {e}", file=sys.stderr)
         return 1
-    n = result.output.count()
+    # the load action already observed the output count — don't re-execute
+    # the whole pipeline just to report it
+    n = (result.metrics or {}).get("rows_out")
+    if n is None:
+        n = result.output.count()
     print(f"{'dry-run: would write' if not result.written else 'wrote'} {n} records")
     return 0
 

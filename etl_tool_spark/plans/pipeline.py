@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_tool_spark.operators.dedup import dedup
 from etl_tool_spark.operators.errors import (
@@ -36,6 +37,9 @@ class PipelineResult:
     written: bool
     load_processed: int = 0    # custom-DML loader: records committed
     load_failed: int = 0       # custom-DML loader: records skipped (non-batched)
+    # Observation metrics from the load/dry-run action itself (no second
+    # pipeline execution): {"rows_out": N} when the batch path ran.
+    metrics: dict | None = None
 
 
 def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
@@ -57,10 +61,8 @@ def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
             read_source(spark, ep.type, ep.file or ep.query or "",
                         ep.options, attach_seq=False) \
                 .createOrReplaceTempView(name)
-        from pyspark.sql import functions as _F
-
         df = spark.sql(cfg.sql).withColumn(
-            SEQ_COL, _F.monotonically_increasing_id())
+            SEQ_COL, F.monotonically_increasing_id())
     elif cfg.source is not None and cfg.source.stream:
         df = _read_stream_source(spark, cfg.source)
     else:
@@ -169,12 +171,21 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
     if mode == "skip" and cfg.errorHandling.errorFile:
         write_error_file(errors, cfg.errorHandling.errorFile)
 
+    # Observation: the load/dry-run action itself reports the output row
+    # count — no second execution of the pipeline to count results
+    # (the reference logs per-stage counts from its eager passes;
+    # observe() is the lazy-plan equivalent at zero extra cost)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    clean = clean.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+
     if dry_run or cfg.dryRun or cfg.destination is None:
         # dry run: count + 5-record sample, no load (app.go:174-177)
         n = clean.count()
         sample = clean.limit(5).collect()
         _ = (n, sample)
-        return PipelineResult(clean, errors, written=False)
+        return PipelineResult(clean, errors, written=False, metrics=obs.get)
 
     dst = cfg.destination
     loader_mode = str(dst.loader.get("mode", "")).lower()
@@ -183,6 +194,7 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         counts = write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
         return PipelineResult(clean, errors, written=True,
                               load_processed=counts["processed"],
-                              load_failed=counts["failed"])
+                              load_failed=counts["failed"],
+                              metrics=obs.get)
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
-    return PipelineResult(clean, errors, written=True)
+    return PipelineResult(clean, errors, written=True, metrics=obs.get)

@@ -76,17 +76,29 @@ def write_json(df: DataFrame, path: str, options: dict[str, Any]) -> None:
         out.write.mode(options.get("mode", "overwrite")).json(path)
 
 
-def write_parquet(df: DataFrame, path: str, options: dict[str, Any]) -> None:
-    out = _clean(df)
+def _columnar_writer(df: DataFrame, options: dict[str, Any]):
+    """Shared parquet/orc writer config: partitionBy lays out the
+    100 TB directory scheme (readers prune partitions on the filter
+    column), maxRecordsPerFile bounds file sizes so compaction/scan
+    parallelism stays healthy."""
+    writer = _clean(df).write.mode(options.get("mode", "overwrite"))
     partition_by = options.get("partitionBy")
-    writer = out.write.mode(options.get("mode", "overwrite"))
     if partition_by:
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if options.get("maxRecordsPerFile"):
+        writer = writer.option("maxRecordsPerFile",
+                               int(options["maxRecordsPerFile"]))
+    return writer
+
+
+def write_parquet(df: DataFrame, path: str, options: dict[str, Any]) -> None:
+    _columnar_writer(df, options).parquet(path)
 
 
 def write_orc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
-    _clean(df).write.mode(options.get("mode", "overwrite")).orc(path)
+    _columnar_writer(df, options).orc(path)
 
 
 def write_yaml(df: DataFrame, path: str, options: dict[str, Any]) -> None:

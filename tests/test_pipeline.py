@@ -330,3 +330,34 @@ def test_streaming_playbook_validation():
     with pytest.raises(ConfigError, match="batch-only"):
         load_config({"source": src, "errorHandling": {"mode": "skip"},
                      "sql": "SELECT * FROM src"})
+
+
+def test_metrics_from_load_action(spark, workdir):
+    out = workdir / "m_out"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(workdir / "input.csv")},
+        "filter": "status == 'active'",
+        "destination": {"type": "parquet", "file": str(out)},
+    })
+    res = run_pipeline(spark, cfg)
+    assert res.metrics == {"rows_out": 3}
+    res2 = run_pipeline(spark, cfg, dry_run=True)
+    assert res2.metrics == {"rows_out": 3}
+
+
+def test_partitioned_write_options(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,grp\n1,a\n2,b\n3,a\n")
+    out = tmp_path / "pq"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(src)},
+        "destination": {"type": "parquet", "file": str(out),
+                        "options": {"partitionBy": "grp",
+                                    "maxRecordsPerFile": 1}},
+    })
+    run_pipeline(spark, cfg)
+    assert (out / "grp=a").is_dir() and (out / "grp=b").is_dir()
+    back = spark.read.parquet(str(out)).filter("grp = 'a'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == 2
