@@ -2218,6 +2218,30 @@ def llm_stratified_sample(spark, sf_dir):
                   F.expr("bit_xor(_h)").alias("member_sig")))
 
 
+@query("llm_chunk_overlap", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + CASE WHEN len(toks) > 32
+                                  THEN (len(toks) - 32 + 23) // 24
+                                  ELSE 0 END)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id, chunk_id * 24 AS start_token,
+       len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM c
+""")
+def llm_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap → stride 24) — llm/prep.py chunk_text, the RAG/context-
+    window twin of pack_sequences: one row per chunk slicing the shared
+    token array, no per-token explosion, no shuffle."""
+    return P.chunk_text(_docs(spark, sf_dir), size=32, overlap=8)
+
+
 @query("llm_incremental_dedup", _oracle_minhash())
 def llm_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup against a growing signature store

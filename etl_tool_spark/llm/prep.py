@@ -32,7 +32,7 @@ from etl_tool_spark.llm.text import hash64, tokens
 
 __all__ = ["split_assign", "shard_assign", "stratified_sample",
            "PII_PATTERNS", "redact_pii", "pii_counts", "pack_sequences",
-           "contamination"]
+           "chunk_text", "contamination"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -145,6 +145,39 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     return per_chunk.select(
         F.col(id_col),
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"))
+
+
+def chunk_text(df: DataFrame, size: int, overlap: int = 0,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the RAG/context-window prep
+    twin of pack_sequences: windows start every ``size - overlap``
+    tokens, each ``size`` tokens long (the last may be short; a window
+    fully contained in the previous one is not emitted).
+
+    Same scale shape as pack_sequences: one output row per CHUNK slicing
+    the shared token array map-side — no per-token explosion, no
+    shuffle. Output: (id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive: {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size): {overlap}")
+    stride = size - overlap
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    # number of windows = 1 + ceil(max(n - size, 0) / stride)
+    extra = F.greatest(n - size, F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(extra / stride)).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    per_chunk = toks.select(F.col(id_col), F.col("_toks"), chunk.alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    window = F.slice("_toks", start + 1, size)
+    return per_chunk.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_token"),
         F.size(window).cast("bigint").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"))
 

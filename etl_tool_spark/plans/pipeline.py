@@ -163,29 +163,37 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         # validation already forced mode=skip / no errorFile / no halt
         return _run_stream(spark, cfg, clean, errors)
 
+    # Observations: the actions the pipeline runs anyway report the
+    # stage counts the reference logs from its eager passes — no second
+    # execution to count anything (observe() is metric piggybacking on
+    # the existing action, zero extra cost)
+    from pyspark.sql import Observation
+
+    stage_metrics: dict = {}
+
     mode = cfg.errorHandling.mode
     if mode == "halt":
         # processing errors halt; filter-eval errors only skip (app.go:156-161)
         halt_if_errors(errors)
     errors = _union_errors(errors, filter_errors)
     if mode == "skip" and cfg.errorHandling.errorFile:
+        err_obs = Observation()
+        errors = errors.observe(err_obs, F.count(F.lit(1)).alias("rows_error"))
         write_error_file(errors, cfg.errorHandling.errorFile)
-
-    # Observation: the load/dry-run action itself reports the output row
-    # count — no second execution of the pipeline to count results
-    # (the reference logs per-stage counts from its eager passes;
-    # observe() is the lazy-plan equivalent at zero extra cost)
-    from pyspark.sql import Observation
+        stage_metrics.update(err_obs.get)
 
     obs = Observation()
     clean = clean.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+
+    def _metrics() -> dict:
+        return {**stage_metrics, **obs.get}
 
     if dry_run or cfg.dryRun or cfg.destination is None:
         # dry run: count + 5-record sample, no load (app.go:174-177)
         n = clean.count()
         sample = clean.limit(5).collect()
         _ = (n, sample)
-        return PipelineResult(clean, errors, written=False, metrics=obs.get)
+        return PipelineResult(clean, errors, written=False, metrics=_metrics())
 
     dst = cfg.destination
     loader_mode = str(dst.loader.get("mode", "")).lower()
@@ -195,6 +203,6 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         return PipelineResult(clean, errors, written=True,
                               load_processed=counts["processed"],
                               load_failed=counts["failed"],
-                              metrics=obs.get)
+                              metrics=_metrics())
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
-    return PipelineResult(clean, errors, written=True, metrics=obs.get)
+    return PipelineResult(clean, errors, written=True, metrics=_metrics())

@@ -361,3 +361,18 @@ def test_partitioned_write_options(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.count() == 2
+
+
+def test_error_count_metric(spark, workdir):
+    errf = workdir / "errs2"
+    cfg = load_config({
+        "source": {"type": "csv", "file": str(workdir / "input.csv")},
+        "mappings": [{"source": "user_id", "target": "uid",
+                      "transform": "mustToInt"}],
+        "errorHandling": {"mode": "skip", "errorFile": str(errf)},
+        "destination": {"type": "parquet", "file": str(workdir / "m2_out")},
+    })
+    res = run_pipeline(spark, cfg)
+    # 'abc' fails mustToInt; the errorFile write action reports it
+    assert res.metrics["rows_error"] == 1
+    assert res.metrics["rows_out"] == 3

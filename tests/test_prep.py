@@ -157,3 +157,39 @@ def test_stratified_sample_rejects_bad_rates(spark):
         P.stratified_sample(docs, "lang", {"en": 120})
     with pytest.raises(ValueError):
         P.stratified_sample(docs, "lang", {"en": 50}, default_pct=-1)
+
+
+def test_chunk_text_overlap_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+         (2, "a b"),                                 # shorter than size
+         (3, " ".join(f"u{i}" for i in range(12)))],  # exact multiple
+        "doc_id long, text string")
+    got = {}
+    for r in P.chunk_text(docs, size=4, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk_text"]))
+    for v in got.values():
+        v.sort()
+    # doc 1: starts 0,2,4,6 — last window t6..t9 reaches the end
+    assert [c[1] for c in got[1]] == [0, 2, 4, 6]
+    assert got[1][0][3] == "t0 t1 t2 t3"
+    assert got[1][-1][3] == "t6 t7 t8 t9"
+    # doc 2: one short window
+    assert got[2] == [(0, 0, 2, "a b")]
+    # doc 3 (12 toks): starts 0,2,4,6,8 — stride 2, final full window
+    assert [c[1] for c in got[3]] == [0, 2, 4, 6, 8]
+    assert all(c[2] == 4 for c in got[3])
+    # every consecutive pair overlaps by exactly `overlap` tokens
+    for chunks in (got[1], got[3]):
+        for (_, s1, _, t1), (_, s2, _, t2) in zip(chunks, chunks[1:]):
+            assert s2 - s1 == 2
+            assert t1.split()[2:] == t2.split()[:2]
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        P.chunk_text(docs, size=0)
+    with pytest.raises(ValueError):
+        P.chunk_text(docs, size=4, overlap=4)
