@@ -71,3 +71,42 @@ def test_redact_pii_idempotent(spark, text):
     once = P.redact_pii(F.col("text"))
     got = df.select(once.alias("r1"), P.redact_pii(once).alias("r2")).first()
     assert got["r1"] == got["r2"]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(texts, min_size=1, max_size=6),
+       st.sampled_from([(4, 0), (4, 2), (8, 7), (32, 8)]))
+def test_chunk_text_covers_stream(spark, docs, size_overlap):
+    """Every token position lands in ≥1 chunk; consecutive chunks start
+    exactly `stride` apart; de-overlapping the chunks in order
+    reproduces the token stream exactly."""
+    size, overlap = size_overlap
+    stride = size - overlap
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = P.chunk_text(df, size, overlap).collect()
+    toks = {r["doc_id"]: r["t"] for r in
+            df.select("doc_id", tokens(F.col("text")).alias("t")).collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        stream = toks[doc_id]
+        assert [r["start_token"] for r in rows] == \
+            [i * stride for i in range(len(rows))]
+        rebuilt = []
+        for i, r in enumerate(rows):
+            chunk = stream[r["start_token"]:r["start_token"] + size]
+            assert r["n_tokens"] == len(chunk)
+            got = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            if chunk == [""]:
+                assert r["chunk_text"] == ""
+            else:
+                assert got == chunk
+            rebuilt.extend(chunk if i == 0 else chunk[overlap:])
+        assert rebuilt == stream
+        # last chunk reaches the end of the stream
+        last = rows[-1]
+        assert last["start_token"] + last["n_tokens"] == len(stream)

@@ -242,3 +242,17 @@ def test_interval_join_matches_batch(spark):
               .select("l_id", "r_id").collect())
     assert len(streamed) > 0
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_sliding_window_counts_match_batch(spark, events_stream):
+    """Sliding (hopping) windowed_counts ≡ the batch hopping-window
+    catalog query at the same window/slide grid."""
+    stream_to_memory(windowed_counts(events_stream, "1 hour", "15 minutes"),
+                     "wc_slide", output_mode="complete")
+    streamed = spark.sql(
+        "SELECT window_start, event_type, n FROM wc_slide").collect()
+    from etl_tool_spark.catalog import SPARK as CATALOG
+
+    batch = (CATALOG["events_hopping_window"](spark, SF_DIR)
+             .select("window_start", "event_type", "n").collect())
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
