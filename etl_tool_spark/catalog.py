@@ -2242,6 +2242,33 @@ def llm_chunk_overlap(spark, sf_dir):
     return P.chunk_text(_docs(spark, sf_dir), size=32, overlap=8)
 
 
+@query("llm_per_group_sample", f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_H64.format(x="'pergroup:' || doc_id")}, doc_id) AS rk
+  FROM documents)
+SELECT lang, count(*) AS n_sampled,
+       bit_xor({_H64.format(x="doc_id::VARCHAR")}) AS member_sig
+FROM r WHERE rk <= 20
+GROUP BY lang
+""")
+def llm_per_group_sample(spark, sf_dir):
+    """Deterministic 'N examples per class' (llm/prep.py
+    sample_per_group): rank each language's docs by salted hash — a
+    reproducible random order — and keep the first 20. Exact per-stratum
+    output size, one window shuffle; membership checked exactly via the
+    bit_xor signature."""
+    d = _docs(spark, sf_dir)
+    s = P.sample_per_group(d, "lang", 20)
+    return (s.select("lang",
+                     X.hash64(F.col("doc_id").cast("string")).alias("_h"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.expr("bit_xor(_h)").alias("member_sig")))
+
+
 @query("llm_incremental_dedup", _oracle_minhash())
 def llm_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup against a growing signature store

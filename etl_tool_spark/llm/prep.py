@@ -31,8 +31,8 @@ from etl_tool_spark.llm.dedup import shingles
 from etl_tool_spark.llm.text import hash64, tokens
 
 __all__ = ["split_assign", "shard_assign", "stratified_sample",
-           "PII_PATTERNS", "redact_pii", "pii_counts", "pack_sequences",
-           "chunk_text", "contamination"]
+           "sample_per_group", "PII_PATTERNS", "redact_pii", "pii_counts",
+           "pack_sequences", "chunk_text", "contamination"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -147,6 +147,28 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.size(window).cast("bigint").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"))
+
+
+def sample_per_group(df: DataFrame, strata_col: str, n: int,
+                     key_col: str = "doc_id",
+                     salt: str = "pergroup") -> DataFrame:
+    """Deterministic 'N examples per class': rank each stratum's rows by
+    a salted hash of the key (a reproducible random order) and keep the
+    first ``n``. Unlike a rate-based sample, the OUTPUT SIZE per stratum
+    is exact (min(n, stratum size)) — the eval-set/few-shot builder.
+
+    One window shuffle on the stratum key. Deterministic across engines
+    and reruns, and adding documents only displaces existing picks when
+    a new key hashes earlier — no global reshuffle."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    h = _key_hash(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= n)
+              .drop("_rk"))
 
 
 def chunk_text(df: DataFrame, size: int, overlap: int = 0,

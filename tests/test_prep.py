@@ -193,3 +193,23 @@ def test_chunk_text_rejects_bad_params(spark):
         P.chunk_text(docs, size=0)
     with pytest.raises(ValueError):
         P.chunk_text(docs, size=4, overlap=4)
+
+
+def test_sample_per_group_exact_counts_and_stability(spark):
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+         .when(F.col("id") % 3 == 1, "b").otherwise("c").alias("lang"))
+    got = P.sample_per_group(docs, "lang", 10).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by.items()} == {"a": 10, "b": 10, "c": 10}
+    # deterministic across reruns
+    again = {r["doc_id"] for r in P.sample_per_group(docs, "lang", 10).collect()}
+    assert again == set().union(*by.values())
+    # n larger than the stratum -> whole stratum
+    tiny = docs.filter(F.col("doc_id") < 6)
+    assert P.sample_per_group(tiny, "lang", 10).count() == 6
+    with pytest.raises(ValueError):
+        P.sample_per_group(docs, "lang", 0)
