@@ -1922,6 +1922,101 @@ def q19_disjunctive(spark, sf_dir):
               .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue")))
 
 
+@query("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2)::DOUBLE AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,6) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation filters broadcast and PRUNE both fact paths
+    early (supplier side and customer side each shrink before the
+    fact-fact joins); the disjunctive nation pair evaluates as the
+    join residual."""
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01"))))
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        n = _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2"))
+        s = (_t(spark, sf_dir, "supplier")
+             .join(F.broadcast(n.select(F.col("n_nationkey"),
+                                        F.col("n_name").alias("supp_nation"))),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", "supp_nation"))
+        c = (_t(spark, sf_dir, "customer")
+             .join(F.broadcast(n.select(F.col("n_nationkey").alias("_nk2"),
+                                        F.col("n_name").alias("cust_nation"))),
+                   F.col("c_nationkey") == F.col("_nk2"))
+             .select("c_custkey", "cust_nation"))
+        vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,6)")
+        pair = (((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
+        return _stamp(
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+              .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue")))
+
+
+@query("q9_product_profit", """
+SELECT n_name, o_year, round(sum(amount), 2)::DOUBLE AS sum_profit
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount)
+          - 0.6 * p_retailprice * l_quantity)::DECIMAL(18,6) AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%')
+GROUP BY n_name, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a product line (p_name LIKE) by
+    supplier nation and order year — no partsupp table in this schema,
+    so cost is modeled as 60% of retail price. The LIKE filter prunes
+    part BEFORE it broadcasts; lineitem is the only large input left."""
+    with _utc(spark):
+        p = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("%widget%"))
+             .select("p_partkey", "p_retailprice"))
+        li = _t(spark, sf_dir, "lineitem")
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+        n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - 0.6 * F.col("p_retailprice") * F.col("l_quantity")) \
+            .cast("decimal(18,6)")
+        return _stamp(
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+              .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit")))
+
+
 # =========================================================================
 # Histogram, funnel, corpus-LM scoring
 # =========================================================================

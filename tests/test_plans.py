@@ -260,3 +260,21 @@ def test_unigram_logprob_vocab_join_not_cartesian(spark, catalog):
     # token->frequency is an equi-join; only the 1-row total broadcasts
     assert "CartesianProduct" not in p
     assert len(nodes(p, "BroadcastNestedLoopJoin")) <= 1
+
+
+def test_q7_nation_pruning_broadcasts(spark, catalog):
+    p = plan(catalog["q7_volume_shipping"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # supplier/customer sides shrink via broadcast nation filters;
+    # no full shuffle-sort join of the fact against a dimension
+    assert len(nodes(p, "BroadcastHashJoin")) >= 3
+    assert any("l_shipdate" in seg.splitlines()[0]
+               for seg in p.split("PushedFilters:")[1:])
+
+
+def test_q9_like_prunes_before_broadcast(spark, catalog):
+    p = plan(catalog["q9_product_profit"](spark, SF_DIR))
+    # the LIKE filter reaches the part scan (StringContains pushdown)
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_name" in s for s in pushed)
+    assert len(nodes(p, "BroadcastHashJoin")) >= 3
