@@ -2337,6 +2337,51 @@ def llm_chunk_overlap(spark, sf_dir):
     return P.chunk_text(_docs(spark, sf_dir), size=32, overlap=8)
 
 
+@query("llm_langid_agreement", f"""
+WITH pred AS ({_oracle_lang_id()})
+SELECT lang, lang_pred, count(*) AS n
+FROM pred GROUP BY lang, lang_pred
+""")
+def llm_langid_agreement(spark, sf_dir):
+    """Labeled-vs-predicted language confusion counts — the evaluation
+    workload over the classifier output: one extra tiny aggregation on
+    top of the map-side language_id projection."""
+    pred = SPARK["llm_language_id"](spark, sf_dir)
+    return (pred.groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("events_trending", """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n, total_value, rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY window_start
+        ORDER BY total_value DESC, event_type) AS rnk
+      FROM w)
+WHERE rnk <= 2
+""")
+def events_trending(spark, sf_dir):
+    """Top-2 trending event types per hour: a time-window rollup feeding
+    an analytic ranking window — the two stages share the window_start
+    hash lineage, so the rank adds no second full shuffle of raw events
+    (it ranks the already-collapsed per-window rows)."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        w = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value"))
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n", "total_value"))
+        rank_w = Window.partitionBy("window_start").orderBy(
+            F.col("total_value").desc(), F.col("event_type"))
+        return _stamp(
+            w.withColumn("rnk", F.row_number().over(rank_w))
+             .filter(F.col("rnk") <= 2))
+
+
 @query("llm_per_group_sample", f"""
 WITH r AS (
   SELECT doc_id, lang,
