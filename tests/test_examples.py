@@ -52,3 +52,18 @@ def test_revenue_by_region_playbook(spark, tmp_path, monkeypatch):
     rows = {r["nation"]: float(r["revenue"]) for r in out.collect()}
     assert len(rows) == 25 and all(v > 0 for v in rows.values())
     assert all(n == n.upper() for n in rows)
+
+
+def test_events_stream_playbook(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("OUT_DIR", str(tmp_path))
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    cfg = load_config(os.path.join(REPO, "examples", "events_stream.yaml"))
+    res = run_pipeline(spark, cfg)
+    assert res.written
+    got = res.output
+    assert got.count() > 0
+    assert {r["event_type"] for r in got.select("event_type").distinct().collect()} \
+        == {"PURCHASE"}
+    assert got.filter(F.col("value") <= 1).count() == 0
