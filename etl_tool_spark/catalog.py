@@ -2144,6 +2144,32 @@ def agg_salted_skew(spark, sf_dir):
 # Raw SQL surface: one ANSI text, two engines
 # =========================================================================
 
+_SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey <= 1
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1
+  FROM supplier s JOIN chain c
+    ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.s_suppkey
+  WHERE s.s_suppkey > 1)
+SELECT depth, count(*) AS n, sum(s_suppkey) AS key_sum
+FROM chain GROUP BY depth
+"""
+
+
+@query("sql_recursive_hierarchy", _SQL_RECURSIVE_HIERARCHY)
+def sql_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): per-level rollup of the
+    implicit heap-shaped hierarchy parent(k) = k/2 over supplier keys —
+    org-chart / BOM traversal, the IDENTICAL ANSI text on Spark and the
+    DuckDB oracle. Each iteration is one equi-join of the frontier
+    against the (small, reusable) supplier scan; depth is bounded by
+    log2(keys), so the plan is ~7 chained joins here, not a fixpoint
+    driver loop."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_SQL_RECURSIVE_HIERARCHY)
+
+
 _SQL_SEGMENT_ORDERS = """
 WITH co AS (
   SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
