@@ -2408,6 +2408,64 @@ def events_trending(spark, sf_dir):
              .filter(F.col("rnk") <= 2))
 
 
+_ALLSTOP_LIST = "[" + ", ".join(
+    f"'{w}'" for ws in sorted(X.STOPWORDS.items()) for w in ws[1]) + "]"
+
+@query("llm_dedup_keep_best", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+ lab AS (SELECT d.doc_id,
+                coalesce(least(c.mn, d.doc_id), d.doc_id) AS group_id
+         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+ tq AS (SELECT doc_id, trim(text) AS tt,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+ mq AS (SELECT doc_id,
+               CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+               (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+                     / greatest(length(tt), 1) AS punct_ratio,
+               len(list_filter(toks, x -> list_contains({_ALLSTOP_LIST}, x)))
+                     / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+                 AS stop_ratio
+        FROM tq),
+ q AS (SELECT doc_id,
+              floor((least(n_tokens / 20.0, 1.0) * 0.4
+                    + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+                    + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000
+                AS quality_score
+       FROM mq)
+SELECT group_id, group_size, keep_doc_id, quality_score FROM (
+  SELECT l.group_id, q.doc_id AS keep_doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY l.group_id
+                            ORDER BY q.quality_score DESC, q.doc_id DESC) AS rk,
+         count(*) OVER (PARTITION BY l.group_id) AS group_size
+  FROM lab l JOIN q ON l.doc_id = q.doc_id)
+WHERE rk = 1 AND group_size > 1
+""")
+def llm_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup representative selection: within each
+    transitive near-dup group (>1 member), keep the member with the
+    highest quality score (ties → highest doc_id) — the policy real
+    corpus dedup wants instead of keep-lowest-id. Composes the CC
+    groups with the map-side quality projection; one ranking window on
+    group_id over the (tiny) grouped frame."""
+    groups = llm_dedup_groups(spark, sf_dir).filter(F.col("group_size") > 1)
+    quality = llm_quality_score(spark, sf_dir)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").desc())
+    return (groups.join(quality, "doc_id")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("group_id", "group_size",
+                    F.col("doc_id").alias("keep_doc_id"), "quality_score"))
+
+
 @query("llm_per_group_sample", f"""
 WITH r AS (
   SELECT doc_id, lang,
