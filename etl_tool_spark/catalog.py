@@ -2021,6 +2021,90 @@ def q9_product_profit(spark, sf_dir):
 # Histogram, funnel, corpus-LM scoring
 # =========================================================================
 
+@query("join_outer_coalesce", """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+     o AS (SELECT o_custkey, count(*) AS n_orders
+           FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN o_custkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS side,
+       coalesce(n_orders, 0) AS n_orders
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+""")
+def join_outer_coalesce(spark, sf_dir):
+    """FULL OUTER join with coalesced key and side classification — the
+    reconciliation shape (which customers/orders exist on only one
+    side). Both inputs pre-aggregate/filter before the join, so the
+    outer join runs on the reduced sets."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") < 0).select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 150000)
+         .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    side = (F.when(F.col("c_custkey").isNull(), "order_only")
+             .when(F.col("o_custkey").isNull(), "customer_only")
+             .otherwise("both"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+             .select(F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+                     side.alias("side"),
+                     F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+
+
+@query("window_moving_avg", """
+SELECT o_orderkey, o_custkey,
+       ((2 * s + c) // (2 * c))::DOUBLE / 100 AS ma4
+FROM (
+  SELECT o_orderkey, o_custkey,
+         sum(round(o_totalprice * 100)::BIGINT) OVER w AS s,
+         count(*) OVER w AS c
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+""")
+def window_moving_avg(spark, sf_dir):
+    """ROWS-frame moving average (trailing 4 orders per customer) — the
+    row-count frame RANGE can't express; one shuffle on the partition
+    key, o_orderkey breaks same-date ties so the frame contents are
+    deterministic across engines. All arithmetic stays INTEGER (cents;
+    half-up division via (2s+c)//(2c)) because no floating formulation
+    survives both engines: sliding double sums differ (incremental vs
+    recompute), decimal avg divides in floating point in DuckDB, and
+    round() itself disagrees on half-cent doubles (Spark rounds the
+    shortest decimal rendering, DuckDB the binary value)."""
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(-3, 0))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey",
+                    F.sum(cents).over(w).alias("s"),
+                    F.count(F.lit(1)).over(w).alias("c"))
+            .select("o_orderkey", "o_custkey",
+                    (F.expr("(2 * s + c) div (2 * c)").cast("double") / 100)
+                    .alias("ma4")))
+
+
+@query("llm_label_centroids", """
+SELECT label, dim, round(avg(v), 6) AS centroid
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY label, dim
+""")
+def llm_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long (label, dim, value) form —
+    the k-means E-step / class-prototype computation. posexplode fans
+    each vector to (dim, value) rows that partial-aggregate map-side,
+    so the shuffle carries one partial sum per (label, dim), not the
+    vectors."""
+    e = _emb(spark, sf_dir)
+    return (e.select("label", F.posexplode("embedding").alias("dim", "v"))
+             .groupBy("label", "dim")
+             .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                   .alias("centroid")))
+
+
 @query("agg_histogram", """
 WITH b AS (
   SELECT least(floor(o_totalprice / 20000), 9)::BIGINT AS bucket

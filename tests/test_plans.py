@@ -278,3 +278,16 @@ def test_q9_like_prunes_before_broadcast(spark, catalog):
     pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
     assert any("p_name" in s for s in pushed)
     assert len(nodes(p, "BroadcastHashJoin")) >= 3
+
+
+def test_outer_join_pre_reduced(spark, catalog):
+    p = plan(catalog["join_outer_coalesce"](spark, SF_DIR))
+    assert "FullOuter" in p and "CartesianProduct" not in p
+    # orders pre-aggregates below the outer join
+    assert len(nodes(p, "HashAggregate")) >= 2
+
+
+def test_moving_avg_single_shuffle(spark, catalog):
+    p = plan(catalog["window_moving_avg"](spark, SF_DIR))
+    assert len(nodes(p, "Exchange")) == 1
+    assert len(nodes(p, "Window")) == 1  # both frame aggs share one window op
