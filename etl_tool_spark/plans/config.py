@@ -76,8 +76,8 @@ class PlaybookConfig:
     sql: str | None = None
 
 
-_VALID_TYPES = {"csv", "json", "parquet", "orc", "yaml", "yml", "xml", "xlsx",
-                "postgres", "jdbc"}
+_VALID_TYPES = {"csv", "json", "parquet", "orc", "text", "yaml", "yml", "xml",
+                "xlsx", "postgres", "jdbc"}
 _VALID_DEDUP = {"first", "last", "min", "max"}
 _VALID_ERROR_MODES = {"halt", "skip"}
 
@@ -180,7 +180,7 @@ def validate_config(cfg: PlaybookConfig) -> None:
     if cfg.source is not None and cfg.source.stream:
         # Streaming pipeline restrictions (each would need an action or
         # an unsupported-on-stream operator):
-        if cfg.source.type not in ("csv", "json", "parquet", "orc"):
+        if cfg.source.type not in ("csv", "json", "parquet", "orc", "text"):
             errors.append("source.stream: only file sources "
                           "(csv/json/parquet/orc) can stream")
         if cfg.sql:
@@ -195,7 +195,7 @@ def validate_config(cfg: PlaybookConfig) -> None:
         if cfg.errorHandling.errorFile:
             errors.append("source.stream: errorFile is batch-only")
         if cfg.destination is not None and cfg.destination.type not in (
-                "csv", "json", "parquet", "orc"):
+                "csv", "json", "parquet", "orc", "text"):
             errors.append("source.stream: destination must be a file sink "
                           "(csv/json/parquet/orc)")
 

@@ -114,6 +114,15 @@ def _read_stream_source(spark: SparkSession, src) -> DataFrame:
     import os
 
     path = src.file or ""
+    if src.type == "text":
+        # text's schema is fixed (value: string) — no inference read
+        reader = spark.readStream
+        if src.options.get("lineSep"):
+            reader = reader.option("lineSep", src.options["lineSep"])
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        return reader.text(path).withColumnRenamed("value", "text")
     batch = read_source(spark, src.type, path, src.options, attach_seq=False)
     reader = spark.readStream.schema(batch.schema)
     fmt = {"csv": "csv", "json": "json", "parquet": "parquet", "orc": "orc"}[src.type]

@@ -122,6 +122,21 @@ def read_orc(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFra
     return spark.read.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
+    """Raw text source (beyond the reference — corpus ingestion): one
+    row per line in a single ``text`` column, or one row per FILE with
+    ``wholetext: true`` (document-per-file corpora). ``lineSep``
+    overrides the line delimiter. Splittable and distributed like any
+    file scan — the entry point for .txt dumps feeding the llm/
+    operators."""
+    # NB: wholetext/lineSep must go through text()'s keyword args —
+    # .option("wholetext", "true") is silently ignored by the text source
+    df = spark.read.text(path,
+                         wholetext=bool(options.get("wholetext", False)),
+                         lineSep=options.get("lineSep"))
+    return df.withColumnRenamed("value", "text")
+
+
 def read_yaml(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
     import yaml  # PyYAML
 
@@ -213,6 +228,7 @@ _READERS = {
     "json": read_json,
     "parquet": read_parquet,
     "orc": read_orc,
+    "text": read_text,
     "yaml": read_yaml,
     "yml": read_yaml,
     "xml": read_xml,

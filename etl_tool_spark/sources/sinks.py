@@ -101,6 +101,22 @@ def write_orc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     _columnar_writer(df, options).orc(path)
 
 
+def write_text(df: DataFrame, path: str, options: dict[str, Any]) -> None:
+    """Raw text sink: writes the ``textColumn`` (default: the frame's
+    single string column, or ``text``) one row per line. Corpus export
+    for .txt-consuming tooling."""
+    out = _clean(df)
+    col = options.get("textColumn")
+    if col is None:
+        col = "text" if "text" in out.columns else (
+            out.columns[0] if len(out.columns) == 1 else None)
+    if col is None or col not in out.columns:
+        raise SinkError("text sink needs a 'textColumn' option (or a "
+                        "single-column / 'text'-column frame)")
+    (out.select(F.col(f"`{col}`").cast("string").alias("value"))
+        .write.mode(options.get("mode", "overwrite")).text(path))
+
+
 def write_yaml(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     import yaml
 
@@ -315,6 +331,7 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
 
 _WRITERS = {
     "csv": write_csv,
+    "text": write_text,
     "json": write_json,
     "parquet": write_parquet,
     "orc": write_orc,

@@ -276,3 +276,46 @@ def test_xlsx_header_quirks_and_cell_types(spark, tmp_path):
     recs = read_xlsx_records(str(p))
     assert recs == [{"h1": "TRUE", "h2": "42"},   # D2 bool wins h1; C numeric
                     {"h1": "", "h2": ""}]          # short row backfilled
+
+
+def test_text_source_and_sink_roundtrip(spark, tmp_path):
+    src = tmp_path / "corpus.txt"
+    src.write_text("first doc line\nsecond doc line\n\nfourth line\n")
+    from etl_tool_spark.sources.registry import read_source
+    from etl_tool_spark.sources.sinks import write_sink
+
+    df = read_source(spark, "text", str(src))
+    assert df.columns[0] == "text"
+    lines = [r["text"] for r in df.collect()]
+    assert len(lines) == 4 and "" in lines
+
+    out = tmp_path / "out_txt"
+    write_sink(df.filter("text <> ''"), "text", str(out), {})
+    back = spark.read.text(str(out))
+    assert sorted(r["value"] for r in back.collect()) == \
+        sorted(l for l in lines if l)
+
+
+def test_text_wholetext_one_row_per_file(spark, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha beta\ngamma\n")
+    (d / "b.txt").write_text("delta\n")
+    from etl_tool_spark.sources.registry import read_source
+
+    df = read_source(spark, "text", str(d), {"wholetext": True},
+                     attach_seq=False)
+    got = sorted(r["text"] for r in df.collect())
+    assert got == ["alpha beta\ngamma\n", "delta\n"]
+
+
+def test_text_sink_requires_resolvable_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_tool_spark.sources.sinks import SinkError, write_sink
+
+    two_cols = spark.createDataFrame([(1, "x")], "a long, b string")
+    with _pytest.raises(SinkError):
+        write_sink(two_cols, "text", str(tmp_path / "nope"), {})
+    write_sink(two_cols, "text", str(tmp_path / "ok"), {"textColumn": "b"})
+    assert [r["value"] for r in spark.read.text(str(tmp_path / "ok")).collect()] == ["x"]
