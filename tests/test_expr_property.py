@@ -62,7 +62,10 @@ class GD(float):
     def __mod__(self, o):
         if float(o) == 0.0:
             raise ZeroDivisionError
-        return GD(math.fmod(self, float(o)))
+        try:
+            return GD(math.fmod(self, float(o)))
+        except ValueError:  # fmod(±inf, y) raises here; Go/Java yield NaN
+            return GD(math.nan)
 
     def __add__(self, o):
         return GD(float(self) + float(o))
