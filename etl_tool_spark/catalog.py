@@ -2365,6 +2365,42 @@ def events_islands(spark, sf_dir):
 # Repetition-quality signals + deterministic stratified sampling
 # =========================================================================
 
+@query("events_retention_cohorts", """
+WITH firsts AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+FROM (
+  SELECT e.user_id,
+         date_trunc('week', f.first_ts)::TIMESTAMP AS cohort_week,
+         (epoch(date_trunc('week', e.ts))::BIGINT
+          - epoch(date_trunc('week', f.first_ts))::BIGINT) // 604800
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+GROUP BY cohort_week, week_offset
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted distinct in each subsequent week offset — the
+    product-analytics staple. Two aggregations + one join, all hashed on
+    user_id, so the lineage reuses one partitioning; week offsets are
+    exact integer arithmetic on week-start epochs (UTC, no DST drift)."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        j = (e.select("user_id", "ts")
+              .join(firsts, "user_id")
+              .select("user_id",
+                      F.date_trunc("week", "first_ts").alias("cohort_week"),
+                      (F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                       - F.unix_timestamp(F.date_trunc("week", F.col("first_ts"))))
+                      .alias("_d"))
+              .select("user_id", "cohort_week",
+                      F.expr("_d div 604800").alias("week_offset")))
+        return _stamp(
+            j.groupBy("cohort_week", "week_offset")
+             .agg(F.count_distinct("user_id").alias("n_active")))
+
+
 @query("llm_repetition_stats", """
 WITH a AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -291,3 +291,12 @@ def test_moving_avg_single_shuffle(spark, catalog):
     p = plan(catalog["window_moving_avg"](spark, SF_DIR))
     assert len(nodes(p, "Exchange")) == 1
     assert len(nodes(p, "Window")) == 1  # both frame aggs share one window op
+
+
+def test_retention_cohorts_shares_user_partitioning(spark, catalog):
+    p = plan(catalog["events_retention_cohorts"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # first-seen agg + join + distinct-count rollup; all hash on user_id
+    # lineage, so at most 3 exchanges end-to-end (scan partitions + agg
+    # grids), never one per stage
+    assert len(nodes(p, "Exchange")) <= 3
