@@ -2365,6 +2365,42 @@ def events_islands(spark, sf_dir):
 # Repetition-quality signals + deterministic stratified sampling
 # =========================================================================
 
+@query("events_gap_fill", """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+ hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM bounds),
+ grid AS (SELECT et.event_type, hours.h
+          FROM (SELECT DISTINCT event_type FROM agg) et CROSS JOIN hours)
+SELECT g.event_type, g.h AS hour, coalesce(a.n, 0) AS n
+FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+""")
+def events_gap_fill(spark, sf_dir):
+    """Time-series densification (gap filling): every (event_type, hour)
+    cell of the full grid gets a row, zero where nothing happened — the
+    hypertable/continuous-aggregate feature downstream charting and
+    window math need. The hour spine generates from a 1-row bounds
+    aggregate (sequence + explode, no driver loop); the type dimension
+    and the spine both broadcast onto the per-hour rollup."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        agg = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("h"), "event_type", "n"))
+        hours = (agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+                    .select(F.explode(F.expr(
+                        "sequence(lo, hi, interval 1 hour)")).alias("h")))
+        types = agg.select("event_type").distinct()
+        grid = types.crossJoin(F.broadcast(hours))
+        return _stamp(
+            grid.join(agg, ["h", "event_type"], "left")
+                .select("event_type", F.col("h").alias("hour"),
+                        F.coalesce("n", F.lit(0)).alias("n")))
+
+
 @query("events_retention_cohorts", """
 WITH firsts AS (
   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
