@@ -2105,6 +2105,36 @@ def llm_label_centroids(spark, sf_dir):
                    .alias("centroid")))
 
 
+@query("etl_profile_orders", """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         count(o_orderkey) AS nn_k, count(DISTINCT o_orderkey) AS nd_k,
+         min(o_orderkey)::VARCHAR AS mn_k, max(o_orderkey)::VARCHAR AS mx_k,
+         count(o_orderstatus) AS nn_s, count(DISTINCT o_orderstatus) AS nd_s,
+         min(o_orderstatus)::VARCHAR AS mn_s, max(o_orderstatus)::VARCHAR AS mx_s,
+         count(o_totalprice) AS nn_p, count(DISTINCT o_totalprice) AS nd_p,
+         min(o_totalprice)::VARCHAR AS mn_p, max(o_totalprice)::VARCHAR AS mx_p
+  FROM orders)
+SELECT 'o_orderkey' AS column, n_rows, n_rows - nn_k AS n_null,
+       nd_k AS n_distinct, mn_k AS min_value, mx_k AS max_value FROM w
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn_s, nd_s, mn_s, mx_s FROM w
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_p, nd_p, mn_p, mx_p FROM w
+""")
+def etl_profile_orders(spark, sf_dir):
+    """One-pass column profiling (operators/profile.py): row/null/
+    distinct counts + min/max for three orders columns — one scan, one
+    wide aggregate, zero-shuffle unpivot to long form. min/max render as
+    strings so mixed types share a schema (both engines format these
+    integers/doubles/strings identically; profiling timestamps would
+    need an explicit shared format)."""
+    from etl_tool_spark.operators.profile import profile
+
+    return profile(_t(spark, sf_dir, "orders"),
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
 @query("agg_histogram", """
 WITH b AS (
   SELECT least(floor(o_totalprice / 20000), 9)::BIGINT AS bucket

@@ -169,3 +169,31 @@ def test_asof_join_bounds(spark):
     exc = {r["tag"]: r["payload_right"] for r in
            asof_join(left, right, on=["k"], inclusive=False).collect()}
     assert exc == {"L1": None, "L2": "R@150", "L3": None}
+
+
+def test_profile_one_pass_stats(spark):
+    from etl_tool_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 2.5), (3, "a", 2.5)],
+        "k long, s string, v double")
+    got = {r["column"]: r for r in profile(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    k = got["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_value"], k["max_value"]) == ("1", "3")
+    s = got["s"]
+    assert (s["n_null"], s["n_distinct"], s["min_value"], s["max_value"]) \
+        == (1, 2, "a", "b")
+    v = got["v"]
+    assert (v["n_null"], v["n_distinct"]) == (1, 2)
+    # approx path: sketches instead of exact distinct (no Expand)
+    approx = {r["column"]: r for r in profile(df, approx=True).collect()}
+    assert approx["k"]["n_distinct"] > 0
+    plan = profile(df, approx=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile(df, ["nope"])
