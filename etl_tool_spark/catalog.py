@@ -2679,6 +2679,30 @@ def llm_per_group_sample(spark, sf_dir):
                   F.expr("bit_xor(_h)").alias("member_sig")))
 
 
+@query("llm_incremental_exact_dedup", """
+WITH fp AS (SELECT doc_id, lang,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents),
+ keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fp.doc_id, fp.lang FROM fp JOIN keep ON fp.doc_id = keep.doc_id
+""")
+def llm_incremental_exact_dedup(spark, sf_dir):
+    """Exact dedup-on-ingest (llm/dedup.py incremental_exact_dedup): the
+    corpus arrives as two id-ordered batches; each batch fingerprints
+    only itself and anti-joins the growing store. With id-ordered
+    batches the union of batch survivors equals the one-shot
+    min-id-per-fingerprint representatives — which is exactly what the
+    oracle computes over the full corpus."""
+    import tempfile
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    store = tempfile.mkdtemp(prefix="etl_incr_fp_") + "/store"
+    mid = 250
+    s1 = D.incremental_exact_dedup(d.filter(F.col("doc_id") < mid), store)
+    s2 = D.incremental_exact_dedup(d.filter(F.col("doc_id") >= mid), store)
+    return s1.unionByName(s2).select("doc_id", "lang")
+
+
 @query("llm_incremental_dedup", _oracle_minhash())
 def llm_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup against a growing signature store

@@ -24,12 +24,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.text import fingerprint, hash64, tokens
 
-__all__ = ["exact_dedup", "shingles", "minhash_signature", "lsh_candidate_pairs",
+__all__ = ["exact_dedup", "incremental_exact_dedup", "shingles",
+           "minhash_signature", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "incremental_minhash_pairs", "jaccard_pairs",
            "simhash", "simhash_buckets",
            "minhash_from_hashes_vec", "simhash_from_hashes_vec"]
@@ -45,6 +46,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .agg(F.min(id_col).alias(id_col),
                    F.count(F.lit(1)).alias("dup_count"))
               .drop("_fp"))
+
+
+def incremental_exact_dedup(new_df: DataFrame, store_dir: str,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            update_store: bool = True) -> DataFrame:
+    """Exact dedup-on-ingest against a growing fingerprint store — the
+    simplest production dedup primitive (every crawl batch drops rows
+    whose normalized text was EVER seen before, including within the
+    batch itself, keeping each batch's lowest-id first sighting).
+
+    ``store_dir`` is a parquet store of seen ``_fp`` md5 fingerprints,
+    created on first call. Each call fingerprints only the new batch,
+    anti-joins the store (at 100 TB: store bucketed by _fp → co-located
+    join; the per-batch survivors are tiny and append cheaply), and
+    appends the survivors' fingerprints. Old documents are never re-read
+    or re-hashed. Concatenating every batch's output equals the one-shot
+    ``exact_dedup`` representatives over the full corpus, batch-id order
+    permitting (asserted in tests).
+
+    The old-side read pins to the store's current part files, exactly as
+    ``incremental_minhash_pairs`` does (snapshot isolation stand-in).
+    Returns the surviving new rows (original columns)."""
+    spark = new_df.sparkSession
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    with_fp = new_df.select(fp, "*")
+
+    # lowest id wins within the batch (one shuffle on the fingerprint)
+    keep_w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    batch_first = (with_fp.withColumn("_rk", F.row_number().over(keep_w))
+                          .filter(F.col("_rk") == 1).drop("_rk"))
+
+    import glob as _glob
+    import os as _os
+
+    part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
+    if part_files:
+        seen = spark.read.parquet(*part_files)
+        survivors = batch_first.join(seen, "_fp", "left_anti")
+    else:
+        survivors = batch_first
+    if update_store:
+        survivors.select("_fp").write.mode("append").parquet(store_dir)
+    return survivors.drop("_fp")
 
 
 def shingles(col: Column, n: int = 3) -> Column:

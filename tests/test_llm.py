@@ -387,3 +387,29 @@ def test_repetition_stats_values(spark):
     r3 = got[3]
     assert r3["top_token_frac"] == 1.0 and r3["top_bigram_frac"] == 1.0
     assert r3["distinct_ratio"] == 0.25
+
+
+def test_incremental_exact_dedup_matches_one_shot(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "ALPHA   beta"),     # dups of each other
+         (2, "gamma"), (3, "delta"),
+         (10, "gamma"),                              # dup of 2, later batch
+         (11, "epsilon"), (12, "Epsilon  "),         # in-batch dup pair
+         (13, "alpha beta")],                        # dup of 0, later batch
+        "doc_id long, text string")
+    store = str(tmp_path / "fp_store")
+    b1 = D.incremental_exact_dedup(docs.filter("doc_id < 10"), store)
+    got1 = sorted(r["doc_id"] for r in b1.collect())
+    b2 = D.incremental_exact_dedup(docs.filter("doc_id >= 10"), store)
+    got2 = sorted(r["doc_id"] for r in b2.collect())
+    assert got1 == [0, 2, 3]
+    assert got2 == [11]  # 10/13 seen in store; 12 loses the in-batch tie
+    one_shot = sorted(r["doc_id"] for r in D.exact_dedup(docs).collect())
+    assert sorted(got1 + got2) == one_shot
+    # survivors keep their original columns
+    assert set(b1.columns) == {"doc_id", "text"}
+    # re-ingesting an already-stored batch is idempotent: its survivors'
+    # fingerprints are in the store, so nothing comes back
+    again = D.incremental_exact_dedup(docs.filter("doc_id >= 10"), store,
+                                      update_store=False)
+    assert again.count() == 0
