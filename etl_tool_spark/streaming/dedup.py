@@ -21,9 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_tool_spark.llm.dedup import incremental_minhash_pairs
+from etl_tool_spark.llm.dedup import (incremental_exact_dedup,
+                                      incremental_minhash_pairs)
 
-__all__ = ["near_dedup_stream"]
+__all__ = ["near_dedup_stream", "exact_dedup_stream"]
 
 
 def near_dedup_stream(docs: DataFrame, store_dir: str, pairs_dir: str,
@@ -41,6 +42,30 @@ def near_dedup_stream(docs: DataFrame, store_dir: str, pairs_dir: str,
             **minhash_kwargs)
         (pairs.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(pairs_dir))
+
+    q = (docs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def exact_dedup_stream(docs: DataFrame, store_dir: str, out_dir: str,
+                       checkpoint: str, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Streaming exact dedup-on-ingest: each micro-batch keeps only
+    documents whose normalized text was never seen (across ALL prior
+    batches, via the persistent fingerprint store) and appends the
+    survivors to ``out_dir`` — the always-deduped landing zone. Same
+    at-least-once/foreachBatch semantics as near_dedup_stream; the store
+    anti-join makes a replayed batch a no-op for already-landed docs."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = incremental_exact_dedup(batch_df, store_dir,
+                                        id_col=id_col, text_col=text_col)
+        (fresh.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
 
     q = (docs.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)

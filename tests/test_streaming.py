@@ -256,3 +256,33 @@ def test_sliding_window_counts_match_batch(spark, events_stream):
     batch = (CATALOG["events_hopping_window"](spark, SF_DIR)
              .select("window_start", "event_type", "n").collect())
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming micro-batches through the fingerprint store keep
+    exactly the one-shot exact-dedup representatives."""
+    from etl_tool_spark.llm.dedup import exact_dedup
+    from etl_tool_spark.streaming.dedup import exact_dedup_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .select("doc_id", "text").limit(200).cache())
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    # id-ordered micro-batches (file order = lexicographic)
+    docs.filter(F.col("doc_id") < 100).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    docs.filter(F.col("doc_id") >= 100).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    exact_dedup_stream(stream, str(tmp_path / "fp_store"),
+                       str(tmp_path / "landed"), str(tmp_path / "ckpt"))
+
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    got = sorted(r["doc_id"] for r in landed.collect())
+    want = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert got == want
+    assert "batch_id" in landed.columns
+    docs.unpersist()
