@@ -2284,6 +2284,28 @@ def sql_recursive_hierarchy(spark, sf_dir):
     return spark.sql(_SQL_RECURSIVE_HIERARCHY)
 
 
+_SQL_LATERAL_TOPK = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("sql_lateral_topk", _SQL_LATERAL_TOPK)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    for-each-row-run-a-query surface, IDENTICAL ANSI text on Spark and
+    the oracle. Catalyst decorrelates it into the same
+    rank-filtered-join plan the window formulation produces
+    (window_topn_per_group is the DataFrame twin), so the per-customer
+    'subquery' never actually executes per row."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
 _SQL_SEGMENT_ORDERS = """
 WITH co AS (
   SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)

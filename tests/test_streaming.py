@@ -286,3 +286,29 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     assert got == want
     assert "batch_id" in landed.columns
     docs.unpersist()
+
+
+def test_exact_dedup_stream_checkpoint_resume_idempotent(spark, tmp_path):
+    """Re-running an availableNow stream against the same checkpoint must
+    process nothing new — landed output identical after the second run
+    (the restart/replay safety the checkpoint exists for)."""
+    from etl_tool_spark.streaming.dedup import exact_dedup_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .select("doc_id", "text").limit(80))
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "f1"))
+    stream_args = (str(tmp_path / "store"), str(tmp_path / "landed"),
+                   str(tmp_path / "ckpt"))
+
+    def run():
+        s = (spark.readStream.schema(docs.schema).parquet(str(src / "*")))
+        exact_dedup_stream(s, *stream_args)
+        return sorted(r["doc_id"] for r in
+                      spark.read.parquet(str(tmp_path / "landed")).collect())
+
+    first = run()
+    assert len(first) > 0
+    again = run()   # same checkpoint: the committed file is not reprocessed
+    assert again == first
