@@ -2453,6 +2453,26 @@ def events_gap_fill(spark, sf_dir):
                         F.coalesce("n", F.lit(0)).alias("n")))
 
 
+@query("events_props_kv", """
+WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+SELECT key, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_v
+FROM kv GROUP BY key
+""")
+def events_props_kv(spark, sf_dir):
+    """Semi-structured map explosion: the JSON props payload parses into
+    a typed map (one map-side from_json, no per-key regex scans), each
+    entry fans out to a (key, value) row, and keys aggregate across the
+    corpus — the dynamic-schema payload profile. Works for any key set;
+    the pivot to fixed columns is events_json_extract's job."""
+    e = _events(spark, sf_dir)
+    return (e.select(F.explode(
+                F.from_json("props", "map<string,bigint>")).alias("key", "v"))
+             .groupBy("key")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("v").alias("sum_v")))
+
+
 @query("events_retention_cohorts", """
 WITH firsts AS (
   SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
