@@ -1979,6 +1979,68 @@ def q7_volume_shipping(spark, sf_dir):
               .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue")))
 
 
+@query("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                      ELSE 0::DECIMAL(18,6) END) / sum(volume), 6)::DOUBLE
+         AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,6) AS volume,
+         n2.n_name AS nation
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of promo revenue per
+    year within one customer region — an 8-table tree where every
+    dimension path (part type, customer→nation→region, supplier→nation)
+    broadcasts and prunes before touching the fact-fact join; the share
+    is a ratio of conditional decimal sums (q14's determinism rationale)."""
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem")
+        p = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate")
+        n = _t(spark, sf_dir, "nation")
+        r = (_t(spark, sf_dir, "region")
+             .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+        cust = (_t(spark, sf_dir, "customer")
+                .join(F.broadcast(
+                    n.join(F.broadcast(r),
+                           n.n_regionkey == r.r_regionkey)
+                     .select(F.col("n_nationkey").alias("_cnk"))),
+                      F.col("c_nationkey") == F.col("_cnk"))
+                .select("c_custkey"))
+        supp = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(n.select(
+                    F.col("n_nationkey").alias("_snk"),
+                    F.col("n_name").alias("nation"))),
+                      F.col("s_nationkey") == F.col("_snk"))
+                .select("s_suppkey", "nation"))
+        vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(18,6)")
+        return _stamp(
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(cust, o.o_custkey == cust.c_custkey, "left_semi")
+              .groupBy(F.year("o_orderdate").alias("o_year"))
+              .agg(F.round(
+                  F.sum(F.when(F.col("nation") == "NATION_3", vol)
+                         .otherwise(zero)) / F.sum(vol), 6)
+                   .cast("double").alias("mkt_share")))
+
+
 @query("q9_product_profit", """
 SELECT n_name, o_year, round(sum(amount), 2)::DOUBLE AS sum_profit
 FROM (

@@ -300,3 +300,13 @@ def test_retention_cohorts_shares_user_partitioning(spark, catalog):
     # lineage, so at most 3 exchanges end-to-end (scan partitions + agg
     # grids), never one per stage
     assert len(nodes(p, "Exchange")) <= 3
+
+
+def test_q8_all_dimensions_broadcast(spark, catalog):
+    p = plan(catalog["q8_market_share"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # part/supplier/nation/region paths broadcast; only orders joins the
+    # fact through a shuffle
+    assert len(nodes(p, "BroadcastHashJoin")) >= 3
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_type" in s for s in pushed)
