@@ -2257,6 +2257,37 @@ def events_funnel(spark, sf_dir):
                   one_if(step3).alias("n_signup_view_purchase")))
 
 
+@query("llm_zipf_slope", """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+ ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM freq)
+SELECT round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+       count(*) AS vocab_size
+FROM ranked
+""")
+def llm_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope of the corpus vocabulary (natural text
+    sits near -1; synthetic/boilerplate corpora deviate) — a linguistic
+    corpus diagnostic via the regression aggregates (regr_slope on the
+    log-log rank/frequency points). Token counts partial-aggregate; the
+    global rank is ONE total-order sort of the vocabulary (vocab is
+    orders smaller than the corpus), then a single-row regression."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select(F.explode(F.split(t, r"\s+")).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = freq.select("c", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(F.log(F.col("c").cast("double")),
+                             F.log(F.col("r").cast("double"))), 4)
+         .alias("zipf_slope"),
+        F.count(F.lit(1)).alias("vocab_size"))
+
+
 @query("llm_unigram_logprob", """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
