@@ -25,8 +25,16 @@ def numeric_expr(draw, depth=0, total_ops=("+", "-", "*", "/", "%", "**")):
     if depth > 2 or draw(st.booleans()):
         return draw(numeric_leaf)
     op = draw(st.sampled_from(total_ops))
-    l = draw(numeric_expr(depth + 1, total_ops))
-    r = draw(numeric_expr(depth + 1, total_ops))
+    # % after ** is numerically ill-conditioned across implementations:
+    # pow() is only correct to ~1 ulp (implementation-defined in both
+    # Java and C), and fmod amplifies a 1-ulp difference in a huge
+    # dividend (or modulus) into an arbitrarily different remainder —
+    # e.g. fmod((3**7.5)**6, 3) legitimately differs between engines.
+    # Every other operator is IEEE-exact, so relative tolerance holds;
+    # keep ** out of both subtrees of %.
+    sub_ops = tuple(o for o in total_ops if o != "**") if op == "%" else total_ops
+    l = draw(numeric_expr(depth + 1, sub_ops))
+    r = draw(numeric_expr(depth + 1, sub_ops))
     return f"({l} {op} {r})"
 
 
