@@ -2857,3 +2857,320 @@ def llm_incremental_dedup(spark, sf_dir):
     p1 = D.incremental_minhash_pairs(d.filter(F.col("doc_id") % 2 == 0), store)
     p2 = D.incremental_minhash_pairs(d.filter(F.col("doc_id") % 2 == 1), store)
     return p1.unionByName(p2)
+
+
+# =========================================================================
+# TPC-H completion: Q11/Q13/Q15/Q16/Q17/Q20/Q21/Q22 shapes (adapted to
+# this schema: no partsupp/comment/phone columns — see each docstring)
+# =========================================================================
+
+@query("q11_important_parts", """
+WITH val AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, round(value, 2)::DOUBLE AS value
+FROM val WHERE value > (SELECT sum(value) * 0.001 FROM val)
+""")
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp table: part 'value' = revenue from
+    suppliers in a nation group, instead of availqty*supplycost). The
+    HAVING-vs-global-scalar pattern: per-part values aggregate in one
+    shuffle; the grand total is a second tiny agg over the SAME frame,
+    broadcast back as a cross join — the fact table is scanned once.
+    Decimal sums keep the 0.1% threshold comparison exact cross-engine."""
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+         .select("n_nationkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    val = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+             .groupBy("l_partkey").agg(F.sum(vol).alias("value")))
+    total = val.agg((F.sum("value") * F.lit(0.001)).alias("_threshold"))
+    return (val.crossJoin(F.broadcast(total))
+               .filter(F.col("value") > F.col("_threshold"))
+               .select(F.col("l_partkey").alias("p_partkey"),
+                       F.round("value", 2).cast("double").alias("value")))
+
+
+@query("q13_customer_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (the o_comment NOT LIKE filter becomes an
+    orderpriority filter — this schema has no comment column). Spark
+    plan aggregates orders FIRST (count per custkey — partial map-side
+    combine), then outer-joins the small per-customer counts; the big
+    table never joins row-level. coalesce(cnt, 0) recovers the
+    LEFT JOIN's zero bucket."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .groupBy("o_custkey").agg(F.count("o_orderkey").alias("_cnt")))
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count"))
+             .groupBy("c_count")
+             .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 2)::DOUBLE AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view + scalar-max subquery. The
+    quarter's revenue aggregates once (decimal → the max-equality test
+    is exact, no float tie ambiguity); the scalar max is a tiny agg of
+    that SAME aggregated frame broadcast back — lineitem is scanned
+    once, supplier joins broadcast."""
+    with _utc(spark):
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+        vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+            .cast("decimal(18,6)")
+        rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+                 .agg(F.sum(vol).alias("total_revenue")))
+        mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+        s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return _stamp(
+            rev.crossJoin(F.broadcast(mx))
+               .filter(F.col("total_revenue") == F.col("_max_rev"))
+               .join(F.broadcast(s),
+                     F.col("supplier_no") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name",
+                       F.round("total_revenue", 2).cast("double")
+                        .alias("total_revenue")))
+
+
+@query("q16_part_supplier_cnt", """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_part_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size),
+    excluding a supplier blocklist (acctbal < 0 stands in for the
+    'complaints' comment scan — no partsupp/comment here, so the
+    part-supplier relation comes from lineitem). Blocklist NOT IN is a
+    broadcast anti-join BEFORE the shuffle; the part filter broadcasts;
+    count(DISTINCT) shuffles once on the group keys."""
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#11")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("q17_small_qty_revenue", """
+SELECT round(sum((l_extendedprice)::DECIMAL(18,6)) / 7.0, 2)::DOUBLE
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'STANDARD'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated per-part average. Spark plan: semi-restrict lineitem to
+    the ~dozen qualifying parts via broadcast, then compute the per-part
+    average as a WINDOW over the same frame (one shuffle, one scan)
+    instead of a second aggregate+re-join pass. Quantities are integral
+    doubles, so avg = exact-sum/count is order-insensitive and the 0.2×
+    threshold comparison is deterministic cross-engine."""
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#23")
+                 & (F.col("p_type") == "STANDARD"))
+         .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+              .withColumn("_thresh", F.lit(0.2) * F.avg("l_quantity").over(w))
+              .filter(F.col("l_quantity") < F.col("_thresh"))
+              .agg(F.round(
+                  F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                  / F.lit(7.0), 2).cast("double").alias("avg_yearly")))
+
+
+@query("q20_potential_promotion", """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+                 'NATION_5', 'NATION_6')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%widget')
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 30)
+""")
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — suppliers (in a nation
+    group) who moved real volume of a product line in a year. No
+    partsupp availqty here, so the threshold is absolute shipped
+    quantity rather than 0.5*availqty. Every membership test is a
+    semi-join: part filter broadcasts into lineitem, the HAVING
+    collapses to qualifying supplier keys, and supplier is probed with
+    a final broadcast semi-join — nothing materializes wider than the
+    qualifying keys."""
+    with _utc(spark):
+        p = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("%widget")).select("p_partkey"))
+        li = _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01"))))
+        qual = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey,
+                        "left_semi")
+                  .groupBy("l_suppkey", "l_partkey")
+                  .agg(F.sum("l_quantity").alias("_qty"))
+                  .filter(F.col("_qty") > 30)
+                  .select("l_suppkey").distinct())
+        n = (_t(spark, sf_dir, "nation")
+             .filter(F.col("n_name").isin(*[f"NATION_{i}" for i in
+                                            range(1, 7)]))
+             .select("n_nationkey"))
+        s = (_t(spark, sf_dir, "supplier")
+             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+             .select("s_suppkey", "s_name"))
+        return _stamp(
+            s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey,
+                   "left_semi"))
+
+
+@query("q21_waiting_suppliers", """
+WITH ostat AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN ostat ON ostat.l_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE l1.l_returnflag = 'R' AND n_supp > 1 AND n_ret = 1
+  AND r_name = 'ASIA'
+GROUP BY s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the at-fault supplier — lines this supplier
+    'failed' (returnflag R, standing in for receipt>commit; those
+    columns don't exist here) on finished multi-supplier orders where
+    NO other supplier failed. The classic EXISTS + NOT EXISTS pair of
+    lineitem self-joins is rewritten as ONE aggregate per order
+    (n_supp > 1 ⟺ EXISTS other supplier; n_ret = 1 with l1 flagged ⟺
+    NOT EXISTS other failing supplier) — two self-shuffles of the fact
+    table become one groupBy, and the subsequent joins all land on the
+    same l_orderkey partitioning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    ostat = (li.groupBy(F.col("l_orderkey").alias("_okey"))
+               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                    F.countDistinct(
+                        F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("n_ret")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    r = (_t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n = (_t(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (l1.join(o, l1.l_orderkey == o.o_orderkey)
+              .join(ostat.filter((F.col("n_supp") > 1)
+                                 & (F.col("n_ret") == 1)),
+                    l1.l_orderkey == F.col("_okey"))
+              .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+              .groupBy("s_name")
+              .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query("q22_global_sales_opportunity", """
+SELECT cntrycode, count(*) AS numcust,
+       round(sum((c_acctbal)::DECIMAL(18,6)), 2)::DOUBLE AS totacctbal
+FROM (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN ('00', '05', '12', '18', '23', '29',
+                                     '31')
+    AND c_acctbal > (SELECT (sum((c_acctbal)::DECIMAL(18,6)))::DOUBLE
+                            / count(*)
+                     FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01'))
+GROUP BY cntrycode
+""")
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no RECENT order, by
+    country code (the last two digits of c_name stand in for the phone
+    prefix — no phone column; 'never ordered' becomes 'not since 2000'
+    because this generator gives every customer at least one order).
+    The positive-balance average is computed as exact-decimal-sum ÷
+    count cast through double on BOTH engines so the threshold
+    comparison cannot wobble; NOT EXISTS is a left-anti join against
+    the date-pruned orders slice (AQE turns the handful of surviving
+    customers into a broadcast probe at runtime)."""
+    c = _t(spark, sf_dir, "customer")
+    code = F.substring("c_name", 17, 2)
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                      .cast("double") / F.count(F.lit(1)))
+                     .alias("_avg_bal")))
+    with _utc(spark):
+        o = _stamp(_t(spark, sf_dir, "orders")
+                   .filter(F.col("o_orderdate")
+                           >= F.to_timestamp(F.lit("2000-01-01")))
+                   .select("o_custkey"))
+    cand = (c.filter(code.isin("00", "05", "12", "18", "23", "29", "31"))
+             .crossJoin(F.broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("_avg_bal")))
+    return (cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+                .groupBy(code.alias("cntrycode"))
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")),
+                             2).cast("double").alias("totacctbal")))

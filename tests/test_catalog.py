@@ -39,7 +39,7 @@ def test_entry_contract(spark):
 # representative one-per-family subset for fast pytest runs
 SMOKE = ["q1_pricing_summary", "join_semi", "window_topn_per_group",
          "etl_mapping_chain", "etl_dedup_min", "llm_minhash_lsh_pairs",
-         "llm_embedding_topk", "events_sessionize"]
+         "llm_embedding_topk", "events_sessionize", "q21_waiting_suppliers"]
 
 
 @pytest.mark.parametrize("name", SMOKE)
