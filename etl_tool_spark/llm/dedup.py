@@ -573,8 +573,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     cands = (_bucket_pairs(banded, id_col, payload_cols=("_fp",),
                            max_bucket=max_bucket)
              .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"),
-                     F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb"))
-             .distinct())
+                     F.col("l._fp").alias("_fa"), F.col("r._fp").alias("_fb")))
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    # verify BEFORE the dedup shuffle: the popcount is map-side and cheap,
+    # so the distinct only shuffles surviving (a, b, hamming) triples —
+    # not every multi-band collision with two 64-bit payloads in tow.
+    # hamming is a pure function of (a, b), so distinct on the triple
+    # equals distinct on the pair.
     return (cands.filter(hamming <= max_hamming)
-                 .select("a", "b", hamming.cast("int").alias("hamming")))
+                 .select("a", "b", hamming.cast("int").alias("hamming"))
+                 .distinct())

