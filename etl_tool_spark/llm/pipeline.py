@@ -53,6 +53,20 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .select(id_col))
     uniq = kept.join(reps, id_col, "left_semi")
 
+    if staging_dir:
+        # checkpoint the filtered+exact-deduped corpus ONCE: it has
+        # three downstream consumers (the signature build and both the
+        # pair verify's and the final anti-join's doc sides), and
+        # without staging each consumer re-runs the quality/langid/
+        # fingerprint chain over the full input. This is the standard
+        # production stage boundary — the cleaned-corpus table a 100 TB
+        # pipeline writes between phases anyway. (AQE exchange reuse
+        # can't help: the consumers aggregate differently, so their
+        # exchanges never canonicalize equal.)
+        corpus_dir = f"{staging_dir.rstrip('/')}_corpus"
+        uniq.write.mode("overwrite").parquet(corpus_dir)
+        uniq = df.sparkSession.read.parquet(corpus_dir)
+
     # near-dup: pairwise drop-higher-id, or transitive component collapse
     pairs = minhash_dedup_pairs(uniq, id_col=id_col, text_col=text_col,
                                 threshold=jaccard_threshold,

@@ -417,3 +417,31 @@ def test_simhash_near_pairs_verifies_before_distinct(spark, catalog):
     aggs = [int(i) for i in nodes(p, "HashAggregate")]
     assert filt and aggs
     assert min(aggs) < max(filt) or "bit_count" in p  # distinct above verify
+
+
+def test_catalog_wide_no_cartesian_no_row_udf(spark, catalog):
+    """Every catalog plan must be cartesian-free and keep Python out of
+    the hot path except the documented Arrow spots (scripts/
+    audit_plans.py is the human-readable version of this sweep). The
+    incremental/store-backed queries are excluded here only because
+    building their frames performs eager staging writes — the audit
+    script still covers them."""
+    import re
+
+    skipped = {"llm_incremental_dedup", "llm_incremental_exact_dedup",
+               "llm_clean_corpus", "llm_clean_corpus_cc",
+               "llm_minhash_lsh_pairs", "llm_ngram_jaccard_pairs"}
+    offenders, row_udfs = [], []
+    for name, fn in sorted(catalog.items()):
+        if name in skipped:
+            continue
+        p = plan(fn(spark, SF_DIR))
+        if re.search(r"\(\d+\) CartesianProduct", p):
+            offenders.append(name)
+        # row-at-a-time Python UDFs never; ArrowEvalPython only where
+        # the operator is genuinely Python (multimodal decode, vectorized
+        # sketch builders)
+        if re.search(r"\(\d+\) BatchEvalPython", p):
+            row_udfs.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+    assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
