@@ -3184,3 +3184,22 @@ def q22_global_sales_opportunity(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("numcust"),
                      F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")),
                              2).cast("double").alias("totacctbal")))
+
+
+@query("llm_boilerplate_ngrams", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8)
+SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM grams GROUP BY gram HAVING count(*) >= 2
+""")
+def llm_boilerplate_ngrams(spark, sf_dir):
+    """C4-style cross-document boilerplate: 8-grams recurring in ≥2
+    distinct documents (llm/text.py:boilerplate_ngrams). Grams build
+    and dedup map-side per doc; ONE partial-agg'd shuffle on the gram
+    string — the corpus-frequency complement to pairwise near-dedup."""
+    return X.boilerplate_ngrams(_docs(spark, sf_dir))

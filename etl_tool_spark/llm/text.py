@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "quality_features", "language_id", "fingerprint",
-           "repetition_stats", "STOPWORDS"]
+           "repetition_stats", "boilerplate_ngrams", "STOPWORDS"]
 
 
 def hash64(col: Column) -> Column:
@@ -175,3 +175,33 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 F.round(F.coalesce(
                     F.col("top_bg") / F.col("n_bg").cast("double"),
                     F.lit(0.0)), 6).alias("top_bigram_frac")))
+
+
+def boilerplate_ngrams(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """Cross-document boilerplate detection, C4-style: token n-grams
+    that recur across ≥ ``min_docs`` DISTINCT documents (headers,
+    footers, licence blurbs, templated spans). Returns
+    (gram, n_docs, first_doc).
+
+    100 TB shape: per-doc grams are built map-side (one slice per
+    window over the shared token array) and deduped WITHIN the doc by
+    array_distinct before the explode, so the single shuffle is a
+    partial-agg'd groupBy on the gram string and n_docs needs no
+    count-distinct state. No joins, no candidate pairs — this is the
+    corpus-frequency complement to the pairwise near-dup family.
+    """
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("_toks"))
+    starts = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.array_distinct(F.transform(
+            starts, lambda i: F.array_join(F.slice("_toks", i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    return (base.select(F.col(id_col), F.explode(grams).alias("gram"))
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min(id_col).alias("first_doc"))
+                .filter(F.col("n_docs") >= min_docs))

@@ -413,3 +413,21 @@ def test_incremental_exact_dedup_matches_one_shot(spark, tmp_path):
     again = D.incremental_exact_dedup(docs.filter("doc_id >= 10"), store,
                                       update_store=False)
     assert again.count() == 0
+
+
+def test_boilerplate_ngrams_toy(spark):
+    """8-grams recurring across distinct docs; per-doc repeats count
+    once; short docs contribute nothing."""
+    eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, f"{eight} tail"),                 # gram at pos 1 (+1 shifted)
+         (2, f"head {eight}"),                 # same gram, another doc
+         (3, f"{eight} mid {eight}"),          # contains it twice → counts once
+         (4, "too short"),
+         (5, "u1 u2 u3 u4 u5 u6 u7 u8")],      # unique gram, 1 doc → filtered
+        "doc_id long, text string")
+    got = {r["gram"]: (r["n_docs"], r["first_doc"])
+           for r in X.boilerplate_ngrams(docs).collect()}
+    assert got[eight] == (3, 1)
+    assert all(n >= 2 for n, _ in got.values())
+    assert "u1 u2 u3 u4 u5 u6 u7 u8" not in got
