@@ -3203,3 +3203,53 @@ def llm_boilerplate_ngrams(spark, sf_dir):
     and dedup map-side per doc; ONE partial-agg'd shuffle on the gram
     string — the corpus-frequency complement to pairwise near-dedup."""
     return X.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+@query("llm_boilerplate_frac", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+boiler AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(b.gram) AS n_boiler,
+       round(count(b.gram) / count(*)::DOUBLE, 6) AS boiler_frac
+FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
+GROUP BY g.doc_id
+HAVING count(b.gram) > 0
+""")
+def llm_boilerplate_frac(spark, sf_dir):
+    """Per-document boilerplate contamination: the fraction of a doc's
+    distinct 8-grams that are corpus-recurring (llm_boilerplate_ngrams'
+    output joined back). The scale shape is the heavy-hitter broadcast:
+    the recurring-gram set is tiny relative to the corpus, so it
+    broadcasts into a map-side semi-probe over each doc's gram list —
+    the per-doc pass never shuffles gram strings a second time. Docs
+    with zero boilerplate are dropped (HAVING) to keep the result the
+    interesting contaminated set."""
+    d = _docs(spark, sf_dir)
+    boiler = X.boilerplate_ngrams(d).select("gram")
+    t = X.tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= 8,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 7),
+            lambda i: F.array_join(F.slice("_toks", i, 8), " ")))
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = base.select("doc_id", F.explode(grams).alias("gram"))
+    flagged = per_doc.join(F.broadcast(boiler.withColumn("_hit", F.lit(1))),
+                           "gram", "left")
+    return (flagged.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_grams"),
+                        F.count("_hit").alias("n_boiler"))
+                   .filter(F.col("n_boiler") > 0)
+                   .select("doc_id", "n_grams", "n_boiler",
+                           F.round(F.col("n_boiler")
+                                   / F.col("n_grams").cast("double"),
+                                   6).alias("boiler_frac")))
