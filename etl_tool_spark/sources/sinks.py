@@ -80,8 +80,24 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
     """Shared parquet/orc writer config: partitionBy lays out the
     100 TB directory scheme (readers prune partitions on the filter
     column), maxRecordsPerFile bounds file sizes so compaction/scan
-    parallelism stays healthy."""
-    writer = _clean(df).write.mode(options.get("mode", "overwrite"))
+    parallelism stays healthy.
+
+    ``sortBy`` lays the data out in GLOBAL order: repartitionByRange
+    (one shuffle with sampled range bounds) + sortWithinPartitions, so
+    files cover non-overlapping key ranges and parquet min/max column
+    stats let readers skip whole files on range predicates — the
+    time-ordered archive layout. ``sortPartitions`` overrides the
+    output partition count (defaults to the session shuffle setting)."""
+    out = _clean(df)
+    sort_by = options.get("sortBy")
+    if sort_by:
+        if isinstance(sort_by, str):
+            sort_by = [sort_by]
+        n = options.get("sortPartitions")
+        out = (out.repartitionByRange(int(n), *sort_by) if n
+               else out.repartitionByRange(*sort_by))
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(options.get("mode", "overwrite"))
     partition_by = options.get("partitionBy")
     if partition_by:
         if isinstance(partition_by, str):

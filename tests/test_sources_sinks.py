@@ -319,3 +319,28 @@ def test_text_sink_requires_resolvable_column(spark, tmp_path):
         write_sink(two_cols, "text", str(tmp_path / "nope"), {})
     write_sink(two_cols, "text", str(tmp_path / "ok"), {"textColumn": "b"})
     assert [r["value"] for r in spark.read.text(str(tmp_path / "ok")).collect()] == ["x"]
+
+
+def test_parquet_global_sort_layout(spark, tmp_path):
+    """sortBy lays files out in global order: every part file covers a
+    non-overlapping id range (parquet min/max stats then let readers
+    skip whole files on range predicates) and rows inside each file are
+    sorted."""
+    import glob
+
+    df = spark.createDataFrame([(i * 37 % 1000, f"v{i}") for i in range(1000)],
+                               "id long, v string")
+    out = str(tmp_path / "sorted.pq")
+    write_sink(df, "parquet", out, {"sortBy": "id", "sortPartitions": 4})
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert len(parts) == 4
+    ranges = []
+    for p in parts:
+        vals = [r.id for r in spark.read.parquet(p).collect()]
+        assert vals == sorted(vals)          # sorted within the file
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo                      # files cover disjoint ranges
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
