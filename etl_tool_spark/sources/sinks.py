@@ -76,6 +76,51 @@ def write_json(df: DataFrame, path: str, options: dict[str, Any]) -> None:
         out.write.mode(options.get("mode", "overwrite")).json(path)
 
 
+_Z_BITS = 8  # quantile buckets per z-order dimension (256 each)
+
+
+def _zorder(df: DataFrame, cols: list[str], n_partitions=None) -> DataFrame:
+    """Multi-dimensional clustering (Delta OPTIMIZE ZORDER analogue):
+    map each numeric column to a 256-bucket quantile rank, interleave
+    the rank bits into a Morton code, and range-sort the output on it.
+    Files then cover compact hyper-rectangles of the key space, so
+    parquet min/max stats skip whole files on range predicates over ANY
+    of the z-ordered columns — not just the leading sort key.
+
+    The quantile boundaries come from approxQuantile (one sampled pass,
+    the same cost class as repartitionByRange's sampling). Nulls sort
+    to bucket 0. Numeric/timestamp columns only."""
+    from pyspark.sql import functions as F
+
+    probs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    casted = [F.col(c).cast("double") for c in cols]
+    tmp = df.select(*[c.alias(f"_z{i}") for i, c in enumerate(casted)])
+    # keep DUPLICATE boundaries: bucket = #boundaries <= v is then the
+    # value's quantile RANK, which stretches low-cardinality columns
+    # across the full 0..255 range. Deduping instead leaves such a
+    # column only its few low Morton bits, and the other dimension's
+    # high bits dominate the ordering — no clustering for it at all.
+    bounds = [
+        tmp.stat.approxQuantile(f"_z{i}", probs, 0.001)
+        for i in range(len(cols))
+    ]
+    morton = F.lit(0).cast("bigint")
+    k = len(cols)
+    for i, (c, bs) in enumerate(zip(casted, bounds)):
+        arr = F.array(*[F.lit(b) for b in bs])
+        # bucket = number of boundaries <= value (0..256); null -> 0
+        bucket = F.when(c.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(arr, lambda b: b <= c))).cast("bigint")
+        for bit in range(_Z_BITS):
+            morton = morton + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                bit * k + i)
+    out = df.withColumn("_zorder", morton)
+    out = (out.repartitionByRange(int(n_partitions), "_zorder")
+           if n_partitions else out.repartitionByRange("_zorder"))
+    return out.sortWithinPartitions("_zorder").drop("_zorder")
+
+
 def _columnar_writer(df: DataFrame, options: dict[str, Any]):
     """Shared parquet/orc writer config: partitionBy lays out the
     100 TB directory scheme (readers prune partitions on the filter
@@ -87,9 +132,17 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
     files cover non-overlapping key ranges and parquet min/max column
     stats let readers skip whole files on range predicates — the
     time-ordered archive layout. ``sortPartitions`` overrides the
-    output partition count (defaults to the session shuffle setting)."""
+    output partition count (defaults to the session shuffle setting).
+
+    ``zorderBy`` clusters on SEVERAL columns at once via a Morton code
+    over per-column quantile ranks (see _zorder) — range predicates on
+    any of the listed columns skip files, at the cost of weaker
+    single-column locality than sortBy."""
     out = _clean(df)
     sort_by = options.get("sortBy")
+    zorder_by = options.get("zorderBy")
+    if sort_by and zorder_by:
+        raise SinkError("sortBy and zorderBy are mutually exclusive")
     if sort_by:
         if isinstance(sort_by, str):
             sort_by = [sort_by]
@@ -97,6 +150,8 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
         out = (out.repartitionByRange(int(n), *sort_by) if n
                else out.repartitionByRange(*sort_by))
         out = out.sortWithinPartitions(*sort_by)
+    elif zorder_by:
+        out = _zorder(out, list(zorder_by), options.get("sortPartitions"))
     writer = out.write.mode(options.get("mode", "overwrite"))
     partition_by = options.get("partitionBy")
     if partition_by:

@@ -344,3 +344,36 @@ def test_parquet_global_sort_layout(spark, tmp_path):
         assert hi <= lo                      # files cover disjoint ranges
     back = spark.read.parquet(out)
     assert back.count() == 1000
+
+
+def test_parquet_zorder_layout(spark, tmp_path):
+    """zorderBy clusters files on BOTH columns: every part file covers a
+    compact sub-rectangle of the (x, y) space, so each column's per-file
+    span is well below the global span (sortBy would give this for the
+    leading key only; an unsorted write for neither)."""
+    import glob
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "z.pq")
+    write_sink(df, "parquet", out, {"zorderBy": ["x", "y"],
+                                    "sortPartitions": 16})
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert len(parts) == 16
+    for col in ("x", "y"):
+        spans = []
+        for p in parts:
+            vals = [r[col] for r in spark.read.parquet(p).collect()]
+            spans.append(max(vals) - min(vals))
+        # 16 morton tiles over a 64x64 grid → each file covers a
+        # 16x64-or-narrower band; mean span must be far below global 63
+        assert sum(spans) / len(spans) <= 40, (col, spans)
+    assert spark.read.parquet(out).count() == 64 * 64
+
+
+def test_zorder_sortby_exclusive(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(SinkError):
+        write_sink(df, "parquet", str(tmp_path / "e.pq"),
+                   {"sortBy": "x", "zorderBy": ["x", "y"]})
