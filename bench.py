@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive",
     "llm_repetition_stats",
+    "llm_boilerplate_ngrams",
     "llm_unigram_logprob",
     "events_funnel",
 ]
