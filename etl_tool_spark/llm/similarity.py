@@ -26,7 +26,8 @@ from etl_tool_spark.llm.text import hash64
 
 __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "sign_bits", "embedding_dup_pairs",
-           "spherical_kmeans_centroids", "ivf_assign", "ivf_topk"]
+           "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
+           "ivf_build_index", "ivf_search"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -355,6 +356,77 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select(query_id_col, id_col, "_qvec", "_cvec",
                       "_qnorm", "_cnorm")
               .dropDuplicates([query_id_col, id_col]))
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
+    scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def ivf_build_index(corpus: DataFrame, index_dir: str, nlist: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Persist an IVF index: the train-once / serve-many split of
+    ivf_topk. Writes
+
+      {index_dir}/centroids — nlist rows (cell, centroid array)
+      {index_dir}/vectors   — the corpus with its norm, PARTITIONED BY
+                              the assigned cell
+
+    so searches read centroids (tiny), pick probe cells, and touch only
+    those cells' files: the cell is a directory partition column, and
+    the probe join prunes partitions at runtime (dynamic partition
+    pruning — asserted in tests). At 100 TB this is the difference
+    between a scan per query batch and reading nprobe/nlist of the
+    corpus; norms are precomputed at build so serving never re-walks
+    vectors it doesn't score. Returns the trained centroids."""
+    base = index_dir.rstrip("/")
+    centroids = spherical_kmeans_centroids(corpus, nlist=nlist,
+                                           id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    (spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>")
+        .coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids"))
+    (ivf_assign(corpus, centroids, vec_col=vec_col, cluster_col="cell")
+        .withColumn("_cnorm", norm(F.col(vec_col)))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{base}/vectors"))
+    return centroids
+
+
+def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 5,
+               nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Top-k against a PERSISTED IVF index (see ivf_build_index).
+    Identical results to ivf_topk with the same centroids (asserted in
+    tests); the difference is operational: no training or assignment at
+    query time, and the probe equi-join reads only the probed cells'
+    partitions via dynamic partition pruning."""
+    from pyspark.sql import Window
+
+    base = index_dir.rstrip("/")
+    cent_rows = spark.read.parquet(f"{base}/centroids") \
+                     .orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    c = (spark.read.parquet(f"{base}/vectors")
+              .select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                      F.col("_cnorm"), F.col("cell")))
+    qscores = _centroid_scores(F.col(vec_col), centroids)
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.transform(
+            qscores,
+            lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
+        1, nprobe)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm(F.col(vec_col)).alias("_qnorm"),
+                       F.explode(F.transform(probe_cells, lambda p: p["i"]))
+                        .alias("cell"))
+    cands = (c.join(F.broadcast(q), "cell")
+              .filter(F.col(id_col) != F.col(query_id_col)))
     sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
                                F.col("_qnorm") * F.col("_cnorm")), 6)
     scored = cands.select(query_id_col, id_col, sim.alias("cosine_sim"))

@@ -431,3 +431,30 @@ def test_boilerplate_ngrams_toy(spark):
     assert got[eight] == (3, 1)
     assert all(n >= 2 for n, _ in got.values())
     assert "u1 u2 u3 u4 u5 u6 u7 u8" not in got
+
+
+def test_ivf_persisted_index_matches_inmemory(spark, tmp_path):
+    """ivf_build_index + ivf_search ≡ ivf_topk with the same centroids
+    (the train-once/serve-many split changes operations, not results),
+    and the probe join prunes the cell-partitioned vectors at runtime
+    (dynamic partition pruning in the search plan)."""
+    import etl_tool_spark.llm.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = str(tmp_path / "ivf")
+    cents = S.ivf_build_index(emb, idx, nlist=8)
+    got = S.ivf_search(spark, idx, queries, k=5, nprobe=4)
+    want = S.ivf_topk(emb, queries, k=5, nlist=8, nprobe=4, centroids=cents)
+    grows = sorted(tuple(r) for r in got.collect())
+    wrows = sorted(tuple(r) for r in want.collect())
+    assert grows == wrows and len(grows) == 25
+    p = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted")
+    assert "dynamicpruning" in p or "PartitionFilters: [isnotnull(cell" in p
+    # the on-disk layout really is one directory per cell
+    import os
+
+    cells = [d for d in os.listdir(idx + "/vectors") if d.startswith("cell=")]
+    assert len(cells) == 8
