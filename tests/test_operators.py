@@ -197,3 +197,31 @@ def test_profile_one_pass_stats(spark):
 
     with _pytest.raises(ValueError):
         profile(df, ["nope"])
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """64 tiny files compact into a handful at the target size; rows and
+    values survive; sort_by lays the output in global order."""
+    from etl_tool_spark.operators.maintenance import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS g")
+    df.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    stats = compact_parquet(spark, src, dst, target_file_mb=1, sort_by=["id"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 4          # ~100KB of data, 1MB target
+    assert stats["rows"] == 10000
+    back = spark.read.parquet(dst)
+    assert back.count() == 10000
+    assert back.agg({"id": "sum"}).collect()[0][0] == df.agg({"id": "sum"}).collect()[0][0]
+    # global order: each output file covers a disjoint id range
+    import glob
+
+    ranges = []
+    for p in sorted(glob.glob(dst + "/part-*")):
+        vals = [r.id for r in spark.read.parquet(p).collect()]
+        assert vals == sorted(vals)
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
