@@ -19,7 +19,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="etl_tool_spark",
         description="PySpark-native ETL/analytics engine (playbook-driven)")
-    p.add_argument("-config", "--config", required=True, help="playbook YAML path")
+    p.add_argument("-config", "--config", help="playbook YAML path")
+    p.add_argument("-profile", "--profile", metavar="PATH",
+                   help="print one-pass per-column statistics for a "
+                        "parquet/csv/json table and exit")
+    p.add_argument("-compact", "--compact", nargs=2, metavar=("SRC", "DST"),
+                   help="compact a fragmented parquet directory into DST "
+                        "at -target-file-mb, then exit")
+    p.add_argument("-target-file-mb", "--target-file-mb", type=int,
+                   default=128, help="target file size for -compact")
     p.add_argument("-input", "--input", help="override source file path")
     p.add_argument("-output", "--output", help="override destination file path")
     p.add_argument("-db", "--db", help="database connection string "
@@ -53,6 +61,40 @@ def main(argv: list[str] | None = None) -> int:
     # session first: plan-time validation pre-compiles filter/branch
     # expressions into Catalyst Columns, which needs an active session
     spark = get_spark("etl_tool_spark_cli")
+
+    if args.profile:
+        from etl_tool_spark.operators.profile import profile
+
+        ext = os.path.splitext(args.profile)[1].lstrip(".").lower()
+        fmt = ext if ext in ("csv", "json", "parquet", "orc") else "parquet"
+        reader = spark.read.option("header", "true") if fmt == "csv" \
+            else spark.read
+        try:
+            df = getattr(reader, fmt)(args.profile)
+            profile(df).show(200, truncate=False)
+        except Exception as e:
+            print(f"profile failed: {e}", file=sys.stderr)
+            return 1
+        return 0
+
+    if args.compact:
+        from etl_tool_spark.operators.maintenance import compact_parquet
+
+        try:
+            stats = compact_parquet(spark, args.compact[0], args.compact[1],
+                                    target_file_mb=args.target_file_mb)
+        except Exception as e:
+            print(f"compact failed: {e}", file=sys.stderr)
+            return 1
+        print(f"compacted {stats['files_before']} files -> "
+              f"{stats['files_after']} ({stats['rows']} rows, "
+              f"{stats['bytes']} bytes)")
+        return 0
+
+    if not args.config:
+        print("config error: -config is required (or use -profile/-compact)",
+              file=sys.stderr)
+        return 2
 
     try:
         cfg = load_config(args.config)

@@ -31,8 +31,11 @@ def test_cli_parser_flags():
                          "-loglevel", "debug"])
     assert args.config == "c.yaml" and args.input == "i.csv"
     assert args.dry_run and args.fips and args.loglevel == "debug"
-    with pytest.raises(SystemExit):
-        p.parse_args([])  # -config required
+    # -config is checked in main() now (so -profile/-compact can run
+    # without a playbook); bare invocation must still exit 2
+    from etl_tool_spark.__main__ import main
+
+    assert main([]) == 2
 
 
 def test_cli_bad_config_exit_code(tmp_path):
@@ -52,3 +55,18 @@ def test_cli_explain_flag(tmp_path, capsys):
     assert main(["-config", str(cfg), "-explain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan csv" in out
+
+
+def test_cli_profile_and_compact(tmp_path, capsys, spark):
+    from etl_tool_spark.__main__ import main
+
+    src = str(tmp_path / "t.pq")
+    spark.range(100).selectExpr("id", "id % 3 AS g").repartition(10) \
+         .write.parquet(src)
+    assert main(["-profile", src]) == 0
+    out = capsys.readouterr().out
+    assert "id" in out and "g" in out
+    dst = str(tmp_path / "c.pq")
+    assert main(["-compact", src, dst, "-target-file-mb", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted 10 files -> 1" in out
