@@ -67,3 +67,18 @@ def test_events_stream_playbook(spark, tmp_path, monkeypatch):
     assert {r["event_type"] for r in got.select("event_type").distinct().collect()} \
         == {"PURCHASE"}
     assert got.filter(F.col("value") <= 1).count() == 0
+
+
+def test_ann_index_example(spark, tmp_path, capsys):
+    import examples.ann_index as ex
+    import sys
+
+    old = sys.argv
+    sys.argv = ["ann_index.py", "/root/testdata/sf0.001",
+                str(tmp_path / "ivf")]
+    try:
+        ex.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert "recall vs exact" in out

@@ -110,3 +110,33 @@ def test_chunk_text_covers_stream(spark, docs, size_overlap):
         # last chunk reaches the end of the stream
         last = rows[-1]
         assert last["start_token"] + last["n_tokens"] == len(stream)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(texts, min_size=1, max_size=10),
+       st.sampled_from([2, 3, 8]), st.sampled_from([2, 3]))
+def test_boilerplate_ngrams_matches_python_model(spark, docs, n, min_docs):
+    """boilerplate_ngrams ≡ a direct Python model: per-doc distinct
+    n-grams of the lowercased whitespace tokens, counted across docs,
+    thresholded; first_doc is the min contributing id."""
+    from collections import defaultdict
+
+    from etl_tool_spark.llm.text import boilerplate_ngrams
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    seen: dict[str, set] = defaultdict(set)
+    for i, t in rows:
+        toks = t.strip().lower().split()
+        if t.strip() == "":
+            toks = [""]  # split(\s+) of empty string yields ['']
+        grams = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+        for g in grams:
+            seen[g].add(i)
+    want = sorted((g, len(ids), min(ids)) for g, ids in seen.items()
+                  if len(ids) >= min_docs)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 boilerplate_ngrams(df, n=n, min_docs=min_docs).collect())
+    assert got == want
