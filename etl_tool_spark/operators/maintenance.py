@@ -41,7 +41,8 @@ def _tree_size_bytes(spark: SparkSession, path: str) -> int:
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_file_mb: int = 128,
                     partition_by: list[str] | None = None,
-                    sort_by: list[str] | None = None) -> dict:
+                    sort_by: list[str] | None = None,
+                    zorder_by: list[str] | None = None) -> dict:
     """Rewrite the parquet directory ``src`` into ``dst`` with files of
     roughly ``target_file_mb``. Returns a summary dict
     (bytes, files_before, files_after, rows).
@@ -49,8 +50,12 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     ``partition_by`` re-lays the directory partitioning (pass the same
     columns to keep an existing scheme — Spark reads partition columns
     back from the directory names, so they round-trip). ``sort_by``
-    range-sorts while compacting (global order ≙ sinks.sortBy).
+    range-sorts while compacting (global order ≙ sinks.sortBy);
+    ``zorder_by`` multi-column-clusters instead (≙ sinks.zorderBy) —
+    compaction is the natural moment to impose either layout.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     df: DataFrame = spark.read.parquet(src)
     total = _tree_size_bytes(spark, src)
     files_before = len(df.inputFiles())
@@ -58,6 +63,10 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     if sort_by:
         out = df.repartitionByRange(int(n), *sort_by) \
                 .sortWithinPartitions(*sort_by)
+    elif zorder_by:
+        from etl_tool_spark.sources.sinks import _zorder
+
+        out = _zorder(df, list(zorder_by), int(n))
     else:
         out = df.repartition(int(n))
     writer = out.write.mode("overwrite")

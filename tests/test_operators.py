@@ -225,3 +225,20 @@ def test_compact_parquet_small_files(spark, tmp_path):
         ranges.append((min(vals), max(vals)))
     ranges.sort()
     assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+
+
+def test_compact_parquet_zorder(spark, tmp_path):
+    from etl_tool_spark.operators.maintenance import compact_parquet
+
+    import itertools
+    import pytest as _pytest
+
+    src, dst = str(tmp_path / "zsrc"), str(tmp_path / "zdst")
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    spark.createDataFrame(rows, "x long, y long").repartition(32) \
+         .write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_mb=1,
+                            zorder_by=["x", "y"])
+    assert stats["rows"] == 1024 and stats["files_after"] <= 4
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, dst, sort_by=["x"], zorder_by=["y"])
