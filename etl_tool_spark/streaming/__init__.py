@@ -1,7 +1,11 @@
 """Structured Streaming surface (ABSENT in the reference — it is
 explicitly batch-only, playbook_development_guide.md:460)."""
 
-from etl_tool_spark.streaming.dedup import exact_dedup_stream, near_dedup_stream
+from etl_tool_spark.streaming.dedup import (
+    clean_ingest_stream,
+    exact_dedup_stream,
+    near_dedup_stream,
+)
 from etl_tool_spark.streaming.cdc import (
     cdc_merge_stream,
     merge_cdc_batch,
@@ -16,7 +20,7 @@ from etl_tool_spark.streaming.events import (
     windowed_counts,
 )
 
-__all__ = ["near_dedup_stream", "exact_dedup_stream",
+__all__ = ["near_dedup_stream", "exact_dedup_stream", "clean_ingest_stream",
            "read_events_stream", "windowed_counts", "sessionize_stream",
            "streaming_dedup", "stream_to_memory", "interval_join_streams",
            "merge_cdc_batch", "cdc_merge_stream", "read_snapshot"]

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from etl_tool_spark.llm.dedup import (incremental_exact_dedup,
                                       incremental_minhash_pairs)
 
-__all__ = ["near_dedup_stream", "exact_dedup_stream"]
+__all__ = ["near_dedup_stream", "exact_dedup_stream",
+           "clean_ingest_stream"]
 
 
 def near_dedup_stream(docs: DataFrame, store_dir: str, pairs_dir: str,
@@ -68,6 +69,50 @@ def exact_dedup_stream(docs: DataFrame, store_dir: str, out_dir: str,
               .write.mode("append").parquet(out_dir))
 
     q = (docs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
+                        checkpoint: str, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_quality: float = 0.5):
+    """The streaming twin of llm/pipeline.py:clean_corpus's filter +
+    exact-dedup stages: quality and language filters are STATELESS, so
+    they run directly on the stream frame (full pushdown into each
+    micro-batch's scan); exact dedup-on-ingest then anti-joins the
+    persistent fingerprint store, so the landing zone at ``out_dir`` is
+    always-filtered, always-deduped — for any batch split of the input,
+    the landed set equals the batch pipeline's filter+dedup output over
+    everything ingested (asserted in tests).
+
+    Near-dup discovery is deliberately separate (near_dedup_stream over
+    the same store directory family): pair discovery is a *report*,
+    while this is the ingest gate — production runs them as two readers
+    of one stream."""
+    from etl_tool_spark.llm.text import language_id, quality_features, tokens
+
+    base = docs.select("*", tokens(F.col(text_col)).alias("_toks"))
+    feats = quality_features(F.col(text_col), toks=F.col("_toks"))
+    kept = (base.select("*",
+                        feats["quality_score"].alias("_q"),
+                        language_id(F.col(text_col),
+                                    toks=F.col("_toks")).alias("_lang"))
+                .filter((F.col("_q") >= min_quality)
+                        & (F.col("_lang") != "und"))
+                .drop("_toks", "_q", "_lang"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = incremental_exact_dedup(batch_df, store_dir,
+                                        id_col=id_col, text_col=text_col)
+        (fresh.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
+
+    q = (kept.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update")
          .trigger(availableNow=True)

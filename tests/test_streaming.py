@@ -312,3 +312,49 @@ def test_exact_dedup_stream_checkpoint_resume_idempotent(spark, tmp_path):
     assert len(first) > 0
     again = run()   # same checkpoint: the committed file is not reprocessed
     assert again == first
+
+
+def test_clean_ingest_stream_matches_batch_filters_plus_dedup(spark, tmp_path):
+    """The streaming ingest gate (quality filter → langid filter →
+    exact dedup-on-ingest) lands exactly the batch pipeline's
+    filter+exact-dedup survivor set, independent of the batch split."""
+    from etl_tool_spark.llm.text import (fingerprint, language_id,
+                                         quality_features, tokens)
+    from etl_tool_spark.streaming.dedup import clean_ingest_stream
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .limit(300).cache())
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    docs.filter(F.col("doc_id") % 3 != 0).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    clean_ingest_stream(stream, str(tmp_path / "fp_store"),
+                        str(tmp_path / "landed"), str(tmp_path / "ckpt"))
+    got = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "landed")).collect()}
+
+    base = docs.select("*", tokens(F.col("text")).alias("_toks"))
+    feats = quality_features(F.col("text"), toks=F.col("_toks"))
+    kept = (base.select("*", feats["quality_score"].alias("_q"),
+                        language_id(F.col("text"),
+                                    toks=F.col("_toks")).alias("_lang"))
+                .filter((F.col("_q") >= 0.5) & (F.col("_lang") != "und")))
+    reps = (kept.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+                .groupBy("_fp").agg(F.min("doc_id").alias("doc_id")))
+    # batch keeps the global min id per fingerprint; the stream keeps the
+    # min id of the EARLIEST batch containing it — with %3 batches these
+    # coincide only per fingerprint-first-batch, so compare fingerprint
+    # SETS of the landed docs instead of ids
+    got_fps = {r["_fp"] for r in
+               docs.filter(F.col("doc_id").isin(got))
+                   .select(fingerprint(F.col("text")).alias("_fp")).collect()}
+    want_fps = {r["_fp"] for r in reps.collect()}
+    assert got_fps == want_fps
+    # and landing is idempotent in count: one doc per surviving fingerprint
+    assert len(got) == len(want_fps)
+    docs.unpersist()
