@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "at -target-file-mb, then exit")
     p.add_argument("-target-file-mb", "--target-file-mb", type=int,
                    default=128, help="target file size for -compact")
+    p.add_argument("-sort", "--sort", metavar="COLS",
+                   help="comma-separated columns: -compact lays output "
+                        "in global order (range-partitioned files)")
+    p.add_argument("-zorder", "--zorder", metavar="COLS",
+                   help="comma-separated columns: -compact clusters "
+                        "output by Morton code over quantile ranks")
     p.add_argument("-input", "--input", help="override source file path")
     p.add_argument("-output", "--output", help="override destination file path")
     p.add_argument("-db", "--db", help="database connection string "
@@ -80,9 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact:
         from etl_tool_spark.operators.maintenance import compact_parquet
 
+        split = (lambda s: [c.strip() for c in s.split(",") if c.strip()])
         try:
             stats = compact_parquet(spark, args.compact[0], args.compact[1],
-                                    target_file_mb=args.target_file_mb)
+                                    target_file_mb=args.target_file_mb,
+                                    sort_by=split(args.sort) if args.sort
+                                    else None,
+                                    zorder_by=split(args.zorder)
+                                    if args.zorder else None)
         except Exception as e:
             print(f"compact failed: {e}", file=sys.stderr)
             return 1

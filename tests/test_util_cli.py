@@ -70,3 +70,16 @@ def test_cli_profile_and_compact(tmp_path, capsys, spark):
     assert main(["-compact", src, dst, "-target-file-mb", "64"]) == 0
     out = capsys.readouterr().out
     assert "compacted 10 files -> 1" in out
+
+
+def test_cli_compact_sort_flag(tmp_path, capsys, spark):
+    from etl_tool_spark.__main__ import main
+
+    src = str(tmp_path / "s.pq")
+    spark.range(5000).selectExpr("id", "id % 5 AS g").repartition(20) \
+         .write.parquet(src)
+    dst = str(tmp_path / "d.pq")
+    assert main(["-compact", src, dst, "-sort", "id"]) == 0
+    assert "compacted 20 files" in capsys.readouterr().out
+    back = [r.id for r in spark.read.parquet(dst).collect()]
+    assert sorted(back) == list(range(5000))
