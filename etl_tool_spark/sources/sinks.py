@@ -83,9 +83,10 @@ def _zorder(df: DataFrame, cols: list[str], n_partitions=None) -> DataFrame:
     """Multi-dimensional clustering (Delta OPTIMIZE ZORDER analogue):
     map each numeric column to a 256-bucket quantile rank, interleave
     the rank bits into a Morton code, and range-sort the output on it.
-    Files then cover compact hyper-rectangles of the key space, so
-    parquet min/max stats skip whole files on range predicates over ANY
-    of the z-ordered columns — not just the leading sort key.
+    Files then cover compact hyper-rectangles of the key space, so a
+    range predicate on ANY z-ordered column — not just the leading sort
+    key — excludes out-of-range files' row groups via their min/max
+    stats.
 
     The quantile boundaries come from approxQuantile (one sampled pass,
     the same cost class as repartitionByRange's sampling). Nulls sort
@@ -128,9 +129,10 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
     parallelism stays healthy.
 
     ``sortBy`` lays the data out in GLOBAL order: repartitionByRange
-    (one shuffle with sampled range bounds) + sortWithinPartitions, so
-    files cover non-overlapping key ranges and parquet min/max column
-    stats let readers skip whole files on range predicates — the
+    (one shuffle with sampled range bounds) + sortWithinPartitions.
+    Files then cover non-overlapping key ranges, and a range predicate
+    excludes every row group of out-of-range files (footer-only reads
+    in vanilla Spark; table formats skip the files outright) — the
     time-ordered archive layout. ``sortPartitions`` overrides the
     output partition count (defaults to the session shuffle setting).
 

@@ -242,3 +242,40 @@ def test_compact_parquet_zorder(spark, tmp_path):
     assert stats["rows"] == 1024 and stats["files_after"] <= 4
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, dst, sort_by=["x"], zorder_by=["y"])
+
+
+def test_hll_sketch_store_rollups(spark, tmp_path):
+    """Per-(type, day) sketches built once answer per-type, per-day and
+    global distinct-user questions by MERGE, within HLL tolerance of the
+    exact counts — no rescan of the events table."""
+    from etl_tool_spark.catalog import _events
+    from etl_tool_spark.operators.sketches import (build_hll_sketches,
+                                                   merge_distinct_estimate)
+
+    e = _events(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts"))
+    d = str(tmp_path / "sketches")
+    build_hll_sketches(e, ["event_type", "day"], "user_id", d)
+
+    def exact(*keys):
+        if keys:
+            return {tuple(r[k] for k in keys): r["n"]
+                    for r in e.groupBy(*keys)
+                              .agg(F.countDistinct("user_id").alias("n"))
+                              .collect()}
+        return e.agg(F.countDistinct("user_id")).collect()[0][0]
+
+    # global
+    est = merge_distinct_estimate(spark, d).collect()[0][0]
+    assert abs(est - exact()) <= max(2, 0.1 * exact())
+    # per-type rollup (merges across days)
+    got = {r["event_type"]: r["n_distinct"]
+           for r in merge_distinct_estimate(spark, d,
+                                            ["event_type"]).collect()}
+    want = exact("event_type")
+    assert set(got) == {k[0] for k in want}
+    for (k,), n in want.items():
+        assert abs(got[k] - n) <= max(2, 0.1 * n)
+    # the sketch table is tiny relative to the events it summarizes
+    sk = spark.read.parquet(d)
+    assert sk.count() < e.count() / 5
