@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["build_hll_sketches", "merge_distinct_estimate"]
+__all__ = ["build_hll_sketches", "merge_distinct_estimate",
+           "build_theta_sketches", "theta_set_estimate",
+           "build_kll_sketches", "merge_quantile_estimate"]
 
 
 def build_hll_sketches(df: DataFrame, keys: list[str], value_col: str,
@@ -49,3 +51,60 @@ def merge_distinct_estimate(spark: SparkSession, sketch_dir: str,
     if group_by:
         return sk.groupBy(*group_by).agg(agg)
     return sk.agg(agg)
+
+
+def build_theta_sketches(df: DataFrame, keys: list[str], value_col: str,
+                         out_dir: str) -> None:
+    """Theta sketches per grain cell. Same build shape as HLL, but theta
+    supports SET ALGEBRA at query time: union, intersection, and
+    difference of cells — questions like 'distinct users who clicked
+    AND purchased' that an HLL store cannot answer (HLL only unions)."""
+    (df.groupBy(*keys)
+       .agg(F.expr(f"theta_sketch_agg({value_col})").alias("sketch"))
+       .write.mode("overwrite").parquet(out_dir))
+
+
+def theta_set_estimate(spark: SparkSession, sketch_dir: str,
+                       where_a: str, where_b: str,
+                       op: str = "intersection") -> float:
+    """Estimate |A ∘ B| from the theta store, where A and B are SQL
+    predicates over the grain keys (each side unions its matching
+    cells) and ``op`` is 'intersection', 'union', or 'difference'.
+    Reads only the sketch table — never the source rows."""
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(f"unknown theta op {op!r}")
+    sk = spark.read.parquet(sketch_dir)
+    sk.createOrReplaceTempView("_theta_store")
+    a = f"(SELECT theta_union_agg(sketch) AS s FROM _theta_store WHERE {where_a})"
+    b = f"(SELECT theta_union_agg(sketch) AS s FROM _theta_store WHERE {where_b})"
+    row = spark.sql(
+        f"SELECT theta_sketch_estimate(theta_{op}(a.s, b.s)) AS n "
+        f"FROM {a} a CROSS JOIN {b} b").collect()[0]
+    return float(row["n"])
+
+
+def build_kll_sketches(df: DataFrame, keys: list[str], value_col: str,
+                       out_dir: str) -> None:
+    """KLL quantile sketches (double) per grain cell — the mergeable
+    percentile analogue of the HLL store: per-day sketches built once
+    answer any rollup's quantiles by merge, never rescanning rows."""
+    (df.groupBy(*keys)
+       .agg(F.expr(f"kll_sketch_agg_double({value_col})").alias("sketch"))
+       .write.mode("overwrite").parquet(out_dir))
+
+
+def merge_quantile_estimate(spark: SparkSession, sketch_dir: str,
+                            probs: list[float],
+                            group_by: list[str] | None = None) -> DataFrame:
+    """Quantile estimates at any rollup of the sketched grain by KLL
+    merge. Returns (group keys…, quantiles array<double> aligned with
+    ``probs``)."""
+    sk = spark.read.parquet(sketch_dir)
+    qs = F.array(*[
+        F.expr(f"kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), "
+               f"{float(p)!r}D)")
+        for p in probs
+    ]).alias("quantiles")
+    if group_by:
+        return sk.groupBy(*group_by).agg(qs)
+    return sk.agg(qs)

@@ -279,3 +279,51 @@ def test_hll_sketch_store_rollups(spark, tmp_path):
     # the sketch table is tiny relative to the events it summarizes
     sk = spark.read.parquet(d)
     assert sk.count() < e.count() / 5
+
+
+def test_theta_sketch_set_algebra(spark, tmp_path):
+    """Theta store answers intersection/difference questions HLL cannot:
+    distinct users who clicked AND purchased, clicked BUT never
+    purchased — from sketches only, matching exact set ops within
+    tolerance (exact here: theta is lossless below its sampling
+    threshold)."""
+    from etl_tool_spark.catalog import _events
+    from etl_tool_spark.operators.sketches import (build_theta_sketches,
+                                                   theta_set_estimate)
+
+    e = _events(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "theta")
+    build_theta_sketches(e, ["event_type"], "user_id", d)
+    clicks = e.filter("event_type='click'").select("user_id")
+    buys = e.filter("event_type='purchase'").select("user_id")
+    both = theta_set_estimate(spark, d, "event_type='click'",
+                              "event_type='purchase'")
+    assert both == clicks.intersect(buys).count()
+    only = theta_set_estimate(spark, d, "event_type='click'",
+                              "event_type='purchase'", op="difference")
+    assert only == clicks.distinct().subtract(buys.distinct()).count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        theta_set_estimate(spark, d, "1=1", "1=1", op="xor")
+
+
+def test_kll_sketch_merged_quantiles(spark, tmp_path):
+    """Per-(type, day) KLL sketches merged to any rollup reproduce the
+    exact quantiles within KLL rank tolerance."""
+    from etl_tool_spark.catalog import _events
+    from etl_tool_spark.operators.sketches import (build_kll_sketches,
+                                                   merge_quantile_estimate)
+
+    e = _events(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F.to_date("ts"))
+    d = str(tmp_path / "kll")
+    build_kll_sketches(e, ["event_type", "day"], "value", d)
+    got = merge_quantile_estimate(spark, d, [0.25, 0.5, 0.9]).collect()[0][0]
+    vals = sorted(r[0] for r in e.select("value").collect())
+    for g, p in zip(got, [0.25, 0.5, 0.9]):
+        # rank of the estimate must be within ~2.5% of the target rank
+        import bisect
+
+        rank = bisect.bisect_left(vals, g) / len(vals)
+        assert abs(rank - p) < 0.025, (p, g, rank)
