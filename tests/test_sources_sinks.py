@@ -377,3 +377,29 @@ def test_zorder_sortby_exclusive(spark, tmp_path):
     with pytest.raises(SinkError):
         write_sink(df, "parquet", str(tmp_path / "e.pq"),
                    {"sortBy": "x", "zorderBy": ["x", "y"]})
+
+
+def test_manifest_pruned_read(spark, tmp_path):
+    """write_manifest + pruned_read: a narrow range over a range-sorted
+    table touches a strict subset of files, matches the full-scan
+    filter exactly, and still reads files appended after the manifest."""
+    from etl_tool_spark.sources.skipping import pruned_read, write_manifest
+
+    d = str(tmp_path / "t.pq")
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    write_sink(df, "parquet", d, {"sortBy": "id", "sortPartitions": 10})
+    write_manifest(spark, d, ["id"])
+
+    full = spark.read.parquet(d)
+    assert len(full.inputFiles()) == 10   # manifest dir hidden from reads
+
+    out = pruned_read(spark, d, "id", 2500, 2600)
+    got = sorted(r.id for r in out.collect())
+    assert got == list(range(2500, 2601))
+    assert len(out.inputFiles()) <= 2     # 1-2 of the 10 range files
+
+    # append new data WITHOUT refreshing the manifest: must still be read
+    spark.range(20000, 20050).selectExpr("id", "id * 2 AS v") \
+         .coalesce(1).write.mode("append").parquet(d)
+    out2 = pruned_read(spark, d, "id", 19999, 20010)
+    assert sorted(r.id for r in out2.collect()) == list(range(20000, 20011))
