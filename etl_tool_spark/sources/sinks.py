@@ -419,8 +419,23 @@ _WRITERS = {
 
 def write_sink(df: DataFrame, sink_type: str, path: str,
                options: dict[str, Any] | None = None) -> None:
-    """Factory dispatch (internal/io/factory.go:52-87)."""
+    """Factory dispatch (internal/io/factory.go:52-87).
+
+    ``manifest: [cols]`` on a parquet/orc destination additionally
+    writes the per-file min/max stats manifest after the data lands
+    (sources/skipping.py) — write time is when the files are hot, and
+    pruned_read then plans range queries from the manifest."""
+    opts = options or {}
     fn = _WRITERS.get(sink_type.lower())
     if fn is None:
         raise SinkError(f"unsupported sink type {sink_type!r}")
-    fn(df, path, options or {})
+    fn(df, path, opts)
+    manifest_cols = opts.get("manifest")
+    if manifest_cols and sink_type.lower() in ("parquet", "orc"):
+        if sink_type.lower() != "parquet":
+            raise SinkError("manifest option currently supports parquet only")
+        from etl_tool_spark.sources.skipping import write_manifest
+
+        if isinstance(manifest_cols, str):
+            manifest_cols = [manifest_cols]
+        write_manifest(df.sparkSession, path, list(manifest_cols))

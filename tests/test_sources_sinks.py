@@ -403,3 +403,15 @@ def test_manifest_pruned_read(spark, tmp_path):
          .coalesce(1).write.mode("append").parquet(d)
     out2 = pruned_read(spark, d, "id", 19999, 20010)
     assert sorted(r.id for r in out2.collect()) == list(range(20000, 20011))
+
+
+def test_sink_manifest_option(spark, tmp_path):
+    from etl_tool_spark.sources.skipping import pruned_read
+
+    d = str(tmp_path / "m.pq")
+    df = spark.range(5000).selectExpr("id", "id % 9 AS g")
+    write_sink(df, "parquet", d,
+               {"sortBy": "id", "sortPartitions": 5, "manifest": ["id"]})
+    out = pruned_read(spark, d, "id", 100, 120)
+    assert sorted(r.id for r in out.collect()) == list(range(100, 121))
+    assert len(out.inputFiles()) == 1
