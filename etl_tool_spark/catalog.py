@@ -3253,3 +3253,70 @@ def llm_boilerplate_frac(spark, sf_dir):
                            F.round(F.col("n_boiler")
                                    / F.col("n_grams").cast("double"),
                                    6).alias("boiler_frac")))
+
+
+@query("events_twap", """
+WITH seq AS (
+  SELECT event_type, value, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events)
+SELECT event_type,
+       round((sum((value * (next_us - us))::DECIMAL(38,6)))::DOUBLE
+             / sum(next_us - us), 6) AS twap,
+       count(*) AS n_intervals
+FROM seq WHERE next_us IS NOT NULL GROUP BY event_type
+""")
+def events_twap(spark, sf_dir):
+    """Time-weighted average (the TimescaleDB time_weight/TWAP shape):
+    each reading holds until the next reading of its series, so the
+    average weights values by holding duration, not sample count —
+    the correct aggregate for irregularly sampled series. One window
+    (lead over the series ordering) + one aggregate, both on the same
+    event_type partitioning → a single shuffle. Durations are exact
+    integer microseconds; products sum as decimal so the cross-engine
+    value is order-insensitive; the final division runs in double on
+    two exact operands."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = (e.select("event_type", "value", us.alias("_us"),
+                    F.lead(us).over(w).alias("_next_us"))
+             .filter(F.col("_next_us").isNotNull()))
+    dur = F.col("_next_us") - F.col("_us")
+    prod = (F.col("value") * dur).cast("decimal(38,6)")
+    return (seq.groupBy("event_type")
+               .agg(F.round(F.sum(prod).cast("double") / F.sum(dur), 6)
+                     .alias("twap"),
+                    F.count(F.lit(1)).alias("n_intervals")))
+
+
+@query("events_ohlc_bars", """
+SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+       round(arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)),
+             2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)),
+             2) AS close,
+       count(*) AS n
+FROM events GROUP BY event_type, hour
+""")
+def events_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars per (series, hour) — the financial rollup.
+    Open/close are extremal-row lookups by event time: Spark takes
+    min/max over (micros, event_id, value) structs (lexicographic, and
+    (micros, event_id) is unique so the value field never decides);
+    the oracle's arg_min over a zero-padded sortable string implements
+    the identical ordering. One scan, one shuffle, no window."""
+    e = _events(spark, sf_dir)
+    key = F.struct(F.unix_micros(F.col("ts")).alias("us"),
+                   F.col("event_id").alias("eid"),
+                   F.col("value").alias("v"))
+    return (e.groupBy("event_type",
+                      F.date_trunc("hour", F.col("ts")).alias("hour"))
+             .agg(F.round(F.min(key).getField("v"), 2).alias("open"),
+                  F.round(F.max("value"), 2).alias("high"),
+                  F.round(F.min("value"), 2).alias("low"),
+                  F.round(F.max(key).getField("v"), 2).alias("close"),
+                  F.count(F.lit(1)).alias("n")))
