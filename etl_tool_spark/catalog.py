@@ -3320,3 +3320,59 @@ def events_ohlc_bars(spark, sf_dir):
                   F.round(F.min("value"), 2).alias("low"),
                   F.round(F.max(key).getField("v"), 2).alias("close"),
                   F.count(F.lit(1)).alias("n")))
+
+
+@query("etl_quality_checks", """
+WITH t AS (SELECT count(*) AS total FROM orders)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS check,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS failures,
+         (SELECT total FROM t) AS total FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END),
+         (SELECT total FROM t) FROM orders
+  UNION ALL
+  SELECT 'range(o_totalprice)',
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                   AND (o_totalprice < 0 OR o_totalprice > 300000)
+                  THEN 1 ELSE 0 END),
+         (SELECT total FROM t) FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         coalesce((SELECT sum(n) FROM (
+            SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+            HAVING count(*) > 1)), 0),
+         (SELECT total FROM t)
+  UNION ALL
+  SELECT 'relationship(o_custkey)',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         (SELECT total FROM t))
+""")
+def etl_quality_checks(spark, sf_dir):
+    """Declarative table-level data-quality suite (operators/quality.py
+    — the Deequ/dbt-test category grown out of the reference's
+    per-record validate* transforms): completeness, accepted values,
+    range, key uniqueness, and referential integrity over orders in
+    one pass + one keyed agg + one broadcast anti-join. The
+    accepted-values and range checks are deliberately strict ('P'
+    excluded; price cap 300k) so the failure counts are non-zero and
+    the oracle binds real violations."""
+    from etl_tool_spark.operators.quality import run_checks
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return run_checks(o, [
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "accepted_values", "column": "o_orderstatus",
+         "values": ["F", "O"]},
+        {"type": "range", "column": "o_totalprice", "min": 0,
+         "max": 300000},
+        {"type": "unique", "columns": ["o_orderkey"]},
+        {"type": "relationship", "column": "o_custkey", "to": c,
+         "to_column": "c_custkey"},
+    ])

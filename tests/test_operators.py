@@ -327,3 +327,34 @@ def test_kll_sketch_merged_quantiles(spark, tmp_path):
 
         rank = bisect.bisect_left(vals, g) / len(vals)
         assert abs(rank - p) < 0.025, (p, g, rank)
+
+
+def test_quality_checks_detects_violations(spark):
+    """Each check type counts exactly its violating rows on a toy frame
+    with known defects."""
+    from etl_tool_spark.operators.quality import run_checks
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 100), (2, "b", -5.0, 100), (2, "zz", 50.0, None),
+         (3, None, 1e9, 999)],
+        "id long, status string, amount double, fk long")
+    dim = spark.createDataFrame([(100,), (200,)], "k long")
+    got = {r["check"]: (r["failures"], r["total"])
+           for r in run_checks(df, [
+               {"type": "not_null", "column": "status"},
+               {"type": "accepted_values", "column": "status",
+                "values": ["a", "b"]},
+               {"type": "range", "column": "amount", "min": 0, "max": 1000},
+               {"type": "unique", "columns": ["id"]},
+               {"type": "relationship", "column": "fk", "to": dim,
+                "to_column": "k"},
+           ]).collect()}
+    assert got["not_null(status)"] == (1, 4)
+    assert got["accepted_values(status)"] == (1, 4)   # 'zz' (null exempt)
+    assert got["range(amount)"] == (2, 4)             # -5 and 1e9
+    assert got["unique(id)"] == (2, 4)                # both id=2 rows
+    assert got["relationship(fk)"] == (1, 4)          # 999 (null exempt)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_checks(df, [{"type": "nope", "column": "id"}])
