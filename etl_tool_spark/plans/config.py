@@ -59,6 +59,18 @@ class ErrorHandlingConfig:
 
 
 @dataclass
+class QualityConfig:
+    """Spark-native extension: a Deequ/dbt-test-style gate between the
+    transform chain and the load (operators/quality.py). ``checks`` is
+    the run_checks spec list (row-level + unique only — relationship
+    checks need a second frame and live in the Python API);
+    ``maxFailures`` is the total violation budget before the run
+    aborts (QualityError), mirroring halt-mode error handling."""
+    checks: list[dict] = field(default_factory=list)
+    maxFailures: int = 0
+
+
+@dataclass
 class PlaybookConfig:
     source: EndpointConfig | None = None
     destination: EndpointConfig | None = None
@@ -74,6 +86,7 @@ class PlaybookConfig:
     # producing the working frame the standard chain then runs on.
     sources: dict[str, EndpointConfig] = field(default_factory=dict)
     sql: str | None = None
+    quality: QualityConfig | None = None
 
 
 _VALID_TYPES = {"csv", "json", "parquet", "orc", "text", "yaml", "yml", "xml",
@@ -144,6 +157,7 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
         mappings=list(raw.get("mappings") or []),
         flattening=FlatteningConfig(**raw["flattening"]) if raw.get("flattening") else None,
         dedup=DedupConfig(**raw["dedup"]) if raw.get("dedup") else None,
+        quality=QualityConfig(**raw["quality"]) if raw.get("quality") else None,
         errorHandling=ErrorHandlingConfig(**(raw.get("errorHandling") or {})),
         fipsMode=bool(raw.get("fipsMode", False)),
     )
@@ -185,6 +199,9 @@ def validate_config(cfg: PlaybookConfig) -> None:
                           "(csv/json/parquet/orc) can stream")
         if cfg.sql:
             errors.append("source.stream: the 'sql' stage is batch-only")
+        if cfg.quality:
+            errors.append("source.stream: quality checks aggregate the "
+                          "whole table — batch-only")
         if cfg.dedup:
             errors.append("source.stream: dedup needs a window over the "
                           "whole input — use streaming dedup "
@@ -247,6 +264,29 @@ def validate_config(cfg: PlaybookConfig) -> None:
                 errors.append(f"mappings[{i}]: validateNumericRange needs min and/or max")
             elif lo is not None and hi is not None and float(lo) > float(hi):
                 errors.append(f"mappings[{i}]: min > max")
+
+    if cfg.quality is not None:
+        if not cfg.quality.checks:
+            errors.append("quality: 'checks' must be non-empty")
+        for i, chk in enumerate(cfg.quality.checks):
+            t = (chk.get("type") or "").lower()
+            if t not in ("not_null", "unique", "accepted_values", "range"):
+                errors.append(f"quality: check {i}: unknown or unsupported "
+                              f"type {chk.get('type')!r} (relationship "
+                              "checks are Python-API only)")
+            elif t == "unique":
+                if not (chk.get("columns") or chk.get("column")):
+                    errors.append(f"quality: check {i}: unique needs "
+                                  "'columns'")
+            elif not chk.get("column"):
+                errors.append(f"quality: check {i}: needs 'column'")
+            if t == "accepted_values" and not chk.get("values"):
+                errors.append(f"quality: check {i}: accepted_values needs "
+                              "'values'")
+            if t == "range" and "min" not in chk and "max" not in chk:
+                errors.append(f"quality: check {i}: range needs min or max")
+        if int(cfg.quality.maxFailures) < 0:
+            errors.append("quality: maxFailures cannot be negative")
 
     if cfg.dedup:
         if not cfg.dedup.keys:

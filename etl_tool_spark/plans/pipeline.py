@@ -30,6 +30,10 @@ from etl_tool_spark.sources.registry import read_source
 from etl_tool_spark.sources.sinks import write_jdbc_custom_sql, write_sink
 
 
+class QualityError(RuntimeError):
+    """Raised when the playbook's quality gate exceeds maxFailures."""
+
+
 @dataclass
 class PipelineResult:
     output: DataFrame          # clean records (lazy until you act on it)
@@ -196,6 +200,22 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
 
     def _metrics() -> dict:
         return {**stage_metrics, **obs.get}
+
+    if cfg.quality is not None:
+        # quality gate: one extra aggregate pass over the clean frame
+        # BEFORE the load (operators/quality.py). Over budget ⇒ abort
+        # with the per-check counts — nothing is written.
+        from etl_tool_spark.operators.quality import run_checks
+
+        qrows = run_checks(clean, list(cfg.quality.checks)).collect()
+        n_failures = sum(int(r["failures"]) for r in qrows)
+        stage_metrics["quality_failures"] = n_failures
+        if n_failures > int(cfg.quality.maxFailures):
+            detail = ", ".join(f"{r['check']}={r['failures']}"
+                               for r in qrows if r["failures"])
+            raise QualityError(
+                f"quality gate failed: {n_failures} violations "
+                f"(budget {cfg.quality.maxFailures}): {detail}")
 
     if dry_run or cfg.dryRun or cfg.destination is None:
         # dry run: count + 5-record sample, no load (app.go:174-177)

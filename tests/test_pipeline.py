@@ -376,3 +376,69 @@ def test_error_count_metric(spark, workdir):
     # 'abc' fails mustToInt; the errorFile write action reports it
     assert res.metrics["rows_error"] == 1
     assert res.metrics["rows_out"] == 3
+
+
+def test_quality_gate_passes_and_blocks(spark, tmp_path):
+    """The playbook quality gate loads when within budget and aborts
+    the load (nothing written) when violations exceed maxFailures."""
+    import os
+
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+    from etl_tool_spark.plans.pipeline import QualityError
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,status,amount\n1,active,10\n2,active,-3\n3,weird,5\n")
+
+    def pb(max_failures):
+        cfg = {
+            "source": {"type": "csv", "file": str(src)},
+            "mappings": [
+                {"source": "id", "target": "id", "transform": "toInt"},
+                {"source": "status", "target": "status"},
+                {"source": "amount", "target": "amount",
+                 "transform": "toFloat"},
+            ],
+            "quality": {
+                "checks": [
+                    {"type": "accepted_values", "column": "status",
+                     "values": ["active", "inactive"]},
+                    {"type": "range", "column": "amount", "min": 0},
+                    {"type": "unique", "columns": ["id"]},
+                ],
+                "maxFailures": max_failures,
+            },
+            "destination": {"type": "csv",
+                            "file": str(tmp_path / f"out{max_failures}.csv")},
+        }
+        p = tmp_path / f"pb{max_failures}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        return load_config(str(p))
+
+    # 2 violations (weird status, negative amount); budget 5 → loads
+    res = run_pipeline(spark, pb(5))
+    assert res.written and res.metrics["quality_failures"] == 2
+    # budget 0 → aborts, nothing written
+    with pytest.raises(QualityError, match="range.amount.=1"):
+        run_pipeline(spark, pb(0))
+    assert not os.path.exists(tmp_path / "out0.csv")
+
+
+def test_quality_config_validation(tmp_path):
+    import yaml
+
+    from etl_tool_spark.plans import load_config
+    from etl_tool_spark.plans.config import ConfigError
+
+    src = tmp_path / "x.csv"
+    src.write_text("a\n1\n")
+    bad = {
+        "source": {"type": "csv", "file": str(src)},
+        "mappings": [{"source": "a", "target": "a"}],
+        "quality": {"checks": [{"type": "relationship", "column": "a"}]},
+    }
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump(bad))
+    with pytest.raises(ConfigError, match="unknown or unsupported"):
+        load_config(str(p))
