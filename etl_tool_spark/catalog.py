@@ -3376,3 +3376,81 @@ def etl_quality_checks(spark, sf_dir):
         {"type": "relationship", "column": "o_custkey", "to": c,
          "to_column": "c_custkey"},
     ])
+
+
+@query("events_interpolate", """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         (sum((value)::DECIMAL(18,6)))::DOUBLE / count(*) AS v
+  FROM events GROUP BY 1, 2),
+ bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+ hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+           FROM bounds),
+ grid AS (SELECT et.event_type, hours.h
+          FROM (SELECT DISTINCT event_type FROM agg) et CROSS JOIN hours),
+ j AS (SELECT g.event_type, g.h, a.v, epoch(g.h)::BIGINT AS hs
+       FROM grid g LEFT JOIN agg a
+         ON a.h = g.h AND a.event_type = g.event_type),
+ w AS (SELECT *,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+       FROM j)
+SELECT event_type, h AS hour,
+       CASE WHEN v IS NOT NULL THEN round(v, 6)
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              round(pv + (nv - pv) * ((hs - ph)::DOUBLE / (nh - ph)), 6)
+            ELSE NULL END AS value,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+FROM w
+""")
+def events_interpolate(spark, sf_dir):
+    """Linear interpolation over the densified hourly grid — the
+    time-series `interpolate()` feature: hours with no readings get the
+    straight-line value between their nearest present neighbors (edges
+    stay null, flagged by `interpolated`). One rollup shuffle, the
+    gap-fill grid (spine + types broadcast), then BOTH direction
+    windows share the same (event_type, hour) ordering → a single
+    window shuffle. Determinism: hourly means are exact-decimal-sum ÷
+    count through double; the interpolation formula is the same IEEE
+    expression tree on both engines over exact integer hour epochs."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        agg = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg((F.sum(F.col("value").cast("decimal(18,6)"))
+                      .cast("double") / F.count(F.lit(1))).alias("v"))
+                .select(F.col("w.start").alias("h"), "event_type", "v"))
+        hours = (agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+                    .select(F.explode(F.expr(
+                        "sequence(lo, hi, interval 1 hour)")).alias("h")))
+        types = agg.select("event_type").distinct()
+        grid = types.crossJoin(F.broadcast(hours))
+        j = (grid.join(agg, ["event_type", "h"], "left")
+                 .withColumn("hs", F.unix_timestamp("h")))
+        back = (Window.partitionBy("event_type").orderBy("h")
+                      .rowsBetween(Window.unboundedPreceding, 0))
+        fwd = (Window.partitionBy("event_type").orderBy("h")
+                     .rowsBetween(0, Window.unboundedFollowing))
+        hs_if = F.when(F.col("v").isNotNull(), F.col("hs"))
+        w = (j.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+              .withColumn("ph", F.last(hs_if, ignorenulls=True).over(back))
+              .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+              .withColumn("nh", F.first(hs_if, ignorenulls=True).over(fwd)))
+        frac = (F.col("hs") - F.col("ph")).cast("double") \
+            / (F.col("nh") - F.col("ph"))
+        interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+        value = (F.when(F.col("v").isNotNull(), F.round(F.col("v"), 6))
+                  .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                        F.round(interp, 6)))
+        return _stamp(
+            w.select("event_type", F.col("h").alias("hour"),
+                     value.alias("value"),
+                     (F.col("v").isNull() & F.col("pv").isNotNull()
+                      & F.col("nv").isNotNull()).alias("interpolated")))
