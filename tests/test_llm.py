@@ -458,3 +458,70 @@ def test_ivf_persisted_index_matches_inmemory(spark, tmp_path):
 
     cells = [d for d in os.listdir(idx + "/vectors") if d.startswith("cell=")]
     assert len(cells) == 8
+
+
+def _make_wav(freq=440.0, sr=8000, seconds=0.25, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack("<h", int(amp * 32767 *
+                                  math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_bmp(width=4, height=2, bgr=(10, 20, 30)):
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixels = bytearray()
+    for _ in range(height):
+        row = bytes(bgr) * width
+        pixels += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(pixels)
+    header = (b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 0, 0, 0, 0))
+    return header + bytes(pixels)
+
+
+def test_wav_decode_real_features(spark):
+    """decode_wav_features does REAL signal decode: a generated sine WAV
+    yields its exact sample rate / frame count and RMS ≈ amp/√2."""
+    from etl_tool_spark.llm.multimodal import decode_wav_features
+
+    wav = _make_wav(sr=8000, seconds=0.25, amp=0.5)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"junk")),
+                                (3, None)],
+                               "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_wav_features(df).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_frames"]) == (8000, 1, 2000)
+    assert r1["duration_s"] == 0.25
+    assert abs(r1["rms"] - 0.5 / 2 ** 0.5) < 0.01   # sine RMS = amp/√2
+    assert got[2]["sample_rate"] is None            # malformed → nulls
+    assert got[3]["rms"] is None
+
+
+def test_bmp_decode_real_features(spark):
+    from etl_tool_spark.llm.multimodal import decode_bmp_features
+
+    bmp = _make_bmp(width=4, height=2, bgr=(10, 20, 30))
+    df = spark.createDataFrame([(1, bytearray(bmp)), (2, bytearray(b"nope"))],
+                               "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_bmp_features(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["bits_per_pixel"]) == (4, 2, 24)
+    assert r1["mean_pixel"] == 20.0                 # mean of 10/20/30
+    assert got[2]["width"] is None
