@@ -445,3 +445,37 @@ def test_catalog_wide_no_cartesian_no_row_udf(spark, catalog):
             row_udfs.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
     assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
+
+
+def test_twap_single_partitioning(spark, catalog):
+    p = plan(catalog["events_twap"](spark, SF_DIR))
+    # lead window and final aggregate share the event_type lineage:
+    # no join anywhere, exactly one Window
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(nodes(p, "Window")) == 1
+    assert len(nodes(p, "Exchange")) <= 2
+
+
+def test_ohlc_pure_aggregate(spark, catalog):
+    p = plan(catalog["events_ohlc_bars"](spark, SF_DIR))
+    # extremal structs make open/close plain aggregates: no window, no
+    # join, partial+final aggregate only (struct min/max plans as a
+    # SortAggregate — not hash-aggregable — but still one shuffle)
+    assert "Window" not in p and "Join" not in p
+    assert len(nodes(p, "HashAggregate")) + len(nodes(p, "SortAggregate")) == 2
+    assert len(nodes(p, "Exchange")) == 1
+
+
+def test_interpolate_windows_share_one_sort(spark, catalog):
+    p = plan(catalog["events_interpolate"](spark, SF_DIR))
+    # forward and backward ignore-nulls windows stack over ONE sort of
+    # one (event_type, hour) partitioning
+    assert len(nodes(p, "Sort")) == 1
+    assert "CartesianProduct" not in p
+
+
+def test_quality_checks_no_cartesian_broadcast_fk(spark, catalog):
+    p = plan(catalog["etl_quality_checks"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the FK check's anti-join broadcasts the customer key side
+    assert "LeftAnti" in p
