@@ -56,6 +56,11 @@ class ErrorHandlingConfig:
     mode: str = "halt"  # halt | skip (defaults per load.go:50-60)
     logErrors: bool = True
     errorFile: str | None = None
+    # Spark-native extension: streaming dead-letter queue — errored
+    # records land as a JSON-lines directory (their own checkpointed
+    # writeStream). The reference's errorFile (one CSV document) is
+    # batch-only; this is its unbounded-stream analogue.
+    deadLetterDir: str | None = None
 
 
 @dataclass

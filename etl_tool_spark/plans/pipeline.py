@@ -158,6 +158,21 @@ def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
     if dst.type == "csv":
         writer = writer.option("header", "true")
     q = writer.start(dst.file or "")
+    dlq = cfg.errorHandling.deadLetterDir
+    if dlq:
+        # dead-letter queue: errored records stream to their own
+        # JSON-lines sink with an independent checkpoint — the
+        # unbounded-stream analogue of the reference's errorFile.
+        # Two queries over one availableNow source each drain the same
+        # file set; delivery is at-least-once per sink, and the DLQ
+        # carries the original record + etl_error_message.
+        eq = (errors.writeStream.format("json")
+                    .option("checkpointLocation", dlq.rstrip("/")
+                            + "_checkpoint")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start(dlq))
+        eq.awaitTermination()
     q.awaitTermination()
     read_opts = {"header": True} if dst.type == "csv" else {}
     out = spark.read.options(**read_opts).format(dst.type).load(dst.file or "")
@@ -173,8 +188,10 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         if dry_run or cfg.dryRun or cfg.destination is None:
             raise ValueError("streaming playbooks need a destination "
                              "and cannot dry-run")
-        # validation already forced mode=skip / no errorFile / no halt
-        return _run_stream(spark, cfg, clean, errors)
+        # validation already forced mode=skip / no errorFile / no halt;
+        # the DLQ (when configured) carries BOTH error channels
+        return _run_stream(spark, cfg, clean,
+                           _union_errors(errors, filter_errors))
 
     # Observations: the actions the pipeline runs anyway report the
     # stage counts the reference logs from its eager passes — no second

@@ -442,3 +442,40 @@ def test_quality_config_validation(tmp_path):
     p.write_text(yaml.safe_dump(bad))
     with pytest.raises(ConfigError, match="unknown or unsupported"):
         load_config(str(p))
+
+
+def test_streaming_dead_letter_queue(spark, tmp_path):
+    """Stream mode with deadLetterDir: clean rows land in the
+    destination, errored records (with etl_error_message) land as
+    JSON-lines in the DLQ — the streaming analogue of errorFile."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.csv").write_text("id,amount\n1,10\n2,notnum\n3,30\n")
+    cfg = {
+        "source": {"type": "csv", "file": str(src_dir / "*.csv"),
+                   "stream": True},
+        "mappings": [
+            {"source": "id", "target": "id", "transform": "toInt"},
+            {"source": "amount", "target": "amount",
+             "transform": "mustToFloat"},
+        ],
+        "errorHandling": {"mode": "skip",
+                          "deadLetterDir": str(tmp_path / "dlq")},
+        "destination": {"type": "csv", "file": str(tmp_path / "out"),
+                        "checkpoint": str(tmp_path / "ckpt")},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    assert res.written
+    clean_ids = sorted(int(r["id"]) for r in res.output.collect())
+    assert clean_ids == [1, 3]
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    rows = dlq.collect()
+    assert len(rows) == 1
+    assert "mustToFloat" in rows[0]["etl_error_message"] or \
+        "rule" in rows[0]["etl_error_message"]
