@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "llm_boilerplate_ngrams",
     "llm_unigram_logprob",
     "events_funnel",
+    "events_ohlc_bars",
+    "events_interpolate",
+    "events_twap",
 ]
 
 

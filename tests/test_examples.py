@@ -82,3 +82,30 @@ def test_ann_index_example(spark, tmp_path, capsys):
         sys.argv = old
     out = capsys.readouterr().out
     assert "recall vs exact" in out
+
+
+def test_warehouse_load_playbook(spark, tmp_path, monkeypatch):
+    """The showcase playbook: quality gate passes, output is globally
+    time-sorted with a manifest, pruned_read plans from it."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+    from etl_tool_spark.sources.skipping import pruned_read
+
+    cfg = yaml.safe_load(open("examples/warehouse_load.yaml"))
+    out = str(tmp_path / "events_sorted")
+    cfg["destination"]["file"] = out
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    assert res.written and res.metrics["quality_failures"] == 0
+    full = spark.read.parquet(out)
+    assert len(full.inputFiles()) == 8
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 1, 6)
+    pr = pruned_read(spark, out, "ts", lo, hi)
+    assert pr.count() == full.filter(
+        (full.ts >= lo) & (full.ts <= hi)).count()
+    assert len(pr.inputFiles()) < 8
