@@ -3454,3 +3454,42 @@ def events_interpolate(spark, sf_dir):
                      value.alias("value"),
                      (F.col("v").isNull() & F.col("pv").isNotNull()
                       & F.col("nv").isNotNull()).alias("interpolated")))
+
+
+@query("join_asof_tolerance", """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+ clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+ j AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS cts, c.click_value
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id,
+       CASE WHEN cts >= ts - INTERVAL 15 MINUTE THEN cts END AS click_ts,
+       CASE WHEN cts >= ts - INTERVAL 15 MINUTE THEN click_value END
+         AS value_right
+FROM j
+""")
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (kdb aj / pandas merge_asof
+    `tolerance`): a click older than 15 minutes before the purchase is
+    no match. Same single union-window shuffle as join_asof — the bound
+    evaluates against the running matched-ts, no extra pass."""
+    from etl_tool_spark.operators.relational import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("value", "event_id").alias("click_value")))
+    clicks = clicks.withColumn("_cts", F.col("ts"))
+    joined = asof_join(purchases, clicks, on=["user_id"],
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["click_value", "_cts"],
+                       tolerance="15 MINUTE")
+    return joined.select("event_id", "user_id",
+                         F.col("_cts_right").alias("click_ts"),
+                         F.col("click_value_right").alias("value_right"))

@@ -28,9 +28,16 @@ __all__ = ["asof_join"]
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               payload_cols: list[str] | None = None,
-              suffix: str = "_right", inclusive: bool = True) -> DataFrame:
+              suffix: str = "_right", inclusive: bool = True,
+              tolerance: str | int | float | None = None) -> DataFrame:
     """Left as-of join. ``payload_cols`` are the right-side columns carried
     onto matching left rows (null when no prior right row exists).
+
+    ``tolerance`` bounds staleness (the kdb ``aj`` / pandas merge_asof
+    tolerance): a match older than the bound is treated as no match
+    (payloads null). Pass an interval string ("1 hour") for timestamp
+    axes or a number for numeric axes. Computed from the SAME running
+    window state — no extra shuffle.
 
     Ties: if several right rows share (key, ts), the one latest in the
     window order wins — make the right side unique per (key, ts) first if
@@ -41,11 +48,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     lt = left.withColumn("_asof_ts", F.col(left_ts)).withColumn("_is_left", F.lit(1))
     for c in payload_cols:
         lt = lt.withColumn(f"_p_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    lt = lt.withColumn("_p__rts",
+                       F.lit(None).cast(dict(right.dtypes)[right_ts]))
     rt = right.select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols])
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.col(right_ts).alias("_p__rts"))
     left_only_cols = [c for c in lt.columns if c not in rt.columns]
     rt = rt.select("*", *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c)
                           for c in left_only_cols])
@@ -59,7 +69,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     filled = unioned.select(
         "*",
         *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in payload_cols])
+          for c in payload_cols],
+        F.last("_p__rts", ignorenulls=True).over(w).alias("_matched_rts"))
     out = filled.filter(F.col("_is_left") == 1)
-    drop = ["_asof_ts", "_is_left"] + [f"_p_{c}" for c in payload_cols]
+    if tolerance is not None:
+        floor = (F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+                 if isinstance(tolerance, str)
+                 else F.col(left_ts) - F.lit(tolerance))
+        fresh = F.col("_matched_rts").isNotNull() \
+            & (F.col("_matched_rts") >= floor)
+        out = out.select(
+            *[c for c in out.columns
+              if not any(c == f"{p}{suffix}" for p in payload_cols)],
+            *[F.when(fresh, F.col(f"{p}{suffix}"))
+               .alias(f"{p}{suffix}") for p in payload_cols])
+    drop = ["_asof_ts", "_is_left", "_matched_rts"] \
+        + [f"_p_{c}" for c in payload_cols] + ["_p__rts"]
     return out.drop(*drop)

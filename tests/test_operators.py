@@ -358,3 +358,20 @@ def test_quality_checks_detects_violations(spark):
 
     with _pytest.raises(ValueError):
         run_checks(df, [{"type": "nope", "column": "id"}])
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches older than the bound (numeric axis here);
+    rows with a fresh match keep it."""
+    from etl_tool_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 500, "L2")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 90, "R@90")], "k long, ts long, payload string")
+    no_tol = {r["tag"]: r["payload_right"] for r in
+              asof_join(left, right, on=["k"]).collect()}
+    assert no_tol == {"L1": "R@90", "L2": "R@90"}
+    tol = {r["tag"]: r["payload_right"] for r in
+           asof_join(left, right, on=["k"], tolerance=50).collect()}
+    assert tol == {"L1": "R@90", "L2": None}   # 500-90 > 50 → stale
