@@ -29,9 +29,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               payload_cols: list[str] | None = None,
               suffix: str = "_right", inclusive: bool = True,
-              tolerance: str | int | float | None = None) -> DataFrame:
+              tolerance: str | int | float | None = None,
+              direction: str = "backward") -> DataFrame:
     """Left as-of join. ``payload_cols`` are the right-side columns carried
     onto matching left rows (null when no prior right row exists).
+
+    ``direction`` (pandas merge_asof semantics): "backward" matches the
+    most recent right row at-or-before each left row; "forward" the
+    earliest at-or-after. Both are the same union-window plan — forward
+    just flips the frame (first over following) and the tie rule.
 
     ``tolerance`` bounds staleness (the kdb ``aj`` / pandas merge_asof
     tolerance): a match older than the bound is treated as no match
@@ -60,24 +66,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rt = rt.select("*", *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c)
                           for c in left_only_cols])
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    backward = direction == "backward"
+
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at equal ts when inclusive
-    # (so right.ts == left.ts matches), after them when exclusive
-    tie = F.col("_is_left").asc() if inclusive else F.col("_is_left").desc()
-    w = (Window.partitionBy(*on).orderBy(F.col("_asof_ts").asc(), tie)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # backward: right rows sort before left rows at equal ts when
+    # inclusive (so right.ts == left.ts is inside the preceding frame),
+    # after them when exclusive. forward mirrors both rules.
+    if backward == inclusive:
+        tie = F.col("_is_left").asc()
+    else:
+        tie = F.col("_is_left").desc()
+    if backward:
+        w = (Window.partitionBy(*on).orderBy(F.col("_asof_ts").asc(), tie)
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last
+    else:
+        w = (Window.partitionBy(*on).orderBy(F.col("_asof_ts").asc(), tie)
+                   .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first
     filled = unioned.select(
         "*",
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        *[pick(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
           for c in payload_cols],
-        F.last("_p__rts", ignorenulls=True).over(w).alias("_matched_rts"))
+        pick("_p__rts", ignorenulls=True).over(w).alias("_matched_rts"))
     out = filled.filter(F.col("_is_left") == 1)
     if tolerance is not None:
-        floor = (F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
-                 if isinstance(tolerance, str)
-                 else F.col(left_ts) - F.lit(tolerance))
-        fresh = F.col("_matched_rts").isNotNull() \
-            & (F.col("_matched_rts") >= floor)
+        tol = (F.expr(f"INTERVAL {tolerance}")
+               if isinstance(tolerance, str) else F.lit(tolerance))
+        if backward:
+            fresh = F.col("_matched_rts").isNotNull() \
+                & (F.col("_matched_rts") >= F.col(left_ts) - tol)
+        else:
+            fresh = F.col("_matched_rts").isNotNull() \
+                & (F.col("_matched_rts") <= F.col(left_ts) + tol)
         out = out.select(
             *[c for c in out.columns
               if not any(c == f"{p}{suffix}" for p in payload_cols)],

@@ -56,3 +56,46 @@ def test_compaction_preserves_content(spark, vals, n_parts):
     assert stats["rows"] == len(vals)
     got = sorted((r.k, r.s) for r in spark.read.parquet(dst).collect())
     assert got == sorted(vals)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+             min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100),
+                       st.integers(0, 999)),
+             min_size=0, max_size=40, unique_by=lambda t: (t[0], t[1])),
+    st.sampled_from(["backward", "forward"]),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(0, 50)))
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
+                                             direction, inclusive, tol):
+    """Differential oracle: asof_join ≡ pandas merge_asof for random
+    keyed series across direction × inclusivity × tolerance. The right
+    side is unique per (key, ts) — the operator's deterministic-tie
+    contract."""
+    import pandas as pd
+
+    from etl_tool_spark.operators.relational import asof_join
+
+    ldf = (pd.DataFrame(lrows, columns=["k", "ts"])
+           .astype({"k": "int64", "ts": "int64"}).reset_index(names="lid"))
+    rdf = (pd.DataFrame(rrows, columns=["k", "ts", "payload"])
+           .astype({"k": "int64", "ts": "int64", "payload": "int64"}))
+    want_df = pd.merge_asof(
+        ldf.sort_values(["ts", "lid"]), rdf.sort_values("ts"),
+        on="ts", by="k", direction=direction,
+        allow_exact_matches=inclusive,
+        tolerance=tol if tol is not None else None)
+    want = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in want_df.itertuples()}
+
+    sl = spark.createDataFrame(ldf[["lid", "k", "ts"]],
+                               "lid long, k long, ts long")
+    sr = spark.createDataFrame(rdf, "k long, ts long, payload long") \
+        if rrows else spark.createDataFrame([], "k long, ts long, payload long")
+    got_rows = asof_join(sl, sr, on=["k"], inclusive=inclusive,
+                         tolerance=tol, direction=direction).collect()
+    got = {r["lid"]: r["payload_right"] for r in got_rows}
+    assert got == want
