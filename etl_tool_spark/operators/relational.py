@@ -38,6 +38,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     most recent right row at-or-before each left row; "forward" the
     earliest at-or-after. Both are the same union-window plan — forward
     just flips the frame (first over following) and the tie rule.
+    "nearest" picks whichever side is closer (ties → backward, pandas
+    rule); it composes the two single-pass joins, so it costs a second
+    union-window shuffle — the one direction that can't share a frame
+    ordering without shadowing under exclusive ties.
 
     ``tolerance`` bounds staleness (the kdb ``aj`` / pandas merge_asof
     tolerance): a match older than the bound is treated as no match
@@ -66,8 +70,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rt = rt.select("*", *[F.lit(None).cast(dict(lt.dtypes)[c]).alias(c)
                           for c in left_only_cols])
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction {direction!r}")
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_ts, right_ts,
+                             payload_cols, suffix, inclusive, tolerance)
     backward = direction == "backward"
 
     unioned = lt.unionByName(rt)
@@ -109,3 +116,29 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     drop = ["_asof_ts", "_is_left", "_matched_rts"] \
         + [f"_p_{c}" for c in payload_cols] + ["_p__rts"]
     return out.drop(*drop)
+
+
+def _asof_nearest(left: DataFrame, right: DataFrame, on: list[str],
+                  left_ts: str, right_ts: str, payload_cols: list[str],
+                  suffix: str, inclusive: bool,
+                  tolerance) -> DataFrame:
+    """nearest = closer of the backward and forward matches (ties →
+    backward, pandas rule). Runs both single-pass joins with the
+    matched timestamps carried, then selects per row."""
+    rts = right.withColumn("_nrts", F.col(right_ts))
+    pays = payload_cols + ["_nrts"]
+    b = asof_join(left, rts, on, left_ts, right_ts, pays, "_b",
+                  inclusive=inclusive, tolerance=tolerance,
+                  direction="backward")
+    f = asof_join(b, rts, on, left_ts, right_ts, pays, "_f",
+                  inclusive=inclusive, tolerance=tolerance,
+                  direction="forward")
+    bd = F.col(left_ts) - F.col("_nrts_b")
+    fd = F.col("_nrts_f") - F.col(left_ts)
+    use_b = F.col("_nrts_b").isNotNull() \
+        & (F.col("_nrts_f").isNull() | (bd <= fd))
+    out = f.select(
+        *[c for c in left.columns],
+        *[F.when(use_b, F.col(f"{p}_b")).otherwise(F.col(f"{p}_f"))
+           .alias(f"{p}{suffix}") for p in payload_cols])
+    return out

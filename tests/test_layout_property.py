@@ -66,7 +66,7 @@ def test_compaction_preserves_content(spark, vals, n_parts):
     st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100),
                        st.integers(0, 999)),
              min_size=0, max_size=40, unique_by=lambda t: (t[0], t[1])),
-    st.sampled_from(["backward", "forward"]),
+    st.sampled_from(["backward", "forward", "nearest"]),
     st.booleans(),
     st.one_of(st.none(), st.integers(0, 50)))
 def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
