@@ -63,6 +63,8 @@ def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     row per check. ``failures`` counts violating rows (for ``unique``:
     rows carrying a duplicated key; for ``relationship``: rows whose
     key has no match). All row-level checks share ONE scan."""
+    if not checks:
+        raise ValueError("run_checks: empty check list")
     spark = df.sparkSession
     total = df.count()
 
