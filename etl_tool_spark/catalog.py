@@ -3493,3 +3493,121 @@ def join_asof_tolerance(spark, sf_dir):
     return joined.select("event_id", "user_id",
                          F.col("_cts_right").alias("click_ts"),
                          F.col("click_value_right").alias("value_right"))
+
+
+@query("llm_corpus_drift", """
+WITH sides AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 'a' ELSE 'b' END AS side, lang
+  FROM documents),
+ counts AS (SELECT lang, side, count(*) AS n FROM sides GROUP BY lang, side),
+ tot AS (SELECT side, sum(n) AS total FROM counts GROUP BY side),
+ piv AS (SELECT lang,
+                coalesce(sum(CASE WHEN side = 'a' THEN n END), 0) AS n_a,
+                coalesce(sum(CASE WHEN side = 'b' THEN n END), 0) AS n_b
+         FROM counts GROUP BY lang)
+SELECT lang, n_a, n_b,
+       round(n_a / (SELECT total FROM tot WHERE side = 'a')::DOUBLE, 6)
+         AS share_a,
+       round(n_b / (SELECT total FROM tot WHERE side = 'b')::DOUBLE, 6)
+         AS share_b,
+       round(n_b / (SELECT total FROM tot WHERE side = 'b')::DOUBLE
+             - n_a / (SELECT total FROM tot WHERE side = 'a')::DOUBLE, 6)
+         AS share_delta
+FROM piv
+""")
+def llm_corpus_drift(spark, sf_dir):
+    """Corpus drift between two snapshots (here: source groups src0-9 vs
+    src10-19 stand in for 'last crawl' vs 'this crawl'): per-language
+    document shares and their delta — the monitoring table a training-
+    data pipeline alerts on when a new ingest shifts the language mix.
+    One aggregate per side + a tiny pivot; the totals broadcast back as
+    1-row scalars."""
+    d = _docs(spark, sf_dir)
+    side = F.when(F.substring("source", 4, 10).cast("int") < 10,
+                  F.lit("a")).otherwise(F.lit("b"))
+    counts = (d.select(side.alias("side"), "lang")
+               .groupBy("lang", "side").agg(F.count(F.lit(1)).alias("n")))
+    piv = (counts.groupBy("lang")
+                 .agg(F.coalesce(F.sum(F.when(F.col("side") == "a",
+                                              F.col("n"))), F.lit(0))
+                       .alias("n_a"),
+                      F.coalesce(F.sum(F.when(F.col("side") == "b",
+                                              F.col("n"))), F.lit(0))
+                       .alias("n_b")))
+    tot = piv.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    share_a = F.col("n_a") / F.col("_ta").cast("double")
+    share_b = F.col("n_b") / F.col("_tb").cast("double")
+    return (piv.crossJoin(F.broadcast(tot))
+               .select("lang", "n_a", "n_b",
+                       F.round(share_a, 6).alias("share_a"),
+                       F.round(share_b, 6).alias("share_b"),
+                       F.round(share_b - share_a, 6).alias("share_delta")))
+
+
+@query("llm_unigram_js", """
+WITH tok AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 'a' ELSE 'b' END AS side,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+ freq AS (SELECT side, t, count(*) AS c FROM tok GROUP BY side, t),
+ tot AS (SELECT side, sum(c) AS n FROM freq GROUP BY side),
+ j AS (SELECT coalesce(a.t, b.t) AS t,
+              coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+       FROM (SELECT * FROM freq WHERE side = 'a') a
+       FULL JOIN (SELECT * FROM freq WHERE side = 'b') b ON a.t = b.t),
+ p AS (SELECT t, ca / (SELECT n FROM tot WHERE side = 'a')::DOUBLE AS p,
+              cb / (SELECT n FROM tot WHERE side = 'b')::DOUBLE AS q
+       FROM j),
+ terms AS (SELECT t, p, q,
+    (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+     + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+      ::DECIMAL(28,15) AS contrib
+    FROM p)
+SELECT round((sum(contrib) / 2)::DOUBLE, 8) AS js_divergence,
+       sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS terms_only_a,
+       sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS terms_only_b,
+       count(*) AS vocab
+FROM terms
+""")
+def llm_unigram_js(spark, sf_dir):
+    """Jensen-Shannon divergence between the two snapshots' unigram
+    distributions — the scalar drift alarm (0 = identical corpora,
+    ln 2 = disjoint). Scale shape: term frequencies partial-aggregate
+    map-side, the two sides full-outer join on the term (both sides
+    already hashed on it), and the per-term contributions are exact
+    doubles cast to decimal so the final sum is order-insensitive;
+    totals broadcast as 1-row scalars."""
+    d = _docs(spark, sf_dir)
+    side = F.when(F.substring("source", 4, 10).cast("int") < 10,
+                  F.lit("a")).otherwise(F.lit("b"))
+    tok = d.select(side.alias("side"),
+                   F.explode(X.tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("side", "t").agg(F.count(F.lit(1)).alias("c"))
+    fa = freq.filter(F.col("side") == "a").select(F.col("t"),
+                                                  F.col("c").alias("ca"))
+    fb = freq.filter(F.col("side") == "b").select(F.col("t").alias("tb"),
+                                                  F.col("c").alias("cb"))
+    j = (fa.join(fb, fa.t == fb.tb, "full")
+           .select(F.coalesce(fa.t, fb.tb).alias("t"),
+                   F.coalesce("ca", F.lit(0)).alias("ca"),
+                   F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = j.agg(F.sum("ca").alias("_na"), F.sum("cb").alias("_nb"))
+    withp = (j.crossJoin(F.broadcast(tot))
+               .withColumn("p", F.col("ca") / F.col("_na").cast("double"))
+               .withColumn("q", F.col("cb") / F.col("_nb").cast("double")))
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m))
+         .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m))
+           .otherwise(F.lit(0.0))).cast("decimal(28,15)")
+    return (withp.select(contrib.alias("_c"), "p", "q")
+                 .agg(F.round((F.sum("_c") / 2).cast("double"), 8)
+                       .alias("js_divergence"),
+                      F.sum(F.when(F.col("q") == 0, 1).otherwise(0))
+                       .alias("terms_only_a"),
+                      F.sum(F.when(F.col("p") == 0, 1).otherwise(0))
+                       .alias("terms_only_b"),
+                      F.count(F.lit(1)).alias("vocab")))
