@@ -73,13 +73,21 @@ def theta_set_estimate(spark: SparkSession, sketch_dir: str,
     Reads only the sketch table — never the source rows."""
     if op not in ("intersection", "union", "difference"):
         raise ValueError(f"unknown theta op {op!r}")
+    import uuid
+
     sk = spark.read.parquet(sketch_dir)
-    sk.createOrReplaceTempView("_theta_store")
-    a = f"(SELECT theta_union_agg(sketch) AS s FROM _theta_store WHERE {where_a})"
-    b = f"(SELECT theta_union_agg(sketch) AS s FROM _theta_store WHERE {where_b})"
-    row = spark.sql(
-        f"SELECT theta_sketch_estimate(theta_{op}(a.s, b.s)) AS n "
-        f"FROM {a} a CROSS JOIN {b} b").collect()[0]
+    # unique view name + cleanup: a fixed name would leak session state
+    # and collide under concurrent callers of one SparkSession
+    view = f"theta_store_{uuid.uuid4().hex}"
+    sk.createOrReplaceTempView(view)
+    try:
+        a = f"(SELECT theta_union_agg(sketch) AS s FROM {view} WHERE {where_a})"
+        b = f"(SELECT theta_union_agg(sketch) AS s FROM {view} WHERE {where_b})"
+        row = spark.sql(
+            f"SELECT theta_sketch_estimate(theta_{op}(a.s, b.s)) AS n "
+            f"FROM {a} a CROSS JOIN {b} b").collect()[0]
+    finally:
+        spark.catalog.dropTempView(view)
     return float(row["n"])
 
 
