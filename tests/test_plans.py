@@ -479,3 +479,39 @@ def test_quality_checks_no_cartesian_broadcast_fk(spark, catalog):
     assert "CartesianProduct" not in p
     # the FK check's anti-join broadcasts the customer key side
     assert "LeftAnti" in p
+
+
+def test_headline_plan_shapes_scale_invariant(spark, catalog):
+    """The partition strategy must hold at 1000x: a query's physical
+    plan SHAPE (operator-type counts — joins, exchanges, windows,
+    aggregates) must not depend on the data volume, only its runtime
+    does. Compare every bench headline query's plan signature at
+    sf0.001 vs sf0.1 (100x)."""
+    import re
+
+    from bench import BENCH_QUERIES
+
+    def signature(p: str) -> dict:
+        ops = re.findall(r"\(\d+\) ([A-Za-z]+)", p)
+        keep = {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+                "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                "Exchange", "Generate"}
+        sig: dict = {}
+        for o in set(ops):
+            if o in keep:
+                sig[o] = len(set(re.findall(rf"\((\d+)\) {o}\b", p)))
+        return sig
+
+    skip = {"llm_clean_corpus"}  # staging write breaks lazy plan build twice
+    diffs = []
+    for name in BENCH_QUERIES:
+        if name in skip:
+            continue
+        s_small = signature(plan(catalog[name](spark,
+                                               "/root/testdata/sf0.001")))
+        s_big = signature(plan(catalog[name](spark,
+                                             "/root/testdata/sf0.1")))
+        if s_small != s_big:
+            diffs.append((name, s_small, s_big))
+    assert not diffs, f"scale-dependent plan shapes: {diffs}"
