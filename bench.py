@@ -120,12 +120,37 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
+    # compact plan-quality audit of the headline set, embedded in the
+    # benchmark artifact: cartesians are the one never-acceptable shape,
+    # exchange count is the shuffle budget (see scripts/audit_plans.py
+    # for the full per-query sweep)
+    import re
+
+    def _n(p: str, node: str) -> int:
+        return len(set(re.findall(rf"\((\d+)\) {node}\b", p)))
+
+    cartesians = exchanges = 0
+    for name in BENCH_QUERIES:
+        try:
+            df = SPARK[name](spark, "/root/testdata/sf0.001"
+                             if os.path.isdir("/root/testdata/sf0.001")
+                             else sf_dir)
+            p = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            cartesians += _n(p, "CartesianProduct")
+            exchanges += _n(p, "Exchange")
+        except Exception:
+            pass
+
     print(json.dumps({
         "metric": "catalog_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "plan_stats": {"queries": len(BENCH_QUERIES),
+                       "cartesian_products": cartesians,
+                       "total_exchanges": exchanges},
     }))
 
 
