@@ -32,6 +32,12 @@ class EndpointConfig:
     # checkpointed writeStream)
     stream: bool = False
     checkpoint: str | None = None
+    # Spark-native extension: incremental batch ingestion — read only
+    # rows with incremental.column strictly above the high-water mark in
+    # incremental.stateFile (JSON), and advance the mark after a
+    # successful load. The Airbyte/Fivetran-style repeated-batch
+    # contract: re-running a playbook ingests only new data.
+    incremental: dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -133,10 +139,16 @@ def _endpoint(raw: dict, which: str) -> EndpointConfig:
     checkpoint = raw.get("checkpoint")
     if checkpoint:
         checkpoint = expand_env(str(checkpoint))
+    inc = dict(raw.get("incremental") or {})
+    if inc:
+        if not inc.get("column") or not inc.get("stateFile"):
+            raise ConfigError(f"{which}: incremental needs 'column' "
+                              "and 'stateFile'")
+        inc["stateFile"] = expand_env(str(inc["stateFile"]))
     return EndpointConfig(type=t, file=file, query=raw.get("query"),
                           options=options, loader=dict(raw.get("loader") or {}),
                           stream=bool(raw.get("stream", False)),
-                          checkpoint=checkpoint)
+                          checkpoint=checkpoint, incremental=inc)
 
 
 def load_config(path_or_dict: str | dict) -> PlaybookConfig:
@@ -207,6 +219,10 @@ def validate_config(cfg: PlaybookConfig) -> None:
         if cfg.quality:
             errors.append("source.stream: quality checks aggregate the "
                           "whole table — batch-only")
+        if cfg.source.incremental:
+            errors.append("source.stream: incremental high-water-mark "
+                          "reads are batch-only (streams checkpoint "
+                          "progress natively)")
         if cfg.dedup:
             errors.append("source.stream: dedup needs a window over the "
                           "whole input — use streaming dedup "

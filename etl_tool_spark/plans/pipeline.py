@@ -46,6 +46,68 @@ class PipelineResult:
     metrics: dict | None = None
 
 
+def _read_hwm(state_file: str):
+    """High-water mark from the incremental state file (None first run)."""
+    import json
+    import os
+
+    if not os.path.exists(state_file):
+        return None
+    with open(state_file) as f:
+        return json.load(f).get("max")
+
+
+def _write_hwm(state_file: str, column: str, value) -> None:
+    import datetime
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(state_file)), exist_ok=True)
+    if hasattr(value, "isoformat"):
+        value = value.isoformat(sep=" ")
+    with open(state_file, "w") as f:
+        json.dump({"column": column, "max": value,
+                   "updated": datetime.datetime.now(
+                       datetime.timezone.utc).isoformat()}, f)
+
+
+def _wm_col(df: DataFrame, inc: dict):
+    """The typed watermark expression. ``castTo`` handles string-typed
+    sources (CSV/XLSX parity reads): 'id' as a string would advance
+    lexicographically ('10' < '2'), so numeric/timestamp watermarks
+    over string columns must declare their type."""
+    c = F.col(inc["column"])
+    return c.cast(inc["castTo"]) if inc.get("castTo") else c
+
+
+def _apply_incremental(df: DataFrame, inc: dict) -> DataFrame:
+    """Filter to rows strictly above the stored mark; the comparison
+    value casts to the watermark's type so typed (timestamp/numeric)
+    predicates push down into the scan."""
+    mark = _read_hwm(inc["stateFile"])
+    if mark is None:
+        return df
+    wm = _wm_col(df, inc)
+    target = inc.get("castTo") or dict(df.dtypes)[inc["column"]]
+    return df.filter(wm > F.lit(mark).cast(target))
+
+
+def _advance_hwm(spark: SparkSession, cfg: PlaybookConfig) -> None:
+    """After a successful load, advance the high-water mark to the max
+    watermark value among the rows this run ingested. The re-read is
+    filtered by the OLD mark, so its cost is proportional to the
+    increment (the predicate pushes down), not the table; no rows in
+    the increment ⇒ the mark stays put."""
+    src = cfg.source
+    inc = src.incremental
+    df = read_source(spark, src.type, src.file or src.query or "",
+                     src.options, attach_seq=False)
+    df = _apply_incremental(df, inc)
+    new_max = df.agg(F.max(_wm_col(df, inc))).collect()[0][0]
+    if new_max is not None:
+        _write_hwm(inc["stateFile"], inc["column"], new_max)
+
+
 def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Compile the playbook to (clean_df, error_df, filter_error_df)
@@ -72,6 +134,8 @@ def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
     else:
         src = cfg.source
         df = read_source(spark, src.type, src.file or src.query or "", src.options)
+        if src.incremental:
+            df = _apply_incremental(df, src.incremental)
 
     # Filter runs on source records, pre-transform (app.go:150-164)
     df, filter_errors = apply_filter_with_errors(df, cfg.filter)
@@ -246,9 +310,13 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
     if dst.type in ("postgres", "jdbc") and loader_mode == "sql":
         opts = {**dst.options, **dst.loader}
         counts = write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
+        if cfg.source is not None and cfg.source.incremental:
+            _advance_hwm(spark, cfg)
         return PipelineResult(clean, errors, written=True,
                               load_processed=counts["processed"],
                               load_failed=counts["failed"],
                               metrics=_metrics())
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
+    if cfg.source is not None and cfg.source.incremental:
+        _advance_hwm(spark, cfg)
     return PipelineResult(clean, errors, written=True, metrics=_metrics())

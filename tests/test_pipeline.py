@@ -479,3 +479,45 @@ def test_streaming_dead_letter_queue(spark, tmp_path):
     assert len(rows) == 1
     assert "mustToFloat" in rows[0]["etl_error_message"] or \
         "rule" in rows[0]["etl_error_message"]
+
+
+def test_incremental_high_water_mark(spark, tmp_path):
+    """Repeated playbook runs ingest only rows above the stored mark:
+    run 1 loads everything and records max(id); run 2 with new+old rows
+    appends only the new ones; a run with nothing new keeps the mark."""
+    import json
+
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    src = tmp_path / "in.csv"
+    state = tmp_path / "state.json"
+    out = tmp_path / "out"
+    cfg = {
+        "source": {"type": "csv", "file": str(src),
+                   "incremental": {"column": "id", "castTo": "long",
+                                   "stateFile": str(state)}},
+        "mappings": [{"source": "id", "target": "id", "transform": "toInt"},
+                     {"source": "v", "target": "v"}],
+        "destination": {"type": "csv", "file": str(out),
+                        "options": {"mode": "append"}},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    src.write_text("id,v\n1,a\n2,b\n")
+    run_pipeline(spark, load_config(str(p)))
+    assert json.load(open(state))["max"] == 2
+
+    src.write_text("id,v\n1,a\n2,b\n3,c\n4,d\n")   # old rows re-present
+    res2 = run_pipeline(spark, load_config(str(p)))
+    assert res2.metrics["rows_out"] == 2            # only 3 and 4
+    assert json.load(open(state))["max"] == 4
+
+    res3 = run_pipeline(spark, load_config(str(p)))  # nothing new
+    assert res3.metrics["rows_out"] == 0
+    assert json.load(open(state))["max"] == 4
+    rows = sorted(int(r["id"]) for r in
+                  spark.read.option("header", True).csv(str(out)).collect())
+    assert rows == [1, 2, 3, 4]
