@@ -98,6 +98,10 @@ class PlaybookConfig:
     sources: dict[str, EndpointConfig] = field(default_factory=dict)
     sql: str | None = None
     quality: QualityConfig | None = None
+    # Spark-native extension: additional destinations — the SAME clean
+    # frame fans out to several sinks (e.g. parquet archive + CSV
+    # export). Serial writes of one lazy plan; batch-only.
+    destinations: list[EndpointConfig] = field(default_factory=list)
 
 
 _VALID_TYPES = {"csv", "json", "parquet", "orc", "text", "yaml", "yml", "xml",
@@ -170,6 +174,8 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
                  for n, ep in raw_sources.items()},
         sql=raw.get("sql"),
         destination=_endpoint(raw["destination"], "destination") if raw.get("destination") else None,
+        destinations=[_endpoint(d, f"destinations[{i}]")
+                      for i, d in enumerate(raw.get("destinations") or [])],
         filter=raw.get("filter"),
         mappings=list(raw.get("mappings") or []),
         flattening=FlatteningConfig(**raw["flattening"]) if raw.get("flattening") else None,
@@ -219,6 +225,9 @@ def validate_config(cfg: PlaybookConfig) -> None:
         if cfg.quality:
             errors.append("source.stream: quality checks aggregate the "
                           "whole table — batch-only")
+        if cfg.destinations:
+            errors.append("source.stream: multiple destinations are "
+                          "batch-only")
         if cfg.source.incremental:
             errors.append("source.stream: incremental high-water-mark "
                           "reads are batch-only (streams checkpoint "

@@ -317,6 +317,13 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
                               load_failed=counts["failed"],
                               metrics=_metrics())
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
+    for extra in cfg.destinations:
+        # fan-out: same clean frame, additional sinks. Each write re-runs
+        # the (cheap, pushdown-pruned) plan; for expensive chains the
+        # primary destination IS the materialization and extras would
+        # read it back — the playbook analogue is chaining playbooks.
+        write_sink(clean, extra.type, extra.file or "",
+                   {**extra.options, **extra.loader})
     if cfg.source is not None and cfg.source.incremental:
         _advance_hwm(spark, cfg)
     return PipelineResult(clean, errors, written=True, metrics=_metrics())

@@ -521,3 +521,31 @@ def test_incremental_high_water_mark(spark, tmp_path):
     rows = sorted(int(r["id"]) for r in
                   spark.read.option("header", True).csv(str(out)).collect())
     assert rows == [1, 2, 3, 4]
+
+
+def test_multiple_destinations_fan_out(spark, tmp_path):
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    cfg = {
+        "source": {"type": "csv", "file": str(src)},
+        "mappings": [{"source": "id", "target": "id", "transform": "toInt"},
+                     {"source": "v", "target": "v"}],
+        "destination": {"type": "parquet", "file": str(tmp_path / "main.pq")},
+        "destinations": [
+            {"type": "csv", "file": str(tmp_path / "export.csv")},
+            {"type": "json", "file": str(tmp_path / "export.json")},
+        ],
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    run_pipeline(spark, load_config(str(p)))
+    assert spark.read.parquet(str(tmp_path / "main.pq")).count() == 2
+    assert spark.read.option("header", True) \
+        .csv(str(tmp_path / "export.csv")).count() == 2
+    import json
+
+    assert len(json.load(open(tmp_path / "export.json"))) == 2
