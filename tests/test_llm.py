@@ -161,6 +161,24 @@ def test_connected_components_chain_and_islands(spark):
                       10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_releases_round_checkpoints(spark):
+    from etl_tool_spark.llm import graph as G
+
+    # the fixpoint must not pin one RDD per round (or leak the edges
+    # frame): after materializing, exactly ONE checkpoint — the returned
+    # labels frame's own data — may remain per call
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long")
+    labels = G.connected_components(edges, "a", "b")
+    labels.count()
+    leftover = [i for i in jsc.getPersistentRDDs().keySet().toArray()
+                if i not in before]
+    assert len(leftover) == 1
+    jsc.getPersistentRDDs().get(leftover[0]).unpersist(True)
+
+
 def test_connected_components_empty_and_unconverged(spark):
     from etl_tool_spark.llm import graph as G
 
