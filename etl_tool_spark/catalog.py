@@ -3611,3 +3611,146 @@ def llm_unigram_js(spark, sf_dir):
                       F.sum(F.when(F.col("p") == 0, 1).otherwise(0))
                        .alias("terms_only_b"),
                       F.count(F.lit(1)).alias("vocab")))
+
+
+# =========================================================================
+# Record linkage, importance sampling, temporal snapshot, rate capping
+# =========================================================================
+
+@query("er_edit_distance_join", """
+WITH cat AS (SELECT doc_id AS cat_id, substr(text, 1, 40) AS cat_title
+             FROM documents),
+ dirty AS (SELECT doc_id + 1000000 AS dirty_id,
+                  substr(substr(text, 1, 40), 1, (doc_id % 40)::INT)
+                  || substr(substr(text, 1, 40), (doc_id % 40)::INT + 2)
+                    AS dirty_title
+           FROM documents)
+SELECT cat_id, dirty_id, levenshtein(cat_title, dirty_title) AS distance
+FROM cat, dirty
+WHERE levenshtein(cat_title, dirty_title) <= 1
+""")
+def er_edit_distance_join(spark, sf_dir):
+    """Cross-table record linkage without a cartesian: match a 'dirty'
+    title feed (each title with one character deleted at a
+    doc_id-derived position) back to the reference catalog via
+    symmetric-delete blocking + exact levenshtein verify
+    (operators/linkage.py). The ORACLE brute-forces the full cross
+    product — fine for DuckDB on the gate data, and exactly the plan
+    shape the Spark side exists to avoid at scale."""
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    d = _docs(spark, sf_dir)
+    title = F.substring("text", 1, 40)
+    cat = d.select(F.col("doc_id").alias("cat_id"), title.alias("cat_title"))
+    dirty = d.select(
+        (F.col("doc_id") + 1000000).alias("dirty_id"),
+        F.concat(F.expr("substring(substring(text, 1, 40), 1, cast(doc_id % 40 as int))"),
+                 F.expr("substring(substring(text, 1, 40), cast(doc_id % 40 as int) + 2)"))
+         .alias("dirty_title"))
+    j = edit_distance_join(cat, dirty, "cat_title", "dirty_title",
+                           max_distance=1)
+    return j.select("cat_id", "dirty_id", "distance")
+
+
+@query("llm_weighted_sample", f"""
+WITH t AS (
+  SELECT doc_id, lang, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id, lang,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({{ALLSTOP}}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t),
+ q AS (
+  SELECT doc_id, lang,
+         floor((least(n_tokens / 20.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + least(stop_ratio * 5, 1.0) * 0.3) * 10000)::BIGINT AS q4
+  FROM m)
+SELECT lang, count(*) AS n_sampled, sum(q4)::BIGINT AS sum_q4,
+       bit_xor({_H64.format(x="doc_id::VARCHAR")}) AS member_sig
+FROM q
+WHERE {_H64.format(x="'wsample:' || doc_id")} % 10000 < q4
+GROUP BY lang
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"))
+def llm_weighted_sample(spark, sf_dir):
+    """Quality-weighted importance sampling (llm/prep.py
+    weighted_sample): each document survives with probability equal to
+    its quality score, decided by an integer-exact salted-hash draw —
+    the 'mix the corpus toward quality' primitive, reproducible across
+    engines and appends. member_sig checks exact per-language
+    membership; sum_q4 pins the surviving score mass."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("_toks"),
+                    F.col("text"))
+    feats = X.quality_features(F.col("text"), toks=F.col("_toks"))
+    scored = base.select("doc_id", "lang",
+                         feats["quality_score"].alias("_q"))
+    s = P.weighted_sample(scored, "_q", key_col="doc_id")
+    return (s.select("lang",
+                     F.round(F.col("_q") * 10000).cast("bigint").alias("_q4"),
+                     X.hash64(F.col("doc_id").cast("string")).alias("_h"))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_sampled"),
+                  F.sum("_q4").alias("sum_q4"),
+                  F.expr("bit_xor(_h)").alias("member_sig")))
+
+
+@query("etl_snapshot_asof", """
+SELECT user_id, event_id, round(value, 2) AS value, ts AS valid_from
+FROM (SELECT user_id, event_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')
+WHERE rn = 1
+""")
+def etl_snapshot_asof(spark, sf_dir):
+    """Point-in-time (AS OF) read of the change-record table: the row
+    version valid at T per key = the latest change at or before T — the
+    query side of the SCD2 build (etl_scd2_intervals) and the plain-
+    parquet rendition of a table format's time travel. The temporal
+    predicate is applied BEFORE the per-key window, so the scan prunes
+    to the history prefix (at scale: partition pruning on a date-
+    partitioned change log) and the single shuffle sees only it."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    with _utc(spark):
+        return _stamp(
+            e.filter(F.col("ts") <= F.lit("2024-01-15 12:00:00")
+                                     .cast("timestamp"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("user_id", "event_id",
+                     F.round("value", 2).alias("value"),
+                     F.col("ts").alias("valid_from")))
+
+
+@query("events_per_key_cap", """
+SELECT user_id, event_id, ts
+FROM (SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn <= 2
+""")
+def events_per_key_cap(spark, sf_dir):
+    """Deterministic per-key rate cap: keep the first 2 events per user
+    per day (ties broken on event_id) — the ingestion-throttling /
+    per-entity budget primitive. One shuffle on the (user, day)
+    composite; the rank never leaves its partition."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))) \
+              .orderBy("ts", "event_id")
+    with _utc(spark):
+        return _stamp(
+            e.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 2)
+             .select("user_id", "event_id", "ts"))

@@ -31,8 +31,9 @@ from etl_tool_spark.llm.dedup import shingles
 from etl_tool_spark.llm.text import hash64, tokens
 
 __all__ = ["split_assign", "shard_assign", "stratified_sample",
-           "sample_per_group", "PII_PATTERNS", "redact_pii", "pii_counts",
-           "pack_sequences", "chunk_text", "contamination"]
+           "weighted_sample", "sample_per_group", "PII_PATTERNS",
+           "redact_pii", "pii_counts", "pack_sequences", "chunk_text",
+           "contamination"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -147,6 +148,26 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.size(window).cast("bigint").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    key_col: str = "doc_id", salt: str = "wsample",
+                    resolution: int = 10000) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    equal to its ``weight_col`` value (a [0, 1] weight — typically a
+    quality score), where the draw is a pure function of (salt, key).
+    The quality-weighted corpus-mixing primitive ("sample documents
+    proportionally to quality") with the same reproducibility contract
+    as stratified_sample: kept rows stay kept across reruns, appends,
+    and engines.
+
+    The comparison is integer-exact: keep iff
+    ``hash(salt:key) % resolution < round(weight * resolution)`` — no
+    float threshold ambiguity cross-engine. Weights outside [0, 1] clamp
+    (≥1 always keeps, ≤0 always drops). Map-side filter, zero shuffle."""
+    bucket = _key_hash(F.col(key_col), salt) % resolution
+    thresh = F.round(F.col(weight_col) * resolution).cast("bigint")
+    return df.filter(bucket < thresh)
 
 
 def sample_per_group(df: DataFrame, strata_col: str, n: int,

@@ -1,0 +1,85 @@
+"""Record linkage: edit-distance fuzzy join via deletion neighborhoods.
+
+Matching "the same entity spelled slightly differently" across two
+tables (catalog reconciliation, metadata joins, spell-corrected lookups)
+cannot run as an equi-join, and a theta-join on ``levenshtein(l, r) <= k``
+is a cartesian product — the one plan shape that never survives scale.
+
+The scalable formulation is symmetric-delete blocking (the SymSpell
+construction, public domain spell-correction literature): every string
+generates the set of variants reachable by deleting up to ``max_deletes``
+characters, INCLUDING itself. Two strings within Levenshtein distance 1
+(one substitution, insertion, or deletion) always share at least one
+1-deletion variant:
+
+  * substitution at position i  — both sides delete position i;
+  * deletion (r = l minus a char) — l's delete at that position equals
+    r's 0-delete;
+  * insertion is the mirror of deletion.
+
+So candidates = equi-join on the hashed variant, and an exact
+``levenshtein`` verify on the (tiny) candidate set makes the result
+EXACTLY "all cross pairs with distance <= max_distance" when
+``max_deletes >= max_distance`` (for distance 1; deeper distances need
+the correspondingly deeper deletion neighborhood, which grows as
+O(len^d) — the documented SymSpell storage trade).
+
+Scale shape: the neighborhood expansion is map-side (one higher-order
+``transform`` over the string, no Python), the join is a plain
+equi-join on a 60-bit hash (shuffle on short keys, AQE-managed), and
+the verify is a JVM ``levenshtein`` on candidates only. Nothing is
+quadratic in either table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_tool_spark.llm.text import hash64
+
+__all__ = ["deletion_neighborhood", "edit_distance_join"]
+
+
+def deletion_neighborhood(col: Column, max_deletes: int = 1) -> Column:
+    """Array of 60-bit hashes of ``col`` and every string reachable by
+    deleting up to ``max_deletes`` characters (distinct). Pure Column
+    expression — higher-order functions, no UDF."""
+    if max_deletes != 1:
+        raise NotImplementedError(
+            "deletion_neighborhood currently supports max_deletes=1 "
+            "(the SymSpell d>1 neighborhood grows O(len^d); add the "
+            "recursive expansion when a use case needs distance 2)")
+    s = col.cast("string")
+    one_deletes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(F.substring(s, F.lit(1), i - 1),
+                           F.substring(s, i + 1, F.length(s))))
+    variants = F.array_distinct(F.concat(F.array(s), one_deletes))
+    return F.transform(variants, hash64)
+
+
+def edit_distance_join(left: DataFrame, right: DataFrame,
+                       left_on: str, right_on: str,
+                       max_distance: int = 1) -> DataFrame:
+    """All cross-table pairs with ``levenshtein(left_on, right_on) <=
+    max_distance``, without a cartesian product. Returns the left frame's
+    columns + the right frame's + ``distance``; callers project.
+
+    Column names must not overlap between the two frames (rename before
+    calling) — keeps the result unambiguous."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"edit_distance_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first")
+    l_var = left.withColumn(
+        "_v", F.explode(deletion_neighborhood(F.col(left_on), max_distance)))
+    r_var = right.withColumn(
+        "_v", F.explode(deletion_neighborhood(F.col(right_on), max_distance)))
+    cands = (l_var.join(r_var, "_v")
+                  .drop("_v")
+                  .dropDuplicates(left.columns + right.columns))
+    dist = F.levenshtein(F.col(left_on), F.col(right_on))
+    return (cands.withColumn("distance", dist)
+                 .filter(F.col("distance") <= max_distance))

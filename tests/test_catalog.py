@@ -39,7 +39,8 @@ def test_entry_contract(spark):
 # representative one-per-family subset for fast pytest runs
 SMOKE = ["q1_pricing_summary", "join_semi", "window_topn_per_group",
          "etl_mapping_chain", "etl_dedup_min", "llm_minhash_lsh_pairs",
-         "llm_embedding_topk", "events_sessionize", "q21_waiting_suppliers"]
+         "llm_embedding_topk", "events_sessionize", "q21_waiting_suppliers",
+         "er_edit_distance_join", "llm_weighted_sample"]
 
 
 @pytest.mark.parametrize("name", SMOKE)

@@ -375,3 +375,43 @@ def test_asof_join_tolerance(spark):
     tol = {r["tag"]: r["payload_right"] for r in
            asof_join(left, right, on=["k"], tolerance=50).collect()}
     assert tol == {"L1": "R@90", "L2": None}   # 500-90 > 50 → stale
+
+
+def test_edit_distance_join_exact_and_fuzzy(spark):
+    """SymSpell blocking must find every pair at distance <= 1
+    (substitution, deletion, insertion, exact) and nothing farther."""
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "table"), (3, "query"), (4, "window")],
+        "lid long, lname string")
+    right = spark.createDataFrame(
+        [(10, "spark"),    # exact
+         (11, "sparkle"),  # distance 2 — must NOT match
+         (12, "spork"),    # substitution (a->o)
+         (13, "spak"),     # deletion
+         (14, "stable"),   # insertion into 'table'
+         (15, "windows")], # insertion into 'window'
+        "rid long, rname string")
+    got = {(r["lid"], r["rid"]): r["distance"]
+           for r in edit_distance_join(left, right, "lname", "rname").collect()}
+    assert got == {(1, 10): 0, (1, 12): 1, (1, 13): 1,
+                   (2, 14): 1, (4, 15): 1}
+
+
+def test_edit_distance_join_no_cartesian_plan(spark):
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    left = spark.createDataFrame([(1, "abc")], "lid long, lname string")
+    right = spark.createDataFrame([(2, "abd")], "rid long, rname string")
+    plan = edit_distance_join(left, right, "lname", "rname")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_edit_distance_join_rejects_overlap(spark):
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError):
+        edit_distance_join(df, df, "name", "name")

@@ -213,3 +213,23 @@ def test_sample_per_group_exact_counts_and_stability(spark):
     assert P.sample_per_group(tiny, "lang", 10).count() == 6
     with pytest.raises(ValueError):
         P.sample_per_group(docs, "lang", 0)
+
+
+def test_weighted_sample_proportional_and_stable(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1).alias("w"))
+    kept = P.weighted_sample(docs, "w").collect()
+    hi = sum(1 for r in kept if r["w"] == 0.9)
+    lo = len(kept) - hi
+    # 1000 draws each; binomial 3-sigma bounds
+    assert 850 <= hi <= 950 and 70 <= lo <= 130
+    # deterministic across reruns
+    again = {r["doc_id"] for r in P.weighted_sample(docs, "w").collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # boundary weights: 1.0 keeps everything, 0.0 keeps nothing
+    edge = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 25, 1.0).otherwise(0.0).alias("w"))
+    kept_ids = {r["doc_id"] for r in P.weighted_sample(edge, "w").collect()}
+    assert kept_ids == set(range(25))
