@@ -93,12 +93,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             prev_rdd = _checkpoint_rdd(new_labels)
             labels = new_labels.drop("_chg")
             if changed == 0:
+                prev_rdd = None  # the caller owns the returned checkpoint
                 return labels
         raise ConvergenceError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter; raise max_iter or switch "
             "to the large-star/small-star variant)")
     finally:
-        # the returned labels frame reads its own checkpoint, not e
+        # the returned labels frame reads its own checkpoint, not e; on
+        # the error paths (ConvergenceError, a failed round) nothing is
+        # returned, so the last round's blocks are released too
         if e_rdd is not None:
             e_rdd.unpersist(False)
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)

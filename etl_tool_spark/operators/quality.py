@@ -66,19 +66,24 @@ def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     if not checks:
         raise ValueError("run_checks: empty check list")
     spark = df.sparkSession
-    total = df.count()
 
     row_checks = [c for c in checks
                   if c["type"] in ("not_null", "accepted_values", "range")]
     results: list[DataFrame] = []
+    total: int | None = None
     if row_checks:
-        aggs = [F.sum(_row_violation(c)).alias(_check_name(c))
-                for c in row_checks]
+        # the total rides the same single scan as the row checks
+        aggs = [F.count(F.lit(1)).alias("_total")] + [
+            F.sum(_row_violation(c)).alias(_check_name(c))
+            for c in row_checks]
         row = df.agg(*aggs).collect()[0]
+        total = int(row["_total"])
         data = [(_check_name(c), int(row[_check_name(c)] or 0))
                 for c in row_checks]
         results.append(spark.createDataFrame(
             data, "check string, failures long"))
+    if total is None:  # unique/relationship-only spec: no shared scan
+        total = df.count()
 
     for c in checks:
         if c["type"] == "unique":

@@ -187,6 +187,11 @@ def load_config(path_or_dict: str | dict) -> PlaybookConfig:
     if cfg.errorHandling.errorFile:
         # the reference expands the error-file path too (app.go:106-110)
         cfg.errorHandling.errorFile = expand_env(str(cfg.errorHandling.errorFile))
+    if cfg.destination is None and cfg.destinations:
+        # a playbook listing every sink under `destinations:` means
+        # "write everywhere", not "dry run": promote the first to primary
+        cfg.destination = cfg.destinations[0]
+        cfg.destinations = cfg.destinations[1:]
     validate_config(cfg)
     return cfg
 

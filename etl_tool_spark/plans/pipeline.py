@@ -92,20 +92,26 @@ def _apply_incremental(df: DataFrame, inc: dict) -> DataFrame:
     return df.filter(wm > F.lit(mark).cast(target))
 
 
-def _advance_hwm(spark: SparkSession, cfg: PlaybookConfig) -> None:
-    """After a successful load, advance the high-water mark to the max
-    watermark value among the rows this run ingested. The re-read is
-    filtered by the OLD mark, so its cost is proportional to the
-    increment (the predicate pushes down), not the table; no rows in
-    the increment ⇒ the mark stays put."""
+def _pending_hwm(spark: SparkSession, cfg: PlaybookConfig):
+    """Candidate high-water mark: the max watermark over the increment,
+    captured BEFORE the load and written to the state file only after
+    the load succeeds. Capturing before (rather than re-reading the
+    mutable source after) keeps the race's failure mode safe: rows a
+    producer appends while the load runs can exceed the captured mark
+    and are re-read next run (duplicates in an append destination —
+    at-least-once), where a post-load re-read would advance the mark
+    past rows that were never written and silently drop them forever.
+    The agg's predicate is the OLD mark, so its cost is one
+    pushdown-pruned scan of the increment's watermark column. (Like any
+    high-water-mark scheme this assumes watermark-monotonic arrivals;
+    out-of-order late rows need a streaming source with a watermark
+    instead.) Returns None when the increment is empty ⇒ mark stays."""
     src = cfg.source
     inc = src.incremental
     df = read_source(spark, src.type, src.file or src.query or "",
                      src.options, attach_seq=False)
     df = _apply_incremental(df, inc)
-    new_max = df.agg(F.max(_wm_col(df, inc))).collect()[0][0]
-    if new_max is not None:
-        _write_hwm(inc["stateFile"], inc["column"], new_max)
+    return df.agg(F.max(_wm_col(df, inc))).collect()[0][0]
 
 
 def build_pipeline(spark: SparkSession, cfg: PlaybookConfig
@@ -305,17 +311,29 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         _ = (n, sample)
         return PipelineResult(clean, errors, written=False, metrics=_metrics())
 
+    incremental = cfg.source is not None and cfg.source.incremental
+    pending_mark = _pending_hwm(spark, cfg) if incremental else None
+
+    def _commit_hwm() -> None:
+        if incremental and pending_mark is not None:
+            inc = cfg.source.incremental
+            _write_hwm(inc["stateFile"], inc["column"], pending_mark)
+
     dst = cfg.destination
     loader_mode = str(dst.loader.get("mode", "")).lower()
     if dst.type in ("postgres", "jdbc") and loader_mode == "sql":
         opts = {**dst.options, **dst.loader}
         counts = write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
-        if cfg.source is not None and cfg.source.incremental:
-            _advance_hwm(spark, cfg)
+        _commit_hwm()
+        # the custom-DML loader executes via an RDD action, which never
+        # fires DataFrame observation listeners — obs.get would block
+        # forever here. The loader's own counts are the output metric.
         return PipelineResult(clean, errors, written=True,
                               load_processed=counts["processed"],
                               load_failed=counts["failed"],
-                              metrics=_metrics())
+                              metrics={**stage_metrics,
+                                       "rows_out": counts["processed"]
+                                       + counts["failed"]})
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
     for extra in cfg.destinations:
         # fan-out: same clean frame, additional sinks. Each write re-runs
@@ -324,6 +342,5 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
         # read it back — the playbook analogue is chaining playbooks.
         write_sink(clean, extra.type, extra.file or "",
                    {**extra.options, **extra.loader})
-    if cfg.source is not None and cfg.source.incremental:
-        _advance_hwm(spark, cfg)
+    _commit_hwm()
     return PipelineResult(clean, errors, written=True, metrics=_metrics())

@@ -101,10 +101,9 @@ def _zorder(df: DataFrame, cols: list[str], n_partitions=None) -> DataFrame:
     # across the full 0..255 range. Deduping instead leaves such a
     # column only its few low Morton bits, and the other dimension's
     # high bits dominate the ordering — no clustering for it at all.
-    bounds = [
-        tmp.stat.approxQuantile(f"_z{i}", probs, 0.001)
-        for i in range(len(cols))
-    ]
+    # One multi-column call = ONE pass over the table for all dimensions.
+    bounds = tmp.stat.approxQuantile(
+        [f"_z{i}" for i in range(len(cols))], probs, 0.001)
     morton = F.lit(0).cast("bigint")
     k = len(cols)
     for i, (c, bs) in enumerate(zip(casted, bounds)):
@@ -145,6 +144,8 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
     zorder_by = options.get("zorderBy")
     if sort_by and zorder_by:
         raise SinkError("sortBy and zorderBy are mutually exclusive")
+    if isinstance(zorder_by, str):
+        zorder_by = [zorder_by]
     if sort_by:
         if isinstance(sort_by, str):
             sort_by = [sort_by]

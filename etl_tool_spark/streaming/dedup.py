@@ -23,9 +23,28 @@ from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.dedup import (incremental_exact_dedup,
                                       incremental_minhash_pairs)
+from etl_tool_spark.llm.text import fingerprint
 
 __all__ = ["near_dedup_stream", "exact_dedup_stream",
-           "clean_ingest_stream"]
+           "clean_ingest_stream", "land_batch"]
+
+
+def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+               out_dir: str, id_col: str = "doc_id",
+               text_col: str = "text") -> None:
+    """Dedup one batch against the fingerprint store and land the
+    survivors — out_dir FIRST, store second. The only intermediate
+    state a crash can leave is landed-but-not-remembered, which a
+    replay turns into a duplicate landing (at-least-once); the reverse
+    order's intermediate state (remembered-but-not-landed) would make
+    the replay drop the batch silently."""
+    fresh = incremental_exact_dedup(batch_df, store_dir,
+                                    id_col=id_col, text_col=text_col,
+                                    update_store=False)
+    (fresh.withColumn("batch_id", F.lit(batch_id))
+          .write.mode("append").parquet(out_dir))
+    (fresh.select(fingerprint(F.col(text_col)).alias("_fp"))
+          .write.mode("append").parquet(store_dir))
 
 
 def near_dedup_stream(docs: DataFrame, store_dir: str, pairs_dir: str,
@@ -60,13 +79,18 @@ def exact_dedup_stream(docs: DataFrame, store_dir: str, out_dir: str,
     documents whose normalized text was never seen (across ALL prior
     batches, via the persistent fingerprint store) and appends the
     survivors to ``out_dir`` — the always-deduped landing zone. Same
-    at-least-once/foreachBatch semantics as near_dedup_stream; the store
-    anti-join makes a replayed batch a no-op for already-landed docs."""
+    at-least-once/foreachBatch semantics as near_dedup_stream.
+
+    Write ORDER is the crash-safety contract: survivors land in
+    ``out_dir`` BEFORE their fingerprints reach the store (see
+    land_batch). A crash in the window between the two writes makes the
+    replayed batch re-land the same rows (duplicates, keyed by batch_id
+    for consumers to collapse) — at-least-once. The reverse order would
+    find every fingerprint already stored on replay and silently drop
+    the whole batch: data loss, not duplication."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = incremental_exact_dedup(batch_df, store_dir,
-                                        id_col=id_col, text_col=text_col)
-        (fresh.withColumn("batch_id", F.lit(batch_id))
-              .write.mode("append").parquet(out_dir))
+        land_batch(batch_df, batch_id, store_dir, out_dir,
+                   id_col=id_col, text_col=text_col)
 
     q = (docs.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
@@ -106,16 +130,7 @@ def clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
                         & (F.col("_lang") != "und"))
                 .drop("_toks", "_q", "_lang"))
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = incremental_exact_dedup(batch_df, store_dir,
-                                        id_col=id_col, text_col=text_col)
-        (fresh.withColumn("batch_id", F.lit(batch_id))
-              .write.mode("append").parquet(out_dir))
-
-    q = (kept.writeStream.foreachBatch(handle)
-         .option("checkpointLocation", checkpoint)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return q
+    # delegate: the dedup-and-land stage (including its land-before-store
+    # crash-safety order) is exact_dedup_stream's, defined once
+    return exact_dedup_stream(kept, store_dir, out_dir, checkpoint,
+                              id_col=id_col, text_col=text_col)

@@ -39,8 +39,6 @@ def audit(name: str, df) -> dict:
     # full-width read. Narrow reads of dimension tables are fine; flag
     # only scans that read >8 columns with no pushdown at all.
     wide_unfiltered = 0
-    for seg in p.split("(1) Scan parquet")[0:0] or []:
-        pass
     for m in re.finditer(r"PushedFilters: \[(.*?)\]\n.*?ReadSchema: struct<(.*?)>",
                          p, re.S):
         filters, schema = m.group(1).strip(), m.group(2)

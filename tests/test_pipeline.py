@@ -549,3 +549,67 @@ def test_multiple_destinations_fan_out(spark, tmp_path):
     import json
 
     assert len(json.load(open(tmp_path / "export.json"))) == 2
+
+
+def test_destinations_only_playbook_writes(spark, tmp_path):
+    """A playbook listing every sink under `destinations:` (no primary
+    `destination:`) must write them all, not silently dry-run."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    cfg = {
+        "source": {"type": "csv", "file": str(src)},
+        "mappings": [{"source": "id", "target": "id", "transform": "toInt"},
+                     {"source": "v", "target": "v"}],
+        "destinations": [
+            {"type": "parquet", "file": str(tmp_path / "a.pq")},
+            {"type": "csv", "file": str(tmp_path / "b.csv")},
+        ],
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    assert res.written
+    assert spark.read.parquet(str(tmp_path / "a.pq")).count() == 2
+    assert spark.read.option("header", True).csv(
+        str(tmp_path / "b.csv")).count() == 2
+
+
+def test_custom_dml_playbook_metrics_do_not_block(spark, tmp_path):
+    """run_pipeline over a custom-DML (loader.mode=sql) destination: the
+    loader executes via an RDD action, which never fires DataFrame
+    observation listeners — metrics must come from the loader counts,
+    not an Observation.get that would block forever."""
+    import sqlite3
+
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    db = tmp_path / "t.db"
+    sqlite3.connect(db).executescript(
+        "CREATE TABLE sink (id INTEGER, v TEXT)")
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n3,c\n")
+    cfg = {
+        "source": {"type": "csv", "file": str(src)},
+        "mappings": [{"source": "id", "target": "id", "transform": "toInt"},
+                     {"source": "v", "target": "v"}],
+        "destination": {
+            "type": "jdbc", "file": "",
+            "loader": {"mode": "sql",
+                       "command": "INSERT INTO sink VALUES ($1, $2)"},
+            "options": {"driver_module": "sqlite3", "url": str(db),
+                        "paramstyle": "qmark"}},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    assert res.written and res.load_processed == 3
+    assert res.metrics["rows_out"] == 3
+    got = sqlite3.connect(db).execute(
+        "SELECT id, v FROM sink ORDER BY id").fetchall()
+    assert got == [(1, "a"), (2, "b"), (3, "c")]

@@ -415,3 +415,13 @@ def test_sink_manifest_option(spark, tmp_path):
     out = pruned_read(spark, d, "id", 100, 120)
     assert sorted(r.id for r in out.collect()) == list(range(100, 121))
     assert len(out.inputFiles()) == 1
+
+
+def test_zorder_accepts_string_option(spark, tmp_path):
+    """YAML `zorderBy: ts` (a bare string) must mean one column, not
+    per-character column names."""
+    df = spark.range(100).selectExpr("id as x", "id * 2 as y")
+    out = str(tmp_path / "z1")
+    write_sink(df, "parquet", out, {"zorderBy": "x", "sortPartitions": 2})
+    back = spark.read.parquet(out)
+    assert back.count() == 100

@@ -358,3 +358,34 @@ def test_clean_ingest_stream_matches_batch_filters_plus_dedup(spark, tmp_path):
     # and landing is idempotent in count: one doc per surviving fingerprint
     assert len(got) == len(want_fps)
     docs.unpersist()
+
+
+def test_land_batch_crash_window_replays_without_loss(spark, tmp_path):
+    """The only intermediate state the land-then-store order can leave
+    (survivors landed, fingerprints not yet stored) must re-land on
+    replay — duplicates, never loss. The reverse order would leave
+    remembered-but-not-landed and silently drop the batch."""
+    from etl_tool_spark.llm.dedup import incremental_exact_dedup
+    from etl_tool_spark.streaming.dedup import land_batch
+
+    out_dir, store_dir = str(tmp_path / "out"), str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string")
+
+    # simulate the crash: survivors landed, store write never happened
+    fresh = incremental_exact_dedup(batch, store_dir, update_store=False)
+    fresh.withColumn("batch_id", F.lit(0)).write.mode("append").parquet(out_dir)
+
+    # replay of the same batch through the real landing path
+    land_batch(batch, 0, store_dir, out_dir)
+    landed = spark.read.parquet(out_dir)
+    # both docs present (possibly duplicated) — nothing lost
+    assert {r["doc_id"] for r in landed.collect()} == {1, 2}
+    assert landed.count() == 4   # at-least-once: the replay re-landed
+
+    # a LATER batch still dedups against the now-consistent store
+    batch2 = spark.createDataFrame(
+        [(3, "alpha doc"), (4, "gamma doc")], "doc_id long, text string")
+    land_batch(batch2, 1, store_dir, out_dir)
+    new = spark.read.parquet(out_dir).filter(F.col("batch_id") == 1)
+    assert {r["doc_id"] for r in new.collect()} == {4}
