@@ -543,3 +543,44 @@ def test_bmp_decode_real_features(spark):
     assert (r1["width"], r1["height"], r1["bits_per_pixel"]) == (4, 2, 24)
     assert r1["mean_pixel"] == 20.0                 # mean of 10/20/30
     assert got[2]["width"] is None
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Differential: the O(log n)-round star variant must produce the
+    identical (id -> component-min) labeling as min-label propagation
+    on assorted random graphs."""
+    import random
+
+    from etl_tool_spark.llm import graph as G
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(4, 60)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "a long, b long")
+        lab = {r["id"]: r["label"]
+               for r in G.connected_components(df, "a", "b").collect()}
+        star = {r["id"]: r["label"]
+                for r in G.connected_components_star(df, "a", "b").collect()}
+        assert star == lab, f"trial {trial}: {star} != {lab}"
+
+
+def test_connected_components_star_handles_deep_chain(spark):
+    """A 200-node chain: diameter 199 defeats label propagation at its
+    default budget, while the star variant converges in O(log n)."""
+    import pytest as _pytest
+
+    from etl_tool_spark.llm import graph as G
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long")
+    with _pytest.raises(G.ConvergenceError):
+        G.connected_components(chain, "a", "b", max_iter=10)
+    labels = {r["id"]: r["label"] for r in
+              G.connected_components_star(chain, "a", "b").collect()}
+    assert labels == {i: 0 for i in range(201)}
