@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "events_ohlc_bars",
     "events_interpolate",
     "events_twap",
+    "er_edit_distance_join",
+    "llm_weighted_sample",
+    "etl_snapshot_asof",
 ]
 
 
