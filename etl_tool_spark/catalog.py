@@ -3754,3 +3754,47 @@ def events_per_key_cap(spark, sf_dir):
             e.withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") <= 2)
              .select("user_id", "event_id", "ts"))
+
+
+@query("agg_robust_outliers", """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY 1),
+ mad AS (
+  SELECT o.o_orderpriority, min(med.m) AS m,
+         quantile_cont(abs(o_totalprice - med.m), 0.5) AS d
+  FROM orders o JOIN med USING (o_orderpriority)
+  GROUP BY o.o_orderpriority)
+SELECT o.o_orderpriority AS priority,
+       round(min(mad.m), 2) AS med_price,
+       round(min(mad.d), 2) AS mad_price,
+       sum(CASE WHEN o_totalprice > mad.m + 3 * mad.d
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM orders o JOIN mad USING (o_orderpriority)
+GROUP BY 1
+""")
+def agg_robust_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation) per order priority, then count rows beyond median +
+    3·MAD — the outlier rule that, unlike mean ± k·stddev, is not
+    dragged by the outliers themselves. Three keyed aggregations; the
+    tiny per-group stats frames broadcast back onto the fact scans.
+    Exact ``median`` buffers each group in memory — right for bounded
+    group counts like this; at unbounded-group 100 TB scale the same
+    shape runs on approx_percentile (the KLL sketch store in
+    operators/sketches.py is the mergeable variant)."""
+    o = _t(spark, sf_dir, "orders")
+    med = (o.groupBy("o_orderpriority")
+            .agg(F.median("o_totalprice").alias("_m")))
+    mad = (o.join(F.broadcast(med), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.min("_m").alias("_m"),
+                 F.median(F.abs(F.col("o_totalprice") - F.col("_m")))
+                  .alias("_d")))
+    return (o.join(F.broadcast(mad), "o_orderpriority")
+             .groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.round(F.min("_m"), 2).alias("med_price"),
+                  F.round(F.min("_d"), 2).alias("mad_price"),
+                  F.sum(F.when(F.col("o_totalprice")
+                               > F.col("_m") + 3 * F.col("_d"), 1)
+                         .otherwise(0)).alias("n_outliers")))
