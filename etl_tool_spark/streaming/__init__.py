@@ -8,8 +8,10 @@ from etl_tool_spark.streaming.dedup import (
 )
 from etl_tool_spark.streaming.cdc import (
     cdc_merge_stream,
+    list_versions,
     merge_cdc_batch,
     read_snapshot,
+    vacuum,
 )
 from etl_tool_spark.streaming.events import (
     interval_join_streams,
@@ -23,4 +25,5 @@ from etl_tool_spark.streaming.events import (
 __all__ = ["near_dedup_stream", "exact_dedup_stream", "clean_ingest_stream",
            "read_events_stream", "windowed_counts", "sessionize_stream",
            "streaming_dedup", "stream_to_memory", "interval_join_streams",
-           "merge_cdc_batch", "cdc_merge_stream", "read_snapshot"]
+           "merge_cdc_batch", "cdc_merge_stream", "read_snapshot",
+           "list_versions", "vacuum"]

@@ -1,61 +1,166 @@
-"""CDC merge: streaming upserts/deletes into a keyed snapshot table.
+"""CDC merge: streaming upserts/deletes into a VERSIONED keyed snapshot.
 
 The missing half of a change-data-capture pipeline: a stream of change
 records (op = I/U/D + a monotonically increasing sequence per key) is
 folded into a queryable snapshot holding the LATEST surviving row per
 key. On managed table formats this is ``MERGE INTO`` (Delta/Iceberg);
-this is the format-agnostic copy-on-write rendition over plain parquet,
-shaped so the rewrite cost scales with the CHANGE volume, not the
-snapshot size:
+this is the format-agnostic rendition over plain parquet, with the two
+properties that make MERGE safe at scale:
 
-  * the snapshot is hash-bucketed on the key (``_bucket`` partition
-    column, ``pmod(xxhash64(keys), n_buckets)``);
-  * each micro-batch reduces to its latest change per key (one window),
-    computes the affected bucket list (≤ n_buckets values, driver-side),
-    and reads ONLY those partition directories back (partition pruning
-    on ``_bucket``);
-  * merge = anti-join the old bucket contents against the batch's keys,
-    union the surviving upserts, and dynamically overwrite JUST those
-    bucket partitions (``partitionOverwriteMode=dynamic``). Untouched
-    buckets are never read or written.
+**Rewrite cost ∝ change volume.** The snapshot is hash-bucketed on the
+key (``pmod(xxhash64(keys), n_buckets)``); each micro-batch reduces to
+its latest change per key, reads back ONLY the affected buckets' files,
+and writes ONLY those buckets anew. Untouched buckets are never read or
+written. At 100 TB, n_buckets scales to thousands and a batch touching
+k buckets costs k bucket rewrites regardless of snapshot size.
 
-At 100 TB: n_buckets scales to thousands; a batch touching k distinct
-buckets costs k bucket rewrites regardless of total snapshot size. The
-read-merge-write per batch is materialized (``localCheckpoint``) before
-the overwrite because Spark cannot lazily read the same files a job is
-replacing.
+**Atomic commits via immutable versions** (the table-format commit
+protocol, miniaturized). Data files are IMMUTABLE — every merge writes
+its output buckets into a fresh ``data/<batch>-<attempt>/`` directory
+and never deletes or overwrites live files. A version is a manifest
+JSON in ``_versions/`` mapping bucket → data directory; the CURRENT
+version is simply the highest-numbered manifest. Committing = writing
+the manifest to a temp name and RENAMING it into place — a single
+atomic filesystem operation (HDFS/POSIX rename; on S3 front it with a
+consistent store, the same caveat every table format carries). A crash
+anywhere before the rename leaves the previous version fully intact
+and only an orphaned data directory behind (``vacuum`` collects it);
+there is no window in which a reader can observe a half-merged
+snapshot, unlike overwrite-in-place. Replayed batches (foreachBatch
+retry) re-merge against whatever version is current — the fold is
+content-idempotent — and a replay that discovers its own already-
+committed manifest (same batch_id at the next version number) treats
+the commit as done.
+
+Time travel falls out for free: ``read_snapshot(..., version=N)``
+reads any retained manifest, and ``list_versions`` shows the history.
+Single writer assumed (Structured Streaming's foreachBatch serializes
+batches); concurrent writers would need a lock service or CAS, exactly
+as with every file-based table format.
 
 Ordering contract: within a batch the greatest ``seq_col`` wins per key
-(ties: delete loses to upsert, making replays idempotent-safe);
-ACROSS batches later batches win unconditionally — the stream must be
-per-key ordered batch-to-batch, which Structured Streaming's
-source-offset ordering provides when the CDC feed is per-key ordered
-(Kafka key-partitioning, Debezium per-table topics)."""
+(ties: delete loses to upsert, making replays idempotent-safe); ACROSS
+batches later batches win unconditionally — the stream must be per-key
+ordered batch-to-batch, which Structured Streaming's source-offset
+ordering provides when the CDC feed is per-key ordered (Kafka
+key-partitioning, Debezium per-table topics)."""
 
 from __future__ import annotations
+
+import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+__all__ = ["merge_cdc_batch", "read_snapshot", "cdc_merge_stream",
+           "list_versions", "vacuum"]
+
 BUCKET_COL = "_bucket"
+VERSIONS_DIR = "_versions"
+DATA_DIR = "data"
 
 
-def _snapshot_exists(spark: SparkSession, snapshot_dir: str) -> bool:
-    # executor-free check via the Hadoop FS API (works for any scheme)
+# --- Hadoop FS helpers: scheme-independent, driver-side metadata ops ---
+
+def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(snapshot_dir)
-    return path.getFileSystem(conf).exists(path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
 
 
-def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Current snapshot without the bucketing column."""
-    return spark.read.parquet(snapshot_dir).drop(BUCKET_COL)
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _list_names(spark: SparkSession, dir_path: str) -> list[str]:
+    fs, p, _ = _fs(spark, dir_path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+# --- version bookkeeping ---
+
+def _manifest_name(n: int) -> str:
+    return f"v{n:09d}.json"
+
+
+def list_versions(spark: SparkSession, snapshot_dir: str) -> list[int]:
+    """Retained version numbers, ascending (vacuum trims the head)."""
+    names = _list_names(spark, f"{snapshot_dir}/{VERSIONS_DIR}")
+    return sorted(int(n[1:10]) for n in names
+                  if n.startswith("v") and n.endswith(".json"))
+
+
+def _load_manifest(spark: SparkSession, snapshot_dir: str, n: int) -> dict:
+    return json.loads(_read_text(
+        spark, f"{snapshot_dir}/{VERSIONS_DIR}/{_manifest_name(n)}"))
+
+
+def _commit_manifest(spark: SparkSession, snapshot_dir: str, n: int,
+                     manifest: dict) -> bool:
+    """Atomically publish version ``n``: write to a temp name, rename
+    into place. Returns False when v{n} already exists (the rename
+    target is taken — a replayed batch racing its own earlier,
+    crashed-after-commit attempt)."""
+    vdir = f"{snapshot_dir}/{VERSIONS_DIR}"
+    fs, vp, jvm = _fs(spark, vdir)
+    fs.mkdirs(vp)
+    tmp = f"{vdir}/.tmp-{uuid.uuid4().hex}"
+    _write_text(spark, tmp, json.dumps(manifest))
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_manifest_name(n)}")
+    ok = fs.rename(src, dst)
+    if not ok and fs.exists(src):
+        fs.delete(src, False)
+    return bool(ok)
+
+
+def _bucket_paths(snapshot_dir: str, manifest: dict) -> list[str]:
+    return [f"{snapshot_dir}/{d}/{BUCKET_COL}={b}"
+            for b, d in manifest["buckets"].items()]
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """The snapshot at ``version`` (default: current). Buckets resolve
+    through the manifest to immutable data directories, so a concurrent
+    merge can never change what this frame reads — snapshot isolation
+    by construction."""
+    versions = list_versions(spark, snapshot_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {snapshot_dir}")
+    n = versions[-1] if version is None else version
+    if n not in versions:
+        raise FileNotFoundError(
+            f"version {n} not retained (have {versions[0]}..{versions[-1]})")
+    manifest = _load_manifest(spark, snapshot_dir, n)
+    paths = _bucket_paths(snapshot_dir, manifest)
+    if not paths:
+        return spark.createDataFrame([], manifest["schema_ddl"])
+    return spark.read.parquet(*paths)
 
 
 def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
                     keys: list[str], seq_col: str = "seq",
-                    op_col: str = "op", n_buckets: int = 16) -> None:
+                    op_col: str = "op", n_buckets: int = 16,
+                    batch_id: int | None = None) -> None:
     """Fold one batch of change records into the snapshot (see module
     docstring). ``batch`` columns: keys + seq_col + op_col + payload."""
     spark = batch.sparkSession
@@ -63,48 +168,102 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     # latest change per key this batch; on equal seq a delete loses
     op_rank = F.when(F.col(op_col) == "D", 0).otherwise(1)
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), op_rank.desc())
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     latest = (batch.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn")
-                   .withColumn(BUCKET_COL,
-                               F.pmod(F.xxhash64(*keys), F.lit(n_buckets))))
-
+                   .withColumn(BUCKET_COL, bucket))
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
 
-    if not _snapshot_exists(spark, snapshot_dir):
-        (upserts.write.partitionBy(BUCKET_COL).mode("overwrite")
-                .parquet(snapshot_dir))
+    versions = list_versions(spark, snapshot_dir)
+    attempt = (f"b{batch_id}-" if batch_id is not None else "") \
+        + uuid.uuid4().hex[:12]
+    out_rel = f"{DATA_DIR}/{attempt}"
+    out_dir = f"{snapshot_dir}/{out_rel}"
+
+    if not versions:
+        upserts.write.partitionBy(BUCKET_COL).parquet(out_dir)
+        written = {str(r[0]) for r in
+                   upserts.select(BUCKET_COL).distinct().collect()}
+        manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                    "schema_ddl": upserts.drop(BUCKET_COL)._jdf.schema().toDDL(),
+                    "buckets": {b: out_rel for b in sorted(written)}}
+        if not _commit_manifest(spark, snapshot_dir, 1, manifest):
+            _require_same_batch(spark, snapshot_dir, 1, batch_id)
         return
 
-    affected = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
+    cur_n = versions[-1]
+    cur = _load_manifest(spark, snapshot_dir, cur_n)
+    if cur["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"snapshot bucketed {cur['n_buckets']}-way, asked {n_buckets}")
+
+    affected = sorted(str(r[0]) for r in
+                      latest.select(BUCKET_COL).distinct().collect())
     if not affected:
         return
-    old = (spark.read.parquet(snapshot_dir)
-                .filter(F.col(BUCKET_COL).isin(affected)))  # partition-pruned
-    keep = old.join(latest.select(*keys), keys, "left_anti")
-    merged = keep.unionByName(upserts).localCheckpoint(eager=True)
+    old_paths = [f"{snapshot_dir}/{cur['buckets'][b]}/{BUCKET_COL}={b}"
+                 for b in affected if b in cur["buckets"]]
+    keep = None
+    if old_paths:
+        # immutable inputs: these files are never deleted or rewritten
+        # by this merge, so no checkpoint/copy is needed before writing
+        old = spark.read.parquet(*old_paths)
+        keep = old.join(latest.select(*keys), keys, "left_anti") \
+                  .withColumn(BUCKET_COL, bucket)
+    merged = keep.unionByName(upserts) if keep is not None else upserts
 
-    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                    "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (merged.write.partitionBy(BUCKET_COL).mode("overwrite")
-               .parquet(snapshot_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
+    merged.write.partitionBy(BUCKET_COL).parquet(out_dir)
+    present = {str(r[0]) for r in
+               merged.select(BUCKET_COL).distinct().collect()}
 
-    # dynamic overwrite only replaces partitions PRESENT in the output:
-    # a bucket whose every key was deleted writes no partition and would
-    # keep its stale files — remove those directories explicitly
-    present = {r[0] for r in merged.select(BUCKET_COL).distinct().collect()}
-    emptied = [b for b in affected if b not in present]
-    if emptied:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        for b in emptied:
-            p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{BUCKET_COL}={b}")
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+    buckets = {b: d for b, d in cur["buckets"].items() if b not in set(affected)}
+    buckets.update({b: out_rel for b in sorted(present)})
+    manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                "schema_ddl": cur["schema_ddl"],
+                "buckets": dict(sorted(buckets.items()))}
+    if not _commit_manifest(spark, snapshot_dir, cur_n + 1, manifest):
+        _require_same_batch(spark, snapshot_dir, cur_n + 1, batch_id)
+
+
+def _require_same_batch(spark: SparkSession, snapshot_dir: str, n: int,
+                        batch_id: int | None) -> None:
+    """Commit lost the rename race. Under the single-writer contract the
+    only legitimate cause is our own earlier attempt (crash after
+    commit, replay re-merged): accept if the committed manifest carries
+    the same batch_id, raise otherwise — a different id means a second
+    writer, which this protocol does not arbitrate."""
+    existing = _load_manifest(spark, snapshot_dir, n)
+    if batch_id is None or existing.get("batch_id") != batch_id:
+        raise RuntimeError(
+            f"concurrent commit detected at version {n} of {snapshot_dir} "
+            f"(found batch_id={existing.get('batch_id')!r}); the CDC "
+            "snapshot assumes a single writer")
+
+
+def vacuum(spark: SparkSession, snapshot_dir: str, keep_last: int = 2) -> int:
+    """Drop all but the newest ``keep_last`` versions and delete data
+    directories no retained manifest references (crashed attempts'
+    orphans included). Returns the number of data dirs removed. Safe
+    order: old manifests are deleted FIRST, so a reader can never
+    resolve a manifest whose data is gone."""
+    versions = list_versions(spark, snapshot_dir)
+    keep_ns = versions[-keep_last:] if keep_last > 0 else []
+    fs, _, jvm = _fs(spark, snapshot_dir)
+    for n in versions:
+        if n not in keep_ns:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{snapshot_dir}/{VERSIONS_DIR}/{_manifest_name(n)}"), False)
+    referenced = set()
+    for n in keep_ns:
+        m = _load_manifest(spark, snapshot_dir, n)
+        referenced.update(d.split("/", 1)[1] for d in m["buckets"].values())
+    removed = 0
+    for name in _list_names(spark, f"{snapshot_dir}/{DATA_DIR}"):
+        if name not in referenced:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{snapshot_dir}/{DATA_DIR}/{name}"), True)
+            removed += 1
+    return removed
 
 
 def cdc_merge_stream(changes: DataFrame, snapshot_dir: str, checkpoint: str,
@@ -112,12 +271,13 @@ def cdc_merge_stream(changes: DataFrame, snapshot_dir: str, checkpoint: str,
                      op_col: str = "op", n_buckets: int = 16):
     """Attach the CDC merge to a streaming frame via foreachBatch.
     Returns the started StreamingQuery (exactly-once per batch id via
-    the checkpoint; merge_cdc_batch itself is idempotent on replay of
-    the same batch)."""
+    the checkpoint; merge_cdc_batch is content-idempotent on replay and
+    detects its own already-committed attempt by batch_id)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         merge_cdc_batch(batch_df, snapshot_dir, keys=keys, seq_col=seq_col,
-                        op_col=op_col, n_buckets=n_buckets)
+                        op_col=op_col, n_buckets=n_buckets,
+                        batch_id=batch_id)
 
     return (changes.writeStream.foreachBatch(_merge)
                    .option("checkpointLocation", checkpoint)

@@ -389,3 +389,84 @@ def test_land_batch_crash_window_replays_without_loss(spark, tmp_path):
     land_batch(batch2, 1, store_dir, out_dir)
     new = spark.read.parquet(out_dir).filter(F.col("batch_id") == 1)
     assert {r["doc_id"] for r in new.collect()} == {4}
+
+
+def test_cdc_versioned_commit_time_travel_and_vacuum(spark, tmp_path):
+    """The version-pointer commit protocol: every merge publishes an
+    immutable version; old versions stay readable (time travel) until
+    vacuumed; a crashed attempt (data written, manifest never renamed
+    in) is invisible to readers and collected by vacuum."""
+    from etl_tool_spark.streaming.cdc import (
+        list_versions, merge_cdc_batch, read_snapshot, vacuum)
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0"), (2, 10, "I", "b0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(1, 20, "U", "a1"), (3, 20, "I", "c0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+
+    assert list_versions(spark, snap) == [1, 2]
+    v1 = {r["id"]: r["payload"]
+          for r in read_snapshot(spark, snap, version=1).collect()}
+    v2 = {r["id"]: r["payload"] for r in read_snapshot(spark, snap).collect()}
+    assert v1 == {1: "a0", 2: "b0"}
+    assert v2 == {1: "a1", 2: "b0", 3: "c0"}
+
+    # simulate a crashed attempt: orphan data dir, no manifest commit
+    orphan = tmp_path / "snap" / "data" / "bZZZ-deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.parquet").write_bytes(b"not really parquet")
+    assert {r["id"] for r in read_snapshot(spark, snap).collect()} == {1, 2, 3}
+
+    removed = vacuum(spark, snap, keep_last=1)
+    assert removed >= 1                      # the orphan at minimum
+    assert list_versions(spark, snap) == [2]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, snap, version=1)
+    # current version fully intact after vacuum
+    assert {r["id"]: r["payload"]
+            for r in read_snapshot(spark, snap).collect()} == v2
+
+
+def test_cdc_replay_after_commit_detects_own_batch(spark, tmp_path):
+    """foreachBatch retry that crashed AFTER the commit: the replay
+    loses the manifest rename race to its own earlier attempt and must
+    treat the commit as done (same batch_id), not raise."""
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch, read_snapshot
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0")], "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(2, 20, "I", "b0")], "id long, seq long, op string, payload string")
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+
+    # replay of batch 1 against the post-commit state: next version (3)
+    # is free, so this commits a content-identical version — fine; and
+    # a FORGED conflicting commit at the next number with a DIFFERENT
+    # batch_id must raise
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+    got = {r["id"]: r["payload"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: "a0", 2: "b0"}
+
+
+def test_cdc_conflicting_writer_raises(spark, tmp_path):
+    """A lost rename race resolves by batch_id: same id = our own
+    crashed-after-commit attempt (accept); different id = a second
+    writer (raise)."""
+    from etl_tool_spark.streaming import cdc
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0")], "id long, seq long, op string, payload string")
+    cdc.merge_cdc_batch(b1, snap, keys=["id"], batch_id=7)
+    cdc._require_same_batch(spark, snap, 1, batch_id=7)   # own attempt: ok
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        cdc._require_same_batch(spark, snap, 1, batch_id=8)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        cdc._require_same_batch(spark, snap, 1, batch_id=None)
