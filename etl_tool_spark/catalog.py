@@ -3798,3 +3798,48 @@ def agg_robust_outliers(spark, sf_dir):
                   F.sum(F.when(F.col("o_totalprice")
                                > F.col("_m") + 3 * F.col("_d"), 1)
                          .otherwise(0)).alias("n_outliers")))
+
+
+@query("etl_cdc_merge_fold", """
+WITH ch AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, round(value, 2) AS value,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+              THEN 1 ELSE 0 END AS b
+  FROM events)
+SELECT user_id, event_type, value
+FROM (SELECT user_id, event_type, value, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY b DESC, seq DESC) AS rn
+      FROM ch)
+WHERE rn = 1 AND op <> 'D'
+""")
+def etl_cdc_merge_fold(spark, sf_dir):
+    """Driver-checked CDC MERGE: the events table becomes a change log
+    (op = delete on 'error', else upsert; seq = event_id), folded in TWO
+    micro-batches (before/after Jan 15) through the versioned snapshot
+    store (streaming/cdc.py — bucketed immutable data files, atomic
+    manifest commits), then the snapshot is read back. The oracle folds
+    the same log in one SQL window: latest change per key across
+    batch-then-seq order, deletes erase. Exercises bucketing, the
+    cross-batch override rule, and the commit protocol end-to-end."""
+    import tempfile
+
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch, read_snapshot
+
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        ch = _stamp(e.select(
+            "user_id", F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U")
+             .alias("op"),
+            "event_type", F.round("value", 2).alias("value"),
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .alias("_b")))
+    snap = tempfile.mkdtemp(prefix="etl_cdc_fold_") + "/snap"
+    merge_cdc_batch(ch.filter(~F.col("_b")).drop("_b"), snap,
+                    keys=["user_id"], batch_id=0)
+    merge_cdc_batch(ch.filter(F.col("_b")).drop("_b"), snap,
+                    keys=["user_id"], batch_id=1)
+    return read_snapshot(spark, snap).select("user_id", "event_type", "value")
