@@ -155,12 +155,15 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     lifecycle as the label-propagation variant. Convergence = the edge
     set reached the star fixpoint (small-star output unchanged, checked
     exactly via two anti-joins on the checkpointed frames)."""
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
-              .filter(F.col("u") != F.col("v")))
-    verts = (e.select(F.col("u").alias("id"))
-              .union(e.select(F.col("v").alias("id"))).distinct()
-              .localCheckpoint(eager=True))
+    raw = edges.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v"))
+    # verts from the UNfiltered edges: a vertex whose only edges are
+    # self-loops must still appear (label = itself), matching
+    # connected_components' contract
+    verts = (raw.select(F.col("u").alias("id"))
+                .union(raw.select(F.col("v").alias("id"))).distinct()
+                .localCheckpoint(eager=True))
+    e = raw.filter(F.col("u") != F.col("v"))
     verts_rdd = _checkpoint_rdd(verts)
 
     e = e.distinct().localCheckpoint(eager=True)

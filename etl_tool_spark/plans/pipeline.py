@@ -251,6 +251,14 @@ def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
 
 def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
                  dry_run: bool = False) -> PipelineResult:
+    if cfg.destination is None and cfg.destinations:
+        # normalize here too (load_config already does): direct-API
+        # callers building PlaybookConfig with only `destinations` mean
+        # "write everywhere", not "dry run"
+        from dataclasses import replace
+
+        cfg = replace(cfg, destination=cfg.destinations[0],
+                      destinations=cfg.destinations[1:])
     clean, errors, filter_errors = build_pipeline(spark, cfg)
 
     streaming = cfg.source is not None and cfg.source.stream
@@ -319,11 +327,21 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
             inc = cfg.source.incremental
             _write_hwm(inc["stateFile"], inc["column"], pending_mark)
 
+    def _write_extras() -> None:
+        # fan-out: same clean frame, additional sinks. Each write re-runs
+        # the (cheap, pushdown-pruned) plan; for expensive chains the
+        # primary destination IS the materialization and extras would
+        # read it back — the playbook analogue is chaining playbooks.
+        for extra in cfg.destinations:
+            write_sink(clean, extra.type, extra.file or "",
+                       {**extra.options, **extra.loader})
+
     dst = cfg.destination
     loader_mode = str(dst.loader.get("mode", "")).lower()
     if dst.type in ("postgres", "jdbc") and loader_mode == "sql":
         opts = {**dst.options, **dst.loader}
         counts = write_jdbc_custom_sql(clean, dst.loader.get("command", ""), opts)
+        _write_extras()
         _commit_hwm()
         # the custom-DML loader executes via an RDD action, which never
         # fires DataFrame observation listeners — obs.get would block
@@ -335,12 +353,6 @@ def run_pipeline(spark: SparkSession, cfg: PlaybookConfig,
                                        "rows_out": counts["processed"]
                                        + counts["failed"]})
     write_sink(clean, dst.type, dst.file or "", {**dst.options, **dst.loader})
-    for extra in cfg.destinations:
-        # fan-out: same clean frame, additional sinks. Each write re-runs
-        # the (cheap, pushdown-pruned) plan; for expensive chains the
-        # primary destination IS the materialization and extras would
-        # read it back — the playbook analogue is chaining playbooks.
-        write_sink(clean, extra.type, extra.file or "",
-                   {**extra.options, **extra.loader})
+    _write_extras()
     _commit_hwm()
     return PipelineResult(clean, errors, written=True, metrics=_metrics())

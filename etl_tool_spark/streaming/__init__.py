@@ -10,6 +10,7 @@ from etl_tool_spark.streaming.cdc import (
     cdc_merge_stream,
     list_versions,
     merge_cdc_batch,
+    migrate_snapshot,
     read_snapshot,
     vacuum,
 )
@@ -26,4 +27,4 @@ __all__ = ["near_dedup_stream", "exact_dedup_stream", "clean_ingest_stream",
            "read_events_stream", "windowed_counts", "sessionize_stream",
            "streaming_dedup", "stream_to_memory", "interval_join_streams",
            "merge_cdc_batch", "cdc_merge_stream", "read_snapshot",
-           "list_versions", "vacuum"]
+           "list_versions", "vacuum", "migrate_snapshot"]

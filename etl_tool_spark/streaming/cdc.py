@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["merge_cdc_batch", "read_snapshot", "cdc_merge_stream",
-           "list_versions", "vacuum"]
+           "list_versions", "vacuum", "migrate_snapshot"]
 
 BUCKET_COL = "_bucket"
 VERSIONS_DIR = "_versions"
@@ -108,6 +108,46 @@ def list_versions(spark: SparkSession, snapshot_dir: str) -> list[int]:
                   if n.startswith("v") and n.endswith(".json"))
 
 
+def _reject_legacy_layout(spark: SparkSession, snapshot_dir: str) -> None:
+    """A directory with `_bucket=*` dirs at top level is the
+    pre-versioned layout. Folding new batches over it as if empty would
+    silently discard the existing state — refuse instead."""
+    if any(n.startswith(f"{BUCKET_COL}=")
+           for n in _list_names(spark, snapshot_dir)):
+        raise ValueError(
+            f"{snapshot_dir} uses the pre-versioned snapshot layout; run "
+            "migrate_snapshot(spark, dir) once to convert it")
+
+
+def migrate_snapshot(spark: SparkSession, snapshot_dir: str,
+                     n_buckets: int = 16) -> None:
+    """One-time conversion of a pre-versioned snapshot (top-level
+    `_bucket=*` parquet dirs) into version 1 of the manifest layout.
+    The legacy files are left in place (delete them after validating)."""
+    versions = list_versions(spark, snapshot_dir)
+    if versions:
+        raise ValueError(f"{snapshot_dir} already versioned ({versions})")
+    legacy = [n for n in _list_names(spark, snapshot_dir)
+              if n.startswith(f"{BUCKET_COL}=")]
+    if not legacy:
+        raise FileNotFoundError(f"no legacy bucket dirs under {snapshot_dir}")
+    old = spark.read.parquet(*[f"{snapshot_dir}/{n}" for n in legacy])
+    out_rel = f"{DATA_DIR}/migrate-{uuid.uuid4().hex[:12]}"
+    out_dir = f"{snapshot_dir}/{out_rel}"
+    # bucket values recompute downstream from the keys; reuse the legacy
+    # dir names as the bucket ids to avoid assuming the key columns here
+    for name in legacy:
+        b = name.split("=", 1)[1]
+        (spark.read.parquet(f"{snapshot_dir}/{name}")
+              .write.parquet(f"{out_dir}/{BUCKET_COL}={b}"))
+    manifest = {"batch_id": None, "n_buckets": n_buckets,
+                "schema_ddl": old._jdf.schema().toDDL(),
+                "buckets": {name.split("=", 1)[1]: out_rel
+                            for name in sorted(legacy)}}
+    if not _commit_manifest(spark, snapshot_dir, 1, manifest):
+        raise RuntimeError(f"migration race: v1 already exists in {snapshot_dir}")
+
+
 def _load_manifest(spark: SparkSession, snapshot_dir: str, n: int) -> dict:
     return json.loads(_read_text(
         spark, f"{snapshot_dir}/{VERSIONS_DIR}/{_manifest_name(n)}"))
@@ -115,26 +155,47 @@ def _load_manifest(spark: SparkSession, snapshot_dir: str, n: int) -> dict:
 
 def _commit_manifest(spark: SparkSession, snapshot_dir: str, n: int,
                      manifest: dict) -> bool:
-    """Atomically publish version ``n``: write to a temp name, rename
-    into place. Returns False when v{n} already exists (the rename
-    target is taken — a replayed batch racing its own earlier,
-    crashed-after-commit attempt)."""
+    """Publish version ``n``: write to a temp name, rename into place,
+    then VERIFY the content at the target is ours. Returns False when
+    another attempt's manifest occupies v{n}.
+
+    The post-verify matters because rename semantics differ by
+    filesystem: HDFS rename fails when the target exists, but the local
+    filesystem's rename silently REPLACES it — without the read-back, a
+    lost race would be a silent lost update instead of a detected one.
+    The exists-check + verify pair turns every interleaving into either
+    a clean win or a detected loss (resolved by batch_id upstream)."""
     vdir = f"{snapshot_dir}/{VERSIONS_DIR}"
     fs, vp, jvm = _fs(spark, vdir)
     fs.mkdirs(vp)
     tmp = f"{vdir}/.tmp-{uuid.uuid4().hex}"
     _write_text(spark, tmp, json.dumps(manifest))
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_manifest_name(n)}")
-    ok = fs.rename(src, dst)
-    if not ok and fs.exists(src):
+    dst_path = f"{vdir}/{_manifest_name(n)}"
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    ok = (not fs.exists(dst)) and fs.rename(src, dst)
+    if fs.exists(src):
         fs.delete(src, False)
-    return bool(ok)
+    if not ok:
+        return False
+    try:
+        return json.loads(_read_text(spark, dst_path)) == manifest
+    except Exception:
+        return False
 
 
 def _bucket_paths(snapshot_dir: str, manifest: dict) -> list[str]:
     return [f"{snapshot_dir}/{d}/{BUCKET_COL}={b}"
             for b, d in manifest["buckets"].items()]
+
+
+def _written_buckets(spark: SparkSession, out_dir: str) -> list[str]:
+    """Bucket ids just written under ``out_dir`` (partition dir names),
+    sorted — a driver-side metadata listing, not a plan re-execution."""
+    return sorted((n.split("=", 1)[1]
+                   for n in _list_names(spark, out_dir)
+                   if n.startswith(f"{BUCKET_COL}=")),
+                  key=int)
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str,
@@ -145,6 +206,7 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str,
     by construction."""
     versions = list_versions(spark, snapshot_dir)
     if not versions:
+        _reject_legacy_layout(spark, snapshot_dir)
         raise FileNotFoundError(f"no snapshot versions under {snapshot_dir}")
     n = versions[-1] if version is None else version
     if n not in versions:
@@ -181,12 +243,12 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     out_dir = f"{snapshot_dir}/{out_rel}"
 
     if not versions:
+        _reject_legacy_layout(spark, snapshot_dir)
         upserts.write.partitionBy(BUCKET_COL).parquet(out_dir)
-        written = {str(r[0]) for r in
-                   upserts.select(BUCKET_COL).distinct().collect()}
+        written = _written_buckets(spark, out_dir)
         manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
                     "schema_ddl": upserts.drop(BUCKET_COL)._jdf.schema().toDDL(),
-                    "buckets": {b: out_rel for b in sorted(written)}}
+                    "buckets": {b: out_rel for b in written}}
         if not _commit_manifest(spark, snapshot_dir, 1, manifest):
             _require_same_batch(spark, snapshot_dir, 1, batch_id)
         return
@@ -213,11 +275,12 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     merged = keep.unionByName(upserts) if keep is not None else upserts
 
     merged.write.partitionBy(BUCKET_COL).parquet(out_dir)
-    present = {str(r[0]) for r in
-               merged.select(BUCKET_COL).distinct().collect()}
+    # the output partition dir names ARE the present-bucket set: one
+    # driver-side listing instead of re-executing the whole merge plan
+    present = _written_buckets(spark, out_dir)
 
     buckets = {b: d for b, d in cur["buckets"].items() if b not in set(affected)}
-    buckets.update({b: out_rel for b in sorted(present)})
+    buckets.update({b: out_rel for b in present})
     manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
                 "schema_ddl": cur["schema_ddl"],
                 "buckets": dict(sorted(buckets.items()))}
@@ -240,12 +303,21 @@ def _require_same_batch(spark: SparkSession, snapshot_dir: str, n: int,
             "snapshot assumes a single writer")
 
 
-def vacuum(spark: SparkSession, snapshot_dir: str, keep_last: int = 2) -> int:
+def vacuum(spark: SparkSession, snapshot_dir: str, keep_last: int = 2,
+           min_age_s: float = 3600.0) -> int:
     """Drop all but the newest ``keep_last`` versions and delete data
     directories no retained manifest references (crashed attempts'
     orphans included). Returns the number of data dirs removed. Safe
     order: old manifests are deleted FIRST, so a reader can never
-    resolve a manifest whose data is gone."""
+    resolve a manifest whose data is gone.
+
+    ``min_age_s`` guards the in-flight-merge window: an attempt dir that
+    a concurrent merge has written but NOT YET committed is unreferenced
+    too, and deleting it would let that merge commit a manifest pointing
+    at nothing. Only unreferenced dirs whose modification time is older
+    than the cutoff are collected — set it comfortably above the longest
+    merge duration (the same retention/real-work tension every table
+    format's VACUUM documents)."""
     versions = list_versions(spark, snapshot_dir)
     keep_ns = versions[-keep_last:] if keep_last > 0 else []
     fs, _, jvm = _fs(spark, snapshot_dir)
@@ -257,11 +329,15 @@ def vacuum(spark: SparkSession, snapshot_dir: str, keep_last: int = 2) -> int:
     for n in keep_ns:
         m = _load_manifest(spark, snapshot_dir, n)
         referenced.update(d.split("/", 1)[1] for d in m["buckets"].values())
+    now_ms = jvm.java.lang.System.currentTimeMillis()
     removed = 0
     for name in _list_names(spark, f"{snapshot_dir}/{DATA_DIR}"):
-        if name not in referenced:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(
-                f"{snapshot_dir}/{DATA_DIR}/{name}"), True)
+        if name in referenced:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_dir}/{DATA_DIR}/{name}")
+        age_s = (now_ms - fs.getFileStatus(p).getModificationTime()) / 1000.0
+        if age_s >= min_age_s:
+            fs.delete(p, True)
             removed += 1
     return removed
 

@@ -560,8 +560,7 @@ def test_connected_components_star_matches_label_propagation(spark):
         edges = set()
         while len(edges) < m:
             a, b = rng.randrange(n), rng.randrange(n)
-            if a != b:
-                edges.add((min(a, b), max(a, b)))
+            edges.add((min(a, b), max(a, b)))   # self-loops included
         df = spark.createDataFrame(sorted(edges), "a long, b long")
         lab = {r["id"]: r["label"]
                for r in G.connected_components(df, "a", "b").collect()}

@@ -604,6 +604,9 @@ def test_custom_dml_playbook_metrics_do_not_block(spark, tmp_path):
                        "command": "INSERT INTO sink VALUES ($1, $2)"},
             "options": {"driver_module": "sqlite3", "url": str(db),
                         "paramstyle": "qmark"}},
+        # fan-out must run on the custom-DML path too
+        "destinations": [{"type": "parquet",
+                          "file": str(tmp_path / "archive.pq")}],
     }
     p = tmp_path / "pb.yaml"
     p.write_text(yaml.safe_dump(cfg))
@@ -613,3 +616,4 @@ def test_custom_dml_playbook_metrics_do_not_block(spark, tmp_path):
     got = sqlite3.connect(db).execute(
         "SELECT id, v FROM sink ORDER BY id").fetchall()
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert spark.read.parquet(str(tmp_path / "archive.pq")).count() == 3

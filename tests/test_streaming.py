@@ -422,7 +422,7 @@ def test_cdc_versioned_commit_time_travel_and_vacuum(spark, tmp_path):
     (orphan / "junk.parquet").write_bytes(b"not really parquet")
     assert {r["id"] for r in read_snapshot(spark, snap).collect()} == {1, 2, 3}
 
-    removed = vacuum(spark, snap, keep_last=1)
+    removed = vacuum(spark, snap, keep_last=1, min_age_s=0)
     assert removed >= 1                      # the orphan at minimum
     assert list_versions(spark, snap) == [2]
     with pytest.raises(FileNotFoundError):
@@ -470,3 +470,47 @@ def test_cdc_conflicting_writer_raises(spark, tmp_path):
         cdc._require_same_batch(spark, snap, 1, batch_id=8)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         cdc._require_same_batch(spark, snap, 1, batch_id=None)
+
+
+def test_cdc_vacuum_spares_recent_inflight_dirs(spark, tmp_path):
+    """An unreferenced data dir younger than min_age_s (a possibly
+    in-flight merge attempt) must survive vacuum."""
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch, vacuum
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0")], "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    inflight = tmp_path / "snap" / "data" / "bNEW-inflight00"
+    inflight.mkdir(parents=True)
+    assert vacuum(spark, snap, keep_last=1) == 0       # default 1h cutoff
+    assert inflight.exists()
+    assert vacuum(spark, snap, keep_last=1, min_age_s=0) == 1
+    assert not inflight.exists()
+
+
+def test_cdc_legacy_layout_rejected_and_migrated(spark, tmp_path):
+    """A pre-versioned snapshot (top-level _bucket=* dirs) must refuse
+    to fold/read as if empty; migrate_snapshot converts it to v1."""
+    from etl_tool_spark.streaming.cdc import (
+        merge_cdc_batch, migrate_snapshot, read_snapshot)
+
+    snap = str(tmp_path / "snap")
+    legacy = spark.createDataFrame(
+        [(1, "a0", 3), (2, "b0", 7)], "id long, payload string, _bucket int")
+    legacy.write.partitionBy("_bucket").parquet(snap)
+
+    b = spark.createDataFrame(
+        [(3, 10, "I", "c0")], "id long, seq long, op string, payload string")
+    with pytest.raises(ValueError, match="pre-versioned"):
+        merge_cdc_batch(b, snap, keys=["id"], batch_id=0)
+    with pytest.raises(ValueError, match="pre-versioned"):
+        read_snapshot(spark, snap)
+
+    migrate_snapshot(spark, snap)
+    assert {r["id"]: r["payload"]
+            for r in read_snapshot(spark, snap).collect()} == {1: "a0", 2: "b0"}
+    merge_cdc_batch(b, snap, keys=["id"], batch_id=0)
+    assert {r["id"]: r["payload"]
+            for r in read_snapshot(spark, snap).collect()} \
+        == {1: "a0", 2: "b0", 3: "c0"}
