@@ -2,13 +2,15 @@
 columns + typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing) is
-real and tested. Decode is REAL where the container allows it —
-WAV/PCM via the stdlib wave module and uncompressed BMP via
-struct+numpy (decode_wav_features / decode_bmp_features extract actual
-signal/pixel features) — and STUBBED for compressed codecs
-(JPEG/PNG/video need PIL/av, absent here): those stubs either raise
-NotImplementedError (strict mode) or produce a deterministic fake so
-pipelines exercise the full dataflow.
+real and tested. Decode is REAL where stdlib+numpy can do it —
+WAV/PCM via the wave module, uncompressed BMP via struct+numpy, and
+8-bit non-interlaced PNG via zlib + a full scanline-unfilter
+implementation (decode_wav_features / decode_bmp_features /
+decode_png_features extract actual signal/pixel features) — and
+STUBBED for codecs that genuinely need external libraries (JPEG's DCT
+entropy coding, video demux → PIL/av, absent here): those stubs either
+raise NotImplementedError (strict mode) or produce a deterministic
+fake so pipelines exercise the full dataflow.
 
 Scale notes: binary payloads dominate row size, so these operators
 repartition by bytes not rows (``target_partition_mb``) before the UDF,
@@ -27,7 +29,7 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
-           "decode_bmp_features"]
+           "decode_bmp_features", "decode_png_features"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -229,3 +231,115 @@ def decode_bmp_features(df: DataFrame,
 
     return df.select("media_id", payload_col).mapInPandas(
         run, BMP_FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("bit_depth", T.IntegerType(), True),
+    T.StructField("color_type", T.IntegerType(), True),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+])
+
+
+def _png_decode(b: bytes):
+    """(width, height, bit_depth, color_type, mean_pixel) for a PNG, or
+    None if not a PNG. mean_pixel is None when only the header is
+    decodable (16-bit / palette / interlaced variants — dims still
+    parse). Pure stdlib zlib + numpy: chunk walk, IDAT inflate, and the
+    five scanline filters (None/Sub/Up/Average/Paeth) reconstructed per
+    the PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    header_only = (w, h, depth, ctype, None)
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6) or not idat:
+        return header_only
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return header_only
+    if len(raw) < h * (stride + 1):
+        return header_only
+    out = np.zeros((h, stride), dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = row
+        elif f == 2:                      # Up
+            rec = (row + prev) & 0xFF
+        else:                             # Sub/Average/Paeth: sequential
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                bb = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:                # Sub
+                    pred = a
+                elif f == 3:              # Average
+                    pred = (a + bb) // 2
+                elif f == 4:              # Paeth
+                    q = a + bb - c
+                    pa, pb, pc = abs(q - a), abs(q - bb), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (bb if pb <= pc else c)
+                else:
+                    return header_only    # invalid filter byte
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        out[y] = rec
+    return (w, h, depth, ctype, round(float(out.astype(np.float64).mean()), 6))
+
+
+def decode_png_features(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for 8-bit non-interlaced PNG (greyscale / RGB /
+    RGBA) — stdlib zlib + numpy, no codec library: dimensions, depth,
+    color type, and mean pixel intensity. 16-bit / palette / interlaced
+    PNGs decode header-only (dims, null mean); non-PNG payloads yield
+    null features. The per-pixel unfilter loop runs inside the Arrow
+    batch worker — CPU-bound map-side work that scales with executors,
+    like every decode path here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                row = (media_id, None, None, None, None, None)
+                if payload is not None:
+                    try:
+                        dec = _png_decode(bytes(payload))
+                        if dec is not None:
+                            row = (media_id, *dec)
+                    except Exception:
+                        pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             PNG_FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, PNG_FEATURE_SCHEMA)

@@ -583,3 +583,71 @@ def test_connected_components_star_handles_deep_chain(spark):
     labels = {r["id"]: r["label"] for r in
               G.connected_components_star(chain, "a", "b").collect()}
     assert labels == {i: 0 for i in range(201)}
+
+
+def _png_bytes(arr, ctype, row_filters):
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced, one
+    scanline filter per row (applied per the spec, so the decoder must
+    actually reconstruct)."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    h, stride = arr.shape
+    w = stride // ch
+
+    def paeth(a, b, c):
+        q = a + b - c
+        pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, f in zip(range(h), row_filters):
+        raw.append(f)
+        prev = arr[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(arr[y, x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: paeth(a, b, c)}[f]
+            raw.append((int(arr[y, x]) - pred) & 0xFF)
+
+    def chunk(typ, data):
+        crc = binascii.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_real_pixels(spark):
+    """The stdlib PNG decoder reconstructs actual pixel values through
+    all five scanline filters; mean intensity must equal the source
+    array's mean exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    grey = rng.randint(0, 256, size=(5, 6), dtype=np.uint8).astype(np.int32)
+    rgb = rng.randint(0, 256, size=(4, 7 * 3), dtype=np.uint8).astype(np.int32)
+    payloads = [
+        (1, bytearray(_png_bytes(grey, 0, [0, 1, 2, 3, 4]))),
+        (2, bytearray(_png_bytes(rgb, 2, [4, 3, 1, 2]))),
+        (3, bytearray(b"not a png at all")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in M.decode_png_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 5)
+    assert rows[1]["color_type"] == 0
+    assert rows[1]["mean_pixel"] == round(float(grey.mean()), 6)
+    assert (rows[2]["width"], rows[2]["height"]) == (7, 4)
+    assert rows[2]["color_type"] == 2
+    assert rows[2]["mean_pixel"] == round(float(rgb.mean()), 6)
+    assert rows[3]["width"] is None
+    assert rows[4]["width"] is None
