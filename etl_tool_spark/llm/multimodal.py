@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
-           "decode_bmp_features", "decode_png_features"]
+           "decode_bmp_features", "decode_png_features", "probe_media"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -343,3 +343,78 @@ def decode_png_features(df: DataFrame,
 
     return df.select("media_id", payload_col).mapInPandas(
         run, PNG_FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime_type", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def _probe_bytes(b: bytes):
+    """(mime, width, height) from magic bytes + the cheapest header
+    fields — REAL parsing, no codec work. Unknown → (None, None, None).
+    The corpus-curation triage step: route rows to the right decoder,
+    quarantine mislabeled payloads, without touching pixel data."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", b, 16)
+        return ("image/png", w, h)
+    if b[:3] == b"\xff\xd8\xff":
+        # walk JPEG markers to the first frame header (SOFn)
+        pos = 2
+        while pos + 4 <= len(b) and b[pos] == 0xFF:
+            marker, ln = b[pos + 1], struct.unpack_from(">H", b, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= len(b):
+                    h, w = struct.unpack_from(">HH", b, pos + 5)
+                    return ("image/jpeg", w, h)
+                break
+            pos += 2 + ln
+        return ("image/jpeg", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        return ("image/gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack_from("<ii", b, 18)
+        return ("image/bmp", w, abs(h))
+    if b[:4] == b"RIFF" and len(b) >= 12:
+        sub = b[8:12]
+        if sub == b"WAVE":
+            return ("audio/wav", None, None)
+        if sub == b"WEBP":
+            return ("image/webp", None, None)
+        return ("application/riff", None, None)
+    if b[:5] == b"%PDF-":
+        return ("application/pdf", None, None)
+    if b[:4] == b"PK\x03\x04":
+        return ("application/zip", None, None)
+    return (None, None, None)
+
+
+def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Content-type sniffing over binary payloads: magic-byte MIME
+    detection + dimensions where the header carries them (PNG/GIF/BMP,
+    JPEG via SOF marker walk). Map-side Arrow batches; reads at most a
+    few hundred header bytes per row's buffer, never decodes pixels —
+    the triage pass a 100 TB media crawl runs before routing rows to
+    per-format decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                row = (media_id, None, None, None)
+                if payload is not None:
+                    try:
+                        row = (media_id, *_probe_bytes(bytes(payload)))
+                    except Exception:
+                        pass
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             PROBE_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(run, PROBE_SCHEMA)

@@ -651,3 +651,32 @@ def test_png_decode_real_pixels(spark):
     assert rows[2]["mean_pixel"] == round(float(rgb.mean()), 6)
     assert rows[3]["width"] is None
     assert rows[4]["width"] is None
+
+
+def test_probe_media_sniffs_formats(spark):
+    import struct
+
+    import numpy as np
+
+    grey = np.zeros((2, 3), dtype=np.int32)
+    png = bytes(_png_bytes(grey, 0, [0, 0]))
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 10
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 7, -9) + b"\x00" * 20)
+    # minimal JPEG: SOI, APP0 (empty), SOF0 with h=21 w=37
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 2)
+            + b"\xff\xc0" + struct.pack(">H", 8) + b"\x08"
+            + struct.pack(">HH", 21, 37) + b"\x01")
+    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 8
+    rows = [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+            (4, bytearray(jpeg)), (5, bytearray(wav)),
+            (6, bytearray(b"plain text")), (7, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["mime_type"], r["width"], r["height"])
+           for r in M.probe_media(media).collect()}
+    assert got[1] == ("image/png", 3, 2)
+    assert got[2] == ("image/gif", 12, 34)
+    assert got[3] == ("image/bmp", 7, 9)
+    assert got[4] == ("image/jpeg", 37, 21)
+    assert got[5] == ("audio/wav", None, None)
+    assert got[6] == (None, None, None)
+    assert got[7] == (None, None, None)
