@@ -34,6 +34,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-zorder", "--zorder", metavar="COLS",
                    help="comma-separated columns: -compact clusters "
                         "output by Morton code over quantile ranks")
+    p.add_argument("-versions", "--versions", metavar="SNAP",
+                   help="list a CDC snapshot store's retained versions")
+    p.add_argument("-vacuum", "--vacuum", metavar="SNAP",
+                   help="trim a CDC snapshot store's history and collect "
+                        "unreferenced data dirs")
+    p.add_argument("-keep-last", "--keep-last", type=int, default=2,
+                   help="versions to retain for -vacuum")
+    p.add_argument("-min-age-s", "--min-age-s", type=float, default=3600.0,
+                   help="only collect unreferenced dirs older than this "
+                        "(guards in-flight merges) for -vacuum")
     p.add_argument("-input", "--input", help="override source file path")
     p.add_argument("-output", "--output", help="override destination file path")
     p.add_argument("-db", "--db", help="database connection string "
@@ -102,9 +112,27 @@ def main(argv: list[str] | None = None) -> int:
               f"{stats['bytes']} bytes)")
         return 0
 
+    if args.versions or args.vacuum:
+        from etl_tool_spark.streaming.cdc import list_versions, vacuum
+
+        try:
+            if args.versions:
+                for v in list_versions(spark, args.versions):
+                    print(v)
+            else:
+                removed = vacuum(spark, args.vacuum,
+                                 keep_last=args.keep_last,
+                                 min_age_s=args.min_age_s)
+                print(f"vacuum: removed {removed} data dir(s), kept last "
+                      f"{args.keep_last} version(s)")
+        except Exception as e:
+            print(f"snapshot maintenance failed: {e}", file=sys.stderr)
+            return 1
+        return 0
+
     if not args.config:
-        print("config error: -config is required (or use -profile/-compact)",
-              file=sys.stderr)
+        print("config error: -config is required (or use "
+              "-profile/-compact/-versions/-vacuum)", file=sys.stderr)
         return 2
 
     try:

@@ -105,7 +105,7 @@ class PlaybookConfig:
 
 
 _VALID_TYPES = {"csv", "json", "parquet", "orc", "text", "yaml", "yml", "xml",
-                "xlsx", "postgres", "jdbc"}
+                "xlsx", "postgres", "jdbc", "cdc"}
 _VALID_DEDUP = {"first", "last", "min", "max"}
 _VALID_ERROR_MODES = {"halt", "skip"}
 
@@ -247,9 +247,9 @@ def validate_config(cfg: PlaybookConfig) -> None:
         if cfg.errorHandling.errorFile:
             errors.append("source.stream: errorFile is batch-only")
         if cfg.destination is not None and cfg.destination.type not in (
-                "csv", "json", "parquet", "orc", "text"):
+                "csv", "json", "parquet", "orc", "text", "cdc"):
             errors.append("source.stream: destination must be a file sink "
-                          "(csv/json/parquet/orc)")
+                          "(csv/json/parquet/orc) or a cdc snapshot")
 
     if cfg.filter:
         try:
@@ -331,6 +331,13 @@ def validate_config(cfg: PlaybookConfig) -> None:
             errors.append(f"dedup: unknown strategy {strat!r}")
         if strat in ("min", "max") and not cfg.dedup.strategyField:
             errors.append(f"dedup: strategy {strat!r} requires strategyField")
+
+    for i, d in enumerate([cfg.destination, *cfg.destinations]):
+        if d is not None and d.type == "cdc" \
+                and not {**d.options, **d.loader}.get("keys"):
+            where = "destination" if i == 0 else f"destinations[{i - 1}]"
+            errors.append(f"{where}: cdc sink requires options.keys "
+                          "(the snapshot's key columns)")
 
     if cfg.destination and cfg.destination.loader:
         # loader config rules (internal/config/validation.go:251-285)

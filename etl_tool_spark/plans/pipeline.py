@@ -214,28 +214,14 @@ def _read_stream_source(spark: SparkSession, src) -> DataFrame:
     return reader.format(fmt).load(path)
 
 
-def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
-                clean: DataFrame, errors: DataFrame) -> PipelineResult:
-    """Checkpointed availableNow writeStream to the file destination;
-    the returned ``output`` is a batch read-back of what was written (so
-    PipelineResult keeps its contract — counts/collect work)."""
-    dst = cfg.destination
-    checkpoint = dst.checkpoint or (dst.file or "") + "_checkpoint"
-    writer = (clean.writeStream.format(dst.type)
-              .option("checkpointLocation", checkpoint)
-              .outputMode("append")
-              .trigger(availableNow=True))
-    if dst.type == "csv":
-        writer = writer.option("header", "true")
-    q = writer.start(dst.file or "")
+def _drain_dlq(cfg: PlaybookConfig, errors: DataFrame) -> None:
+    """Dead-letter queue: errored records stream to their own JSON-lines
+    sink with an independent checkpoint — the unbounded-stream analogue
+    of the reference's errorFile. Runs as a second query over the same
+    availableNow source; delivery is at-least-once per sink, and the
+    DLQ carries the original record + etl_error_message."""
     dlq = cfg.errorHandling.deadLetterDir
     if dlq:
-        # dead-letter queue: errored records stream to their own
-        # JSON-lines sink with an independent checkpoint — the
-        # unbounded-stream analogue of the reference's errorFile.
-        # Two queries over one availableNow source each drain the same
-        # file set; delivery is at-least-once per sink, and the DLQ
-        # carries the original record + etl_error_message.
         eq = (errors.writeStream.format("json")
                     .option("checkpointLocation", dlq.rstrip("/")
                             + "_checkpoint")
@@ -243,6 +229,41 @@ def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
                     .trigger(availableNow=True)
                     .start(dlq))
         eq.awaitTermination()
+
+
+def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
+                clean: DataFrame, errors: DataFrame) -> PipelineResult:
+    """Checkpointed availableNow writeStream to the file destination;
+    the returned ``output`` is a batch read-back of what was written (so
+    PipelineResult keeps its contract — counts/collect work)."""
+    dst = cfg.destination
+    checkpoint = dst.checkpoint or (dst.file or "") + "_checkpoint"
+    if dst.type == "cdc":
+        # streaming MERGE: each micro-batch folds into the versioned
+        # snapshot store with an atomic commit (streaming/cdc.py)
+        from etl_tool_spark.streaming.cdc import (cdc_merge_stream,
+                                                  read_snapshot)
+
+        opts = {**dst.options, **dst.loader}
+        keys = opts.get("keys") or []
+        q = cdc_merge_stream(
+            clean, dst.file or "", checkpoint,
+            keys=[keys] if isinstance(keys, str) else list(keys),
+            seq_col=opts.get("seqColumn", "seq"),
+            op_col=opts.get("opColumn", "op"),
+            n_buckets=int(opts.get("buckets", 16)))
+        _drain_dlq(cfg, errors)
+        q.awaitTermination()
+        return PipelineResult(read_snapshot(spark, dst.file or ""),
+                              errors, written=True)
+    writer = (clean.writeStream.format(dst.type)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append")
+              .trigger(availableNow=True))
+    if dst.type == "csv":
+        writer = writer.option("header", "true")
+    q = writer.start(dst.file or "")
+    _drain_dlq(cfg, errors)
     q.awaitTermination()
     read_opts = {"header": True} if dst.type == "csv" else {}
     out = spark.read.options(**read_opts).format(dst.type).load(dst.file or "")

@@ -223,7 +223,19 @@ def read_jdbc(spark: SparkSession, path_or_query: str, options: dict[str, Any]) 
     return reader.load()
 
 
+def read_cdc(spark: SparkSession, path: str,
+             options: dict[str, Any]) -> DataFrame:
+    """CDC snapshot source: the current (or ``version``-pinned) state of
+    a versioned snapshot store (streaming/cdc.py) — lets a downstream
+    playbook consume the folded table a CDC playbook maintains."""
+    from etl_tool_spark.streaming.cdc import read_snapshot
+
+    v = options.get("version")
+    return read_snapshot(spark, path, version=int(v) if v is not None else None)
+
+
 _READERS = {
+    "cdc": read_cdc,
     "csv": read_csv,
     "json": read_json,
     "parquet": read_parquet,

@@ -403,7 +403,28 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
     return {"processed": processed, "failed": failed}
 
 
+def write_cdc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
+    """Batch MERGE INTO the versioned snapshot store (streaming/cdc.py):
+    the frame is a change log (keys + seq + op + payload) folded into
+    the keyed snapshot at ``path`` with an atomic version commit.
+    Options: ``keys`` (required), ``seqColumn``/``opColumn`` (default
+    seq/op), ``buckets`` (default 16), ``batchId``."""
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch
+
+    keys = options.get("keys")
+    if not keys:
+        raise SinkError("cdc sink requires options.keys: [key columns]")
+    if isinstance(keys, str):
+        keys = [keys]
+    merge_cdc_batch(_clean(df), path, keys=list(keys),
+                    seq_col=options.get("seqColumn", "seq"),
+                    op_col=options.get("opColumn", "op"),
+                    n_buckets=int(options.get("buckets", 16)),
+                    batch_id=options.get("batchId"))
+
+
 _WRITERS = {
+    "cdc": write_cdc,
     "csv": write_csv,
     "text": write_text,
     "json": write_json,

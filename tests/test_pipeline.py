@@ -617,3 +617,125 @@ def test_custom_dml_playbook_metrics_do_not_block(spark, tmp_path):
         "SELECT id, v FROM sink ORDER BY id").fetchall()
     assert got == [(1, "a"), (2, "b"), (3, "c")]
     assert spark.read.parquet(str(tmp_path / "archive.pq")).count() == 3
+
+
+def test_cdc_destination_batch_playbook(spark, tmp_path):
+    """destination type 'cdc': a batch playbook folds its change-log
+    frame into the versioned snapshot store (MERGE INTO surface)."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+    from etl_tool_spark.streaming.cdc import list_versions, read_snapshot
+
+    src = tmp_path / "changes.csv"
+    src.write_text("id,seq,op,payload\n"
+                   "1,10,I,a0\n1,11,U,a1\n2,10,I,b0\n2,12,D,\n")
+    snap = str(tmp_path / "snap")
+    cfg = {
+        "source": {"type": "csv", "file": str(src)},
+        "mappings": [
+            {"source": "id", "target": "id", "transform": "mustToInt"},
+            {"source": "seq", "target": "seq", "transform": "mustToInt"},
+            {"source": "op", "target": "op"},
+            {"source": "payload", "target": "payload"},
+        ],
+        "destination": {"type": "cdc", "file": snap,
+                        "options": {"keys": ["id"], "buckets": 4}},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    assert res.written
+    got = {r["id"]: r["payload"]
+           for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: "a1"}                       # 2 deleted at seq 12
+    assert list_versions(spark, snap) == [1]
+
+
+def test_cdc_destination_requires_keys(tmp_path):
+    import yaml
+
+    from etl_tool_spark.plans import load_config
+
+    cfg = {
+        "source": {"type": "csv", "file": "in.csv"},
+        "destination": {"type": "cdc", "file": "snap"},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ConfigError, match="cdc sink requires options.keys"):
+        load_config(str(p))
+
+
+def test_cdc_destination_streaming_playbook(spark, tmp_path):
+    """A streaming playbook with a cdc destination: micro-batches merge
+    into the snapshot; the result reads back the folded state."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+    from etl_tool_spark.streaming.cdc import list_versions
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    spark.createDataFrame([(1, 10, "I", "a0"), (2, 10, "I", "b0")],
+                          "id long, seq long, op string, payload string") \
+         .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(1, 20, "U", "a1")],
+                          "id long, seq long, op string, payload string") \
+         .coalesce(1).write.parquet(str(src / "f2"))
+    snap = str(tmp_path / "snap")
+    cfg = {
+        "source": {"type": "parquet", "file": str(src / "*"),
+                   "stream": True,
+                   "options": {"maxFilesPerTrigger": 1}},
+        "destination": {"type": "cdc", "file": snap,
+                        "checkpoint": str(tmp_path / "ckpt"),
+                        "options": {"keys": ["id"], "buckets": 4}},
+        "errorHandling": {"mode": "skip"},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    res = run_pipeline(spark, load_config(str(p)))
+    got = {r["id"]: r["payload"] for r in res.output.collect()}
+    assert got == {1: "a1", 2: "b0"}
+    assert len(list_versions(spark, snap)) == 2   # one commit per batch
+
+
+def test_cdc_source_reads_snapshot(spark, tmp_path):
+    """source type 'cdc': a playbook consumes the folded snapshot a CDC
+    playbook maintains (optionally version-pinned)."""
+    import yaml
+
+    from etl_tool_spark.plans import load_config, run_pipeline
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0"), (2, 10, "I", "b0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(2, 20, "U", "b1")], "id long, seq long, op string, payload string")
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+
+    cfg = {
+        "source": {"type": "cdc", "file": snap},
+        "mappings": [{"source": "id", "target": "id"},
+                     {"source": "payload", "target": "payload"}],
+        "destination": {"type": "parquet", "file": str(tmp_path / "out.pq")},
+    }
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    run_pipeline(spark, load_config(str(p)))
+    got = {r["id"]: r["payload"]
+           for r in spark.read.parquet(str(tmp_path / "out.pq")).collect()}
+    assert got == {1: "a0", 2: "b1"}
+
+    # version pin reads history
+    cfg["source"]["options"] = {"version": 1}
+    cfg["destination"]["file"] = str(tmp_path / "out1.pq")
+    p.write_text(yaml.safe_dump(cfg))
+    run_pipeline(spark, load_config(str(p)))
+    got1 = {r["id"]: r["payload"]
+            for r in spark.read.parquet(str(tmp_path / "out1.pq")).collect()}
+    assert got1 == {1: "a0", 2: "b0"}

@@ -83,3 +83,23 @@ def test_cli_compact_sort_flag(tmp_path, capsys, spark):
     assert "compacted 20 files" in capsys.readouterr().out
     back = [r.id for r in spark.read.parquet(dst).collect()]
     assert sorted(back) == list(range(5000))
+
+
+def test_cli_versions_and_vacuum(tmp_path, capsys, spark):
+    from etl_tool_spark.__main__ import main
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch
+
+    snap = str(tmp_path / "snap")
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(1, 10 + i, "U", f"a{i}")],
+            "id long, seq long, op string, payload string")
+        merge_cdc_batch(b, snap, keys=["id"], batch_id=i)
+
+    assert main(["-versions", snap]) == 0
+    assert capsys.readouterr().out.split() == ["1", "2", "3"]
+    assert main(["-vacuum", snap, "-keep-last", "1",
+                 "-min-age-s", "0"]) == 0
+    assert "removed 2 data dir(s)" in capsys.readouterr().out
+    assert main(["-versions", snap]) == 0
+    assert capsys.readouterr().out.split() == ["3"]
