@@ -109,3 +109,22 @@ def test_warehouse_load_playbook(spark, tmp_path, monkeypatch):
     assert pr.count() == full.filter(
         (full.ts >= lo) & (full.ts <= hi)).count()
     assert len(pr.inputFiles()) < 8
+
+
+def test_cdc_upsert_playbook(spark, tmp_path, monkeypatch):
+    import json
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    rows = [{"id": 1, "seq": 10, "op": "I", "payload": "a0"},
+            {"id": 2, "seq": 10, "op": "I", "payload": "b0"},
+            {"id": 1, "seq": 20, "op": "D", "payload": None}]
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    monkeypatch.setenv("CDC_IN_DIR", str(src))
+    monkeypatch.setenv("SNAP_DIR", str(tmp_path / "snap"))
+    from etl_tool_spark.plans import load_config, run_pipeline
+
+    cfg = load_config(os.path.join(REPO, "examples", "cdc_upsert.yaml"))
+    res = run_pipeline(spark, cfg)
+    got = {r["id"]: r["payload"] for r in res.output.collect()}
+    assert got == {2: "b0"}
