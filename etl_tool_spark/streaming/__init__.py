@@ -12,6 +12,8 @@ from etl_tool_spark.streaming.cdc import (
     merge_cdc_batch,
     migrate_snapshot,
     read_snapshot,
+    restore_version,
+    snapshot_diff,
     vacuum,
 )
 from etl_tool_spark.streaming.events import (
@@ -27,4 +29,5 @@ __all__ = ["near_dedup_stream", "exact_dedup_stream", "clean_ingest_stream",
            "read_events_stream", "windowed_counts", "sessionize_stream",
            "streaming_dedup", "stream_to_memory", "interval_join_streams",
            "merge_cdc_batch", "cdc_merge_stream", "read_snapshot",
-           "list_versions", "vacuum", "migrate_snapshot"]
+           "list_versions", "vacuum", "migrate_snapshot",
+           "snapshot_diff", "restore_version"]

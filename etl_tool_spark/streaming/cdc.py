@@ -54,7 +54,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["merge_cdc_batch", "read_snapshot", "cdc_merge_stream",
-           "list_versions", "vacuum", "migrate_snapshot"]
+           "list_versions", "vacuum", "migrate_snapshot",
+           "snapshot_diff", "restore_version"]
 
 BUCKET_COL = "_bucket"
 VERSIONS_DIR = "_versions"
@@ -140,7 +141,7 @@ def migrate_snapshot(spark: SparkSession, snapshot_dir: str,
         b = name.split("=", 1)[1]
         (spark.read.parquet(f"{snapshot_dir}/{name}")
               .write.parquet(f"{out_dir}/{BUCKET_COL}={b}"))
-    manifest = {"batch_id": None, "n_buckets": n_buckets,
+    manifest = {"batch_id": None, "n_buckets": n_buckets, "keys": None,
                 "schema_ddl": old._jdf.schema().toDDL(),
                 "buckets": {name.split("=", 1)[1]: out_rel
                             for name in sorted(legacy)}}
@@ -247,6 +248,7 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
         upserts.write.partitionBy(BUCKET_COL).parquet(out_dir)
         written = _written_buckets(spark, out_dir)
         manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                    "keys": list(keys),
                     "schema_ddl": upserts.drop(BUCKET_COL)._jdf.schema().toDDL(),
                     "buckets": {b: out_rel for b in written}}
         if not _commit_manifest(spark, snapshot_dir, 1, manifest):
@@ -282,6 +284,7 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     buckets = {b: d for b, d in cur["buckets"].items() if b not in set(affected)}
     buckets.update({b: out_rel for b in present})
     manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                "keys": list(keys),
                 "schema_ddl": cur["schema_ddl"],
                 "buckets": dict(sorted(buckets.items()))}
     if not _commit_manifest(spark, snapshot_dir, cur_n + 1, manifest):
@@ -359,3 +362,54 @@ def cdc_merge_stream(changes: DataFrame, snapshot_dir: str, checkpoint: str,
                    .option("checkpointLocation", checkpoint)
                    .trigger(availableNow=True)
                    .start())
+
+
+def snapshot_diff(spark: SparkSession, snapshot_dir: str,
+                  from_version: int, to_version: int | None = None,
+                  keys: list[str] | None = None) -> DataFrame:
+    """Row-level changes between two retained versions (the change-feed
+    view table formats call CDF): key columns + ``change_type`` in
+    {'insert', 'delete', 'update'}. Keys default to the manifest's
+    recorded key columns. One full-outer join keyed on the snapshot
+    key; unchanged rows drop out via a null-safe struct comparison of
+    the non-key columns."""
+    versions = list_versions(spark, snapshot_dir)
+    to_n = versions[-1] if to_version is None else to_version
+    man = _load_manifest(spark, snapshot_dir, to_n)
+    keys = list(keys or man.get("keys") or [])
+    if not keys:
+        raise ValueError("snapshot_diff needs key columns (manifest "
+                         "predates key recording — pass keys=[...])")
+    old = read_snapshot(spark, snapshot_dir, version=from_version)
+    new = read_snapshot(spark, snapshot_dir, version=to_n)
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*payload).alias("_old"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*keys, F.struct(*payload).alias("_new"),
+                   F.lit(True).alias("_in_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (F.when(F.col("_in_old").isNull(), "insert")
+               .when(F.col("_in_new").isNull(), "delete")
+               .when(~F.col("_old").eqNullSafe(F.col("_new")), "update"))
+    return (j.withColumn("change_type", change)
+             .filter(F.col("change_type").isNotNull())
+             .select(*keys, "change_type"))
+
+
+def restore_version(spark: SparkSession, snapshot_dir: str,
+                    version: int) -> int:
+    """Rewind: commit a NEW version whose manifest is a copy of
+    ``version``'s — zero data movement (the data dirs are immutable and
+    shared), and the bad versions stay in history for forensics until
+    vacuumed. Returns the new version number."""
+    versions = list_versions(spark, snapshot_dir)
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not retained (have {versions})")
+    man = _load_manifest(spark, snapshot_dir, version)
+    new_n = versions[-1] + 1
+    man = {**man, "batch_id": None, "restored_from": version}
+    if not _commit_manifest(spark, snapshot_dir, new_n, man):
+        raise RuntimeError(
+            f"restore race: version {new_n} was committed concurrently")
+    return new_n

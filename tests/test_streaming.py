@@ -514,3 +514,33 @@ def test_cdc_legacy_layout_rejected_and_migrated(spark, tmp_path):
     assert {r["id"]: r["payload"]
             for r in read_snapshot(spark, snap).collect()} \
         == {1: "a0", 2: "b0", 3: "c0"}
+
+
+def test_cdc_snapshot_diff_and_restore(spark, tmp_path):
+    """Change feed between versions + zero-copy rewind."""
+    from etl_tool_spark.streaming.cdc import (
+        list_versions, merge_cdc_batch, read_snapshot, restore_version,
+        snapshot_diff)
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0"), (2, 10, "I", "b0"), (3, 10, "I", "c0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(1, 20, "U", "a1"), (3, 20, "D", None), (4, 20, "I", "d0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+
+    diff = {r["id"]: r["change_type"]
+            for r in snapshot_diff(spark, snap, 1, 2).collect()}
+    assert diff == {1: "update", 3: "delete", 4: "insert"}   # 2 unchanged
+
+    new_v = restore_version(spark, snap, 1)
+    assert new_v == 3 and list_versions(spark, snap) == [1, 2, 3]
+    got = {r["id"]: r["payload"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: "a0", 2: "b0", 3: "c0"}                # rewound
+    # and the diff from the bad version back to the restore is inverse
+    rediff = {r["id"]: r["change_type"]
+              for r in snapshot_diff(spark, snap, 2, 3).collect()}
+    assert rediff == {1: "update", 3: "insert", 4: "delete"}
