@@ -193,8 +193,8 @@ def decode_bmp_features(df: DataFrame,
     """REAL image decode for uncompressed 24-bit BMP (struct + numpy —
     no codec library needed): dimensions, bit depth, and mean pixel
     intensity. Non-BMP or compressed payloads yield null features —
-    route JPEG/PNG through decode_image_features' stub until a codec
-    library is present."""
+    PNG has its own real decoder (decode_png_features); JPEG stays on
+    decode_image_features' stub until a codec library is present."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -312,7 +312,12 @@ def _png_decode(b: bytes):
                     return header_only    # invalid filter byte
                 rec[x] = (int(row[x]) + pred) & 0xFF
         out[y] = rec
-    return (w, h, depth, ctype, round(float(out.astype(np.float64).mean()), 6))
+    px = out.astype(np.float64)
+    if ch == 4:
+        # intensity means COLOR: a fully-opaque dark RGBA image must not
+        # read as mid-grey because every 4th byte is alpha=255
+        px = px.reshape(h, w, 4)[:, :, :3]
+    return (w, h, depth, ctype, round(float(px.mean()), 6))
 
 
 def decode_png_features(df: DataFrame,
@@ -360,27 +365,48 @@ def _probe_bytes(b: bytes):
     quarantine mislabeled payloads, without touching pixel data."""
     import struct
 
-    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
-        w, h = struct.unpack_from(">II", b, 16)
-        return ("image/png", w, h)
+    # a valid magic with a truncated header still identifies the TYPE —
+    # exactly what triage needs to quarantine cut-off downloads by format
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", b, 16)
+            return ("image/png", w, h)
+        return ("image/png", None, None)
     if b[:3] == b"\xff\xd8\xff":
         # walk JPEG markers to the first frame header (SOFn)
         pos = 2
-        while pos + 4 <= len(b) and b[pos] == 0xFF:
-            marker, ln = b[pos + 1], struct.unpack_from(">H", b, pos + 2)[0]
+        while pos + 2 <= len(b) and b[pos] == 0xFF:
+            # skip 0xFF fill bytes before the marker code (spec-legal)
+            while pos < len(b) and b[pos] == 0xFF:
+                pos += 1
+            if pos >= len(b):
+                break
+            marker = b[pos]
+            pos += 1
+            if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue                  # length-less markers
+            if marker == 0xDA:
+                break                     # entropy-coded data follows
+            if pos + 2 > len(b):
+                break
+            ln = struct.unpack_from(">H", b, pos)[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if pos + 9 <= len(b):
-                    h, w = struct.unpack_from(">HH", b, pos + 5)
+                if pos + 7 <= len(b):
+                    h, w = struct.unpack_from(">HH", b, pos + 3)
                     return ("image/jpeg", w, h)
                 break
-            pos += 2 + ln
+            pos += ln
         return ("image/jpeg", None, None)
-    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
-        w, h = struct.unpack_from("<HH", b, 6)
-        return ("image/gif", w, h)
-    if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack_from("<ii", b, 18)
-        return ("image/bmp", w, abs(h))
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack_from("<HH", b, 6)
+            return ("image/gif", w, h)
+        return ("image/gif", None, None)
+    if b[:2] == b"BM":
+        if len(b) >= 26:
+            w, h = struct.unpack_from("<ii", b, 18)
+            return ("image/bmp", w, abs(h))
+        return ("image/bmp", None, None)
     if b[:4] == b"RIFF" and len(b) >= 12:
         sub = b[8:12]
         if sub == b"WAVE":

@@ -242,16 +242,12 @@ def _run_stream(spark: SparkSession, cfg: PlaybookConfig,
         # streaming MERGE: each micro-batch folds into the versioned
         # snapshot store with an atomic commit (streaming/cdc.py)
         from etl_tool_spark.streaming.cdc import (cdc_merge_stream,
+                                                  normalize_cdc_options,
                                                   read_snapshot)
 
-        opts = {**dst.options, **dst.loader}
-        keys = opts.get("keys") or []
         q = cdc_merge_stream(
             clean, dst.file or "", checkpoint,
-            keys=[keys] if isinstance(keys, str) else list(keys),
-            seq_col=opts.get("seqColumn", "seq"),
-            op_col=opts.get("opColumn", "op"),
-            n_buckets=int(opts.get("buckets", 16)))
+            **normalize_cdc_options({**dst.options, **dst.loader}))
         _drain_dlq(cfg, errors)
         q.awaitTermination()
         return PipelineResult(read_snapshot(spark, dst.file or ""),

@@ -409,17 +409,13 @@ def write_cdc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     the keyed snapshot at ``path`` with an atomic version commit.
     Options: ``keys`` (required), ``seqColumn``/``opColumn`` (default
     seq/op), ``buckets`` (default 16), ``batchId``."""
-    from etl_tool_spark.streaming.cdc import merge_cdc_batch
+    from etl_tool_spark.streaming.cdc import (merge_cdc_batch,
+                                              normalize_cdc_options)
 
-    keys = options.get("keys")
-    if not keys:
+    kw = normalize_cdc_options(options)
+    if not kw["keys"]:
         raise SinkError("cdc sink requires options.keys: [key columns]")
-    if isinstance(keys, str):
-        keys = [keys]
-    merge_cdc_batch(_clean(df), path, keys=list(keys),
-                    seq_col=options.get("seqColumn", "seq"),
-                    op_col=options.get("opColumn", "op"),
-                    n_buckets=int(options.get("buckets", 16)),
+    merge_cdc_batch(_clean(df), path, **kw,
                     batch_id=options.get("batchId"))
 
 

@@ -121,10 +121,18 @@ def _reject_legacy_layout(spark: SparkSession, snapshot_dir: str) -> None:
 
 
 def migrate_snapshot(spark: SparkSession, snapshot_dir: str,
-                     n_buckets: int = 16) -> None:
+                     n_buckets: int) -> None:
     """One-time conversion of a pre-versioned snapshot (top-level
     `_bucket=*` parquet dirs) into version 1 of the manifest layout.
-    The legacy files are left in place (delete them after validating)."""
+    The legacy files are left in place (delete them after validating).
+
+    ``n_buckets`` is REQUIRED and must equal the bucket count the legacy
+    store was created with: the manifest's count drives where future
+    merges hash each key, and a mismatch would rewrite keys into buckets
+    their existing rows don't live in (duplicate rows, undead deletes).
+    The gross case — an observed bucket id outside [0, n_buckets) — is
+    rejected; an undersized legacy count that happens to fit cannot be
+    detected without the key columns, hence no default to guess with."""
     versions = list_versions(spark, snapshot_dir)
     if versions:
         raise ValueError(f"{snapshot_dir} already versioned ({versions})")
@@ -132,6 +140,11 @@ def migrate_snapshot(spark: SparkSession, snapshot_dir: str,
               if n.startswith(f"{BUCKET_COL}=")]
     if not legacy:
         raise FileNotFoundError(f"no legacy bucket dirs under {snapshot_dir}")
+    top = max(int(n.split("=", 1)[1]) for n in legacy)
+    if top >= n_buckets:
+        raise ValueError(
+            f"legacy store has bucket {top} but n_buckets={n_buckets}; "
+            "pass the bucket count the legacy snapshot was created with")
     old = spark.read.parquet(*[f"{snapshot_dir}/{n}" for n in legacy])
     out_rel = f"{DATA_DIR}/migrate-{uuid.uuid4().hex[:12]}"
     out_dir = f"{snapshot_dir}/{out_rel}"
@@ -343,6 +356,20 @@ def vacuum(spark: SparkSession, snapshot_dir: str, keep_last: int = 2,
             fs.delete(p, True)
             removed += 1
     return removed
+
+
+def normalize_cdc_options(opts: dict) -> dict:
+    """The ONE place the YAML cdc-sink option contract is interpreted —
+    shared by the batch sink (sources/sinks.py write_cdc) and the
+    streaming branch (plans/pipeline.py), so the two surfaces can't
+    drift. Returns merge_cdc_batch/cdc_merge_stream keyword args."""
+    keys = opts.get("keys") or []
+    if isinstance(keys, str):
+        keys = [keys]
+    return {"keys": list(keys),
+            "seq_col": opts.get("seqColumn", "seq"),
+            "op_col": opts.get("opColumn", "op"),
+            "n_buckets": int(opts.get("buckets", 16))}
 
 
 def cdc_merge_stream(changes: DataFrame, snapshot_dir: str, checkpoint: str,

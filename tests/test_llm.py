@@ -680,3 +680,37 @@ def test_probe_media_sniffs_formats(spark):
     assert got[5] == ("audio/wav", None, None)
     assert got[6] == (None, None, None)
     assert got[7] == (None, None, None)
+
+
+def test_png_rgba_mean_excludes_alpha(spark):
+    """A fully-opaque near-black RGBA image must read as dark, not
+    mid-grey from the alpha plane."""
+    import numpy as np
+
+    rgba = np.zeros((3, 4 * 4), dtype=np.int32)
+    rgba[:, 3::4] = 255                    # alpha bytes only
+    media = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(rgba, 6, [0, 4, 2])))],
+        "media_id long, payload binary")
+    r = M.decode_png_features(media).collect()[0]
+    assert r["color_type"] == 6 and r["mean_pixel"] == 0.0
+
+
+def test_probe_media_truncated_and_fill_bytes(spark):
+    import struct
+
+    trunc_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8      # cut-off download
+    trunc_gif = b"GIF89a\x00"
+    # JPEG with 0xFF fill bytes before SOF0 and a leading RST marker
+    jpeg = (b"\xff\xd8\xff\xd0"            # SOI + length-less RST0
+            + b"\xff\xff\xff\xc0"          # fill byte then SOF0
+            + struct.pack(">H", 8) + b"\x08"
+            + struct.pack(">HH", 11, 22) + b"\x01")
+    rows = [(1, bytearray(trunc_png)), (2, bytearray(trunc_gif)),
+            (3, bytearray(jpeg))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["mime_type"], r["width"], r["height"])
+           for r in M.probe_media(media).collect()}
+    assert got[1] == ("image/png", None, None)
+    assert got[2] == ("image/gif", None, None)
+    assert got[3] == ("image/jpeg", 22, 11)

@@ -507,7 +507,9 @@ def test_cdc_legacy_layout_rejected_and_migrated(spark, tmp_path):
     with pytest.raises(ValueError, match="pre-versioned"):
         read_snapshot(spark, snap)
 
-    migrate_snapshot(spark, snap)
+    with pytest.raises(ValueError, match="bucket 7"):
+        migrate_snapshot(spark, snap, n_buckets=4)   # mismatch rejected
+    migrate_snapshot(spark, snap, n_buckets=16)
     assert {r["id"]: r["payload"]
             for r in read_snapshot(spark, snap).collect()} == {1: "a0", 2: "b0"}
     merge_cdc_batch(b, snap, keys=["id"], batch_id=0)
