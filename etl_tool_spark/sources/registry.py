@@ -115,11 +115,19 @@ def read_json(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFr
 
 
 def read_parquet(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
-    return spark.read.parquet(path)
+    reader = spark.read
+    if options.get("mergeSchema"):
+        # schema evolution across files: older files' missing columns
+        # read as null instead of being dropped by the first-footer schema
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
-    return spark.read.orc(path)
+    reader = spark.read
+    if options.get("mergeSchema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.orc(path)
 
 
 def read_text(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:

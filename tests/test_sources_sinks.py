@@ -425,3 +425,21 @@ def test_zorder_accepts_string_option(spark, tmp_path):
     write_sink(df, "parquet", out, {"zorderBy": "x", "sortPartitions": 2})
     back = spark.read.parquet(out)
     assert back.count() == 100
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """options.mergeSchema: a source dir whose newer files added a
+    column reads the union schema (older rows null) instead of whatever
+    the first footer says."""
+    from etl_tool_spark.sources.registry import read_source
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+         .write.parquet(d + "/p1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+         .write.parquet(d + "/p2")
+    merged = read_source(spark, "parquet", d + "/p*",
+                         {"mergeSchema": True}, attach_seq=False)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
