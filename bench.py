@@ -112,8 +112,11 @@ def main() -> None:
         # whole-stage codegen compilation + JIT warm-up (seconds,
         # amortized to nothing over real data volumes); the last is the
         # steady-state execution cost
+        # min-of-N absorbs first-run codegen AND transient host
+        # contention (observed: whole-suite 2x inflation from CPU steal
+        # with zero local load); the warmed steady state is the signal
         best, n = None, 0
-        for _ in range(3 if name in heavy else 2):
+        for _ in range(4 if name in heavy else 3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()  # materialize the full result
