@@ -3843,3 +3843,70 @@ def etl_cdc_merge_fold(spark, sf_dir):
     merge_cdc_batch(ch.filter(F.col("_b")).drop("_b"), snap,
                     keys=["user_id"], batch_id=1)
     return read_snapshot(spark, snap).select("user_id", "event_type", "value")
+
+
+@query("llm_url_normalize", """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 40)
+                || '.Example.COM:443/page/' || (doc_id % 7)
+                || '/?utm_source=feed&b=2&a=1&fbclid=x'
+           WHEN 1 THEN 'http://site' || (doc_id % 40) || '.example.com:80/'
+           ELSE 'https://site' || (doc_id % 40)
+                || '.example.com/a/b?z=9&y=8&utm_campaign=c'
+         END AS url
+  FROM documents),
+ parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+ norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(host0, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(host0, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(host0, '^www\\.', '') END AS host,
+         CASE WHEN path0 = '/' OR path0 = '' THEN ''
+              ELSE regexp_replace(path0, '/$', '') END AS path,
+         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT (starts_with(x, 'utm_')
+                  OR starts_with(x, 'fbclid') OR starts_with(x, 'gclid')
+                  OR starts_with(x, 'msclkid') OR starts_with(x, 'mc_eid')))),
+             '&'), '') AS params
+  FROM parts)
+SELECT doc_id,
+       scheme || '://' || host || path
+         || CASE WHEN params = '' THEN '' ELSE '?' || params END AS url_norm,
+       host AS domain
+FROM norm
+""")
+def llm_url_normalize(spark, sf_dir):
+    """Crawl-level URL canonicalization (llm/prep.py normalize_url):
+    synthesized messy URLs per document (mixed case, www, default
+    ports, tracking params, unsorted query, trailing slash, fragment
+    bait) normalize to the canonical form + registrable domain — the
+    map-side step before exact dedup collapses re-crawled resources.
+    The oracle replays the identical rules in DuckDB list functions."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    m40 = (did % 40).cast("string")
+    url = (F.when(did % 3 == 0,
+                  F.concat(F.lit("HTTPS://WWW.Site"), m40,
+                           F.lit(".Example.COM:443/page/"),
+                           (did % 7).cast("string"),
+                           F.lit("/?utm_source=feed&b=2&a=1&fbclid=x")))
+            .when(did % 3 == 1,
+                  F.concat(F.lit("http://site"), m40,
+                           F.lit(".example.com:80/")))
+            .otherwise(
+                F.concat(F.lit("https://site"), m40,
+                         F.lit(".example.com/a/b?z=9&y=8&utm_campaign=c"))))
+    return d.select(
+        "doc_id",
+        P.normalize_url(url).alias("url_norm"),
+        P.url_domain(url).alias("domain"))

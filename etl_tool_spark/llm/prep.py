@@ -33,7 +33,7 @@ from etl_tool_spark.llm.text import hash64, tokens
 __all__ = ["split_assign", "shard_assign", "stratified_sample",
            "weighted_sample", "sample_per_group", "PII_PATTERNS",
            "redact_pii", "pii_counts", "pack_sequences", "chunk_text",
-           "contamination"]
+           "contamination", "normalize_url", "url_domain", "url_parts"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -249,3 +249,59 @@ def contamination(df: DataFrame, benchmark: DataFrame, shingle_n: int = 3,
     return (overlap.join(sizes, id_col)
                    .select(F.col(id_col), "n_shingles", "n_overlap",
                            ratio.alias("overlap_ratio")))
+
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def url_parts(col: Column) -> dict[str, Column]:
+    """scheme/host/path/query Columns from a URL (fragment dropped)."""
+    s = F.trim(col)
+    return {
+        "scheme": F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
+        "host": F.lower(F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "path": F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "query": F.regexp_extract(s, r"\?([^#]*)", 1),
+    }
+
+
+def normalize_url(col: Column, strip_www: bool = True) -> Column:
+    """Canonical URL for crawl-level dedup and per-domain mixing:
+    lowercase scheme+host, default ports (:80 http / :443 https) and
+    `www.` stripped, the fragment dropped, tracking parameters
+    (utm_* / fbclid / gclid / msclkid / mc_eid) removed, the surviving
+    query parameters SORTED (param order never distinguishes resources),
+    and the root path's trailing slash normalized away. Pure Column
+    expression chain — map-side at any scale; two URLs of the same
+    resource hash equal afterwards, so exact dedup on the normalized
+    string collapses them."""
+    p = url_parts(col)
+    host = p["host"]
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(p["scheme"] == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(p["scheme"] == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    path = F.when((p["path"] == "/") | (p["path"] == ""), F.lit("")) \
+            .otherwise(F.regexp_replace(p["path"], r"/$", ""))
+    params = F.filter(
+        F.split(p["query"], "&"),
+        lambda kv: (kv != "") & ~sum(
+            (kv.startswith(pre).cast("int") for pre in _TRACKING_PREFIXES),
+            F.lit(0)).cast("boolean"))
+    params = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        p["scheme"], F.lit("://"), host, path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)))
+
+
+def url_domain(col: Column, strip_www: bool = True) -> Column:
+    """Registrable-host extraction for per-domain corpus statistics
+    (port and `www.` stripped; no public-suffix list — document that a
+    real crawl plugs one in via register_transform)."""
+    host = F.lower(F.regexp_extract(F.trim(col),
+                                    r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "") if strip_www else host

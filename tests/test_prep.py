@@ -233,3 +233,20 @@ def test_weighted_sample_proportional_and_stable(spark):
         F.when(F.col("id") < 25, 1.0).otherwise(0.0).alias("w"))
     kept_ids = {r["doc_id"] for r in P.weighted_sample(edge, "w").collect()}
     assert kept_ids == set(range(25))
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/A/B/?utm_source=x&b=2&a=1#f":
+            ("https://ex.com/A/B?a=1&b=2", "ex.com"),
+        "http://ex.com:80/": ("http://ex.com", "ex.com"),
+        "https://sub.ex.com/p?z=1&y=2&fbclid=q&gclid=r":
+            ("https://sub.ex.com/p?y=2&z=1", "sub.ex.com"),
+        "http://ex.com/only?utm_campaign=c": ("http://ex.com/only", "ex.com"),
+        "https://ex.com:8443/x": ("https://ex.com:8443/x", "ex.com"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: (r["n"], r["d"]) for r in df.select(
+        "url", P.normalize_url(F.col("url")).alias("n"),
+        P.url_domain(F.col("url")).alias("d")).collect()}
+    assert got == cases
