@@ -3910,3 +3910,31 @@ def llm_url_normalize(spark, sf_dir):
         "doc_id",
         P.normalize_url(url).alias("url_norm"),
         P.url_domain(url).alias("domain"))
+
+
+@query("llm_repeated_spans", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+ grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+ rep AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2),
+ isl AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+           AS grp
+  FROM grams g JOIN rep USING (gram))
+SELECT doc_id, min(pos) AS start_pos, count(*) + 7 AS span_tokens
+FROM isl GROUP BY doc_id, grp
+""")
+def llm_repeated_spans(spark, sf_dir):
+    """Maximal cross-document repeated 8-token spans
+    (llm/text.py:repeated_spans) — the exact-substring dedup signal:
+    recurring-gram marking via the boilerplate groupBy, then one
+    per-doc gaps-and-islands window merges consecutive repeated
+    positions into maximal spans."""
+    return X.repeated_spans(_docs(spark, sf_dir))

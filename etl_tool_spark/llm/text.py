@@ -8,12 +8,13 @@ results reproducible across engines (DuckDB oracle parity).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "quality_features", "language_id", "fingerprint",
-           "repetition_stats", "boilerplate_ngrams", "STOPWORDS"]
+           "repetition_stats", "boilerplate_ngrams", "repeated_spans",
+           "STOPWORDS"]
 
 
 def hash64(col: Column) -> Column:
@@ -205,3 +206,52 @@ def boilerplate_ngrams(df: DataFrame, id_col: str = "doc_id",
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.min(id_col).alias("first_doc"))
                 .filter(F.col("n_docs") >= min_docs))
+
+
+def repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 8,
+                   min_docs: int = 2) -> DataFrame:
+    """Maximal cross-document repeated token spans — the exact-substring
+    dedup signal (public dedup literature: long verbatim repeats across
+    training documents degrade models; spans, not whole docs, are the
+    removal unit). A position participates when its n-gram recurs in
+    ≥ ``min_docs`` DISTINCT documents; consecutive participating
+    positions merge into maximal runs. Returns
+    (id_col, start_pos, span_tokens) with 1-based token positions; a
+    run of k consecutive repeated n-grams covers k + n - 1 tokens.
+
+    100 TB shape: positional grams build map-side; the recurring-gram
+    set comes from the same partial-agg'd groupBy as boilerplate_ngrams
+    (per-doc distinct first, so no count-distinct state); marking is an
+    equi-join on the gram string; the merge is one per-doc window over
+    marked positions (gaps-and-islands). No pairs, no cartesian —
+    corpus-frequency machinery end to end."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("_toks"))
+    starts = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    gram_arr = F.when(
+        F.size("_toks") >= n,
+        F.transform(starts,
+                    lambda i: F.array_join(F.slice("_toks", i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = base.select(
+        F.col(id_col),
+        F.posexplode(gram_arr).alias("_p0", "gram"))
+    rep = (base.select(F.col(id_col),
+                       F.explode(F.array_distinct(gram_arr)).alias("gram"))
+               .groupBy("gram")
+               .agg(F.count(F.lit(1)).alias("_nd"))
+               .filter(F.col("_nd") >= min_docs)
+               .select("gram"))
+    marked = pos_grams.join(rep, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_p0")
+    isl = marked.select(
+        F.col(id_col), F.col("_p0"),
+        (F.col("_p0") - F.row_number().over(w)).alias("_g"))
+    return (isl.groupBy(id_col, "_g")
+               .agg(F.min("_p0").alias("_s"),
+                    F.count(F.lit(1)).alias("_run"))
+               .select(F.col(id_col),
+                       (F.col("_s") + 1).cast("bigint").alias("start_pos"),
+                       (F.col("_run") + (n - 1)).cast("bigint")
+                       .alias("span_tokens")))

@@ -714,3 +714,19 @@ def test_probe_media_truncated_and_fill_bytes(spark):
     assert got[1] == ("image/png", None, None)
     assert got[2] == ("image/gif", None, None)
     assert got[3] == ("image/jpeg", 22, 11)
+
+
+def test_repeated_spans_merges_maximal_runs(spark):
+    """Two docs sharing a 12-token verbatim span -> ONE maximal span of
+    12 tokens each (5 consecutive repeated 8-grams), not 5 fragments;
+    unique text contributes nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [(1, f"one unique prefix here {shared} and unique tail one"),
+         (2, f"{shared} totally different continuation text here two"),
+         (3, "no overlap at all in this third document body text")],
+        "doc_id long, text string")
+    out = {(r["doc_id"]): (r["start_pos"], r["span_tokens"])
+           for r in X.repeated_spans(docs, n=8).collect()}
+    # doc1: shared starts at token 5 (1-based); doc2: at token 1
+    assert out == {1: (5, 12), 2: (1, 12)}
