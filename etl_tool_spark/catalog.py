@@ -3938,3 +3938,82 @@ def llm_repeated_spans(spark, sf_dir):
     per-doc gaps-and-islands window merges consecutive repeated
     positions into maximal spans."""
     return X.repeated_spans(_docs(spark, sf_dir))
+
+
+@query("llm_quality_percentile", """
+WITH t AS (
+  SELECT doc_id, lang, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id, lang,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t),
+ q AS (
+  SELECT doc_id, lang,
+         floor((least(n_tokens / 20.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000
+           AS quality_score
+  FROM m)
+SELECT doc_id, lang,
+       round(percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality_score, doc_id), 6)
+         AS quality_pctile
+FROM q
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"))
+def llm_quality_percentile(spark, sf_dir):
+    """Per-language quality-score calibration: raw scores are not
+    comparable across strata (stopword lists bias languages
+    differently), so mixing decisions use the WITHIN-language
+    percentile — one window per stratum, ties broken on doc_id so both
+    engines rank identically."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "lang", X.tokens(F.col("text")).alias("_toks"),
+                    F.col("text"))
+    feats = X.quality_features(F.col("text"), toks=F.col("_toks"))
+    scored = base.select("doc_id", "lang",
+                         feats["quality_score"].alias("_q"))
+    w = Window.partitionBy("lang").orderBy("_q", "doc_id")
+    return scored.select(
+        "doc_id", "lang",
+        F.round(F.percent_rank().over(w), 6).alias("quality_pctile"))
+
+
+@query("llm_domain_stats", """
+WITH u AS (
+  SELECT doc_id, lang,
+         'site' || (doc_id % 25) || '.example.com' AS domain
+  FROM documents),
+ t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents)
+SELECT domain, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(CASE WHEN tt = '' THEN 0 ELSE len(toks) END) AS sum_tokens
+FROM u JOIN t USING (doc_id)
+GROUP BY domain
+""")
+def llm_domain_stats(spark, sf_dir):
+    """Per-domain corpus accounting (llm/prep.py url_domain over a
+    synthesized URL column): docs, language spread, and token mass per
+    registrable domain — the inputs to domain-level mixing caps (no
+    single domain should dominate a corpus). One partial-agg'd shuffle
+    on the domain."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 25).cast("string"),
+                   F.lit(".example.com/p"))
+    return (d.select(P.url_domain(url).alias("domain"), "lang",
+                     X.token_count(F.col("text")).alias("_nt"))
+             .groupBy("domain")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("lang").alias("n_langs"),
+                  F.sum("_nt").alias("sum_tokens")))

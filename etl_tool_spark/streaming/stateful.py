@@ -122,3 +122,52 @@ def running_counts_tws(events: DataFrame, watermark: str = "2 hours") -> DataFra
                       outputStructType=out_schema,
                       outputMode="Update",
                       timeMode="None"))
+
+
+CAP_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+CAP_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def rate_cap_stream(events: DataFrame, cap: int = 2,
+                    watermark: str = "1 day") -> DataFrame:
+    """Streaming per-key rate cap — the real-time twin of the batch
+    events_per_key_cap query: at most ``cap`` events per (user, day)
+    pass through, first-arrived wins (within a micro-batch ties order
+    by ts then event_id, matching the batch window). State per group is
+    ONE counter, and the (user, day) key plus the watermark bound the
+    state store: a day older than the watermark stops receiving rows,
+    so its counters are dead weight only until timeout eviction — the
+    ingestion-throttling primitive for budgeted landing zones."""
+    import pandas as pd  # noqa: F811 (executor-side import parity)
+    from pyspark.sql import functions as F
+
+    def capper(key: tuple, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id, _day = key
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        take = max(0, cap - n)
+        kept = batch.head(take)
+        state.update((n + len(kept),))
+        if len(kept):
+            yield pd.DataFrame({
+                "user_id": kept["user_id"],
+                "event_id": kept["event_id"],
+                "ts": kept["ts"],
+            })
+
+    return (events.withWatermark("ts", watermark)
+                  .withColumn("_day", F.date_trunc("day", F.col("ts")))
+                  .groupBy("user_id", "_day")
+                  .applyInPandasWithState(
+                      capper,
+                      outputStructType=CAP_OUTPUT_SCHEMA,
+                      stateStructType=CAP_STATE_SCHEMA,
+                      outputMode="append",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

@@ -546,3 +546,32 @@ def test_cdc_snapshot_diff_and_restore(spark, tmp_path):
     rediff = {r["id"]: r["change_type"]
               for r in snapshot_diff(spark, snap, 2, 3).collect()}
     assert rediff == {1: "update", 3: "insert", 4: "delete"}
+
+
+def test_rate_cap_stream_matches_batch_cap(spark, events_stream, tmp_path):
+    """Streaming per-(user, day) rate cap over the whole input in one
+    availableNow pass equals the batch window formulation (first 2 by
+    ts, event_id per user per day)."""
+    from etl_tool_spark.streaming.stateful import rate_cap_stream
+
+    out = rate_cap_stream(
+        events_stream.select("user_id", "event_id", "ts"), cap=2)
+    q = (out.writeStream.format("memory").queryName("capped")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck_cap")).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["event_id"])
+           for r in spark.sql("SELECT * FROM capped").collect()}
+
+    from pyspark.sql import Window
+
+    from etl_tool_spark.catalog import _events
+
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))) \
+              .orderBy("ts", "event_id")
+    batch = {(r["user_id"], r["event_id"]) for r in
+             _events(spark, SF_DIR)
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 2)
+             .select("user_id", "event_id").collect()}
+    assert got == batch and len(got) > 0
