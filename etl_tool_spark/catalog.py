@@ -3862,7 +3862,7 @@ WITH u AS (
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-         regexp_extract(url, '\\?([^#]*)', 1) AS q
+         regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q
   FROM u),
  norm AS (
   SELECT doc_id, scheme,

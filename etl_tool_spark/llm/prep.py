@@ -255,13 +255,15 @@ _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
 
 
 def url_parts(col: Column) -> dict[str, Column]:
-    """scheme/host/path/query Columns from a URL (fragment dropped)."""
+    """scheme/host/path/query Columns from a URL (fragment dropped).
+    The query regex anchors BEFORE any '#': a '?' inside the fragment
+    ('/p#frag?a=1', SPA hash routes) is fragment content, not query."""
     s = F.trim(col)
     return {
         "scheme": F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
         "host": F.lower(F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
         "path": F.regexp_extract(s, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
-        "query": F.regexp_extract(s, r"\?([^#]*)", 1),
+        "query": F.regexp_extract(s, r"^[^#]*?\?([^#]*)", 1),
     }
 
 
@@ -292,16 +294,21 @@ def normalize_url(col: Column, strip_www: bool = True) -> Column:
             (kv.startswith(pre).cast("int") for pre in _TRACKING_PREFIXES),
             F.lit(0)).cast("boolean"))
     params = F.array_join(F.sort_array(params), "&")
-    return F.concat(
+    built = F.concat(
         p["scheme"], F.lit("://"), host, path,
         F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)))
+    # malformed / scheme-less inputs must NOT all collapse onto the one
+    # key '://' (exact dedup would then silently drop every such row but
+    # the first); null keeps them distinct and visibly unparseable
+    return F.when((p["scheme"] != "") & (p["host"] != ""), built)
 
 
 def url_domain(col: Column, strip_www: bool = True) -> Column:
     """Registrable-host extraction for per-domain corpus statistics
     (port and `www.` stripped; no public-suffix list — document that a
-    real crawl plugs one in via register_transform)."""
-    host = F.lower(F.regexp_extract(F.trim(col),
-                                    r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":\d+$", "")
-    return F.regexp_replace(host, r"^www\.", "") if strip_www else host
+    real crawl plugs one in via register_transform). Null for inputs
+    with no parseable host, matching normalize_url."""
+    host = F.regexp_replace(url_parts(col)["host"], r":\d+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host != "", host)

@@ -178,6 +178,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     F.lit(0.0)), 6).alias("top_bigram_frac")))
 
 
+def _gram_array(toks: Column, n: int) -> Column:
+    """Positional token n-grams of a token array (empty when the doc is
+    shorter than n) — shared by boilerplate_ngrams and repeated_spans
+    so the gram construction can't drift between the two."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def boilerplate_ngrams(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 8,
                        min_docs: int = 2) -> DataFrame:
@@ -195,12 +206,7 @@ def boilerplate_ngrams(df: DataFrame, id_col: str = "doc_id",
     """
     t = tokens(F.col(text_col))
     base = df.select(F.col(id_col), t.alias("_toks"))
-    starts = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
-    grams = F.when(
-        F.size("_toks") >= n,
-        F.array_distinct(F.transform(
-            starts, lambda i: F.array_join(F.slice("_toks", i, n), " ")))
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.array_distinct(_gram_array(F.col("_toks"), n))
     return (base.select(F.col(id_col), F.explode(grams).alias("gram"))
                 .groupBy("gram")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -228,12 +234,7 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
     corpus-frequency machinery end to end."""
     t = tokens(F.col(text_col))
     base = df.select(F.col(id_col), t.alias("_toks"))
-    starts = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
-    gram_arr = F.when(
-        F.size("_toks") >= n,
-        F.transform(starts,
-                    lambda i: F.array_join(F.slice("_toks", i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    gram_arr = _gram_array(F.col("_toks"), n)
     pos_grams = base.select(
         F.col(id_col),
         F.posexplode(gram_arr).alias("_p0", "gram"))

@@ -139,22 +139,38 @@ def rate_cap_stream(events: DataFrame, cap: int = 2,
     events_per_key_cap query: at most ``cap`` events per (user, day)
     pass through, first-arrived wins (within a micro-batch ties order
     by ts then event_id, matching the batch window). State per group is
-    ONE counter, and the (user, day) key plus the watermark bound the
-    state store: a day older than the watermark stops receiving rows,
-    so its counters are dead weight only until timeout eviction — the
+    ONE counter, EVICTED by event-time timeout once the watermark passes
+    the group's day plus the watermark delay — without the timeout every
+    (user, day) counter would live for the stream's lifetime and the
+    state store would grow by active-users rows per day, forever. The
     ingestion-throttling primitive for budgeted landing zones."""
+    import datetime
+
     import pandas as pd  # noqa: F811 (executor-side import parity)
     from pyspark.sql import functions as F
 
     def capper(key: tuple, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        user_id, _day = key
+        if state.hasTimedOut:
+            # the watermark passed this day's eviction horizon: no more
+            # rows can arrive for it (they'd be late beyond the
+            # watermark), so the counter is dead — drop it
+            state.remove()
+            return
+        user_id, day = key
         n = state.get[0] if state.exists else 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
         take = max(0, cap - n)
         kept = batch.head(take)
         state.update((n + len(kept),))
+        # evict when the watermark clears day-end + one extra day of
+        # late-arrival slack (>= the 1-day default watermark delay); the
+        # timestamp must sit above the CURRENT watermark or Spark rejects it
+        day_end_ms = int(day.replace(tzinfo=datetime.timezone.utc)
+                         .timestamp() * 1000) + 2 * 86_400_000
+        state.setTimeoutTimestamp(max(day_end_ms,
+                                      state.getCurrentWatermarkMs() + 60_000))
         if len(kept):
             yield pd.DataFrame({
                 "user_id": kept["user_id"],
@@ -170,4 +186,4 @@ def rate_cap_stream(events: DataFrame, cap: int = 2,
                       outputStructType=CAP_OUTPUT_SCHEMA,
                       stateStructType=CAP_STATE_SCHEMA,
                       outputMode="append",
-                      timeoutConf=GroupStateTimeout.NoTimeout))
+                      timeoutConf=GroupStateTimeout.EventTimeTimeout))

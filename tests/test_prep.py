@@ -244,6 +244,12 @@ def test_normalize_url_rules(spark):
             ("https://sub.ex.com/p?y=2&z=1", "sub.ex.com"),
         "http://ex.com/only?utm_campaign=c": ("http://ex.com/only", "ex.com"),
         "https://ex.com:8443/x": ("https://ex.com:8443/x", "ex.com"),
+        # '?' inside the fragment is fragment content, not query
+        "https://ex.com/p#frag?a=1": ("https://ex.com/p", "ex.com"),
+        "https://app.com/#/search?q=f": ("https://app.com", "app.com"),
+        # malformed inputs must NOT collapse onto one shared key
+        "not a url at all": (None, None),
+        "/relative/path?a=1": (None, None),
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: (r["n"], r["d"]) for r in df.select(
