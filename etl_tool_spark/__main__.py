@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-min-age-s", "--min-age-s", type=float, default=3600.0,
                    help="only collect unreferenced dirs older than this "
                         "(guards in-flight merges) for -vacuum")
+    p.add_argument("-diff", "--diff", nargs=3,
+                   metavar=("SNAP", "FROM_V", "TO_V"),
+                   help="row-level changes between two CDC snapshot versions")
+    p.add_argument("-restore", "--restore", nargs=2, metavar=("SNAP", "V"),
+                   help="rewind a CDC snapshot to version V "
+                        "(zero-copy manifest commit)")
     p.add_argument("-input", "--input", help="override source file path")
     p.add_argument("-output", "--output", help="override destination file path")
     p.add_argument("-db", "--db", help="database connection string "
@@ -112,19 +118,29 @@ def main(argv: list[str] | None = None) -> int:
               f"{stats['bytes']} bytes)")
         return 0
 
-    if args.versions or args.vacuum:
-        from etl_tool_spark.streaming.cdc import list_versions, vacuum
+    if args.versions or args.vacuum or args.diff or args.restore:
+        from etl_tool_spark.streaming.cdc import (list_versions,
+                                                  restore_version,
+                                                  snapshot_diff, vacuum)
 
         try:
             if args.versions:
                 for v in list_versions(spark, args.versions):
                     print(v)
-            else:
+            elif args.vacuum:
                 removed = vacuum(spark, args.vacuum,
                                  keep_last=args.keep_last,
                                  min_age_s=args.min_age_s)
                 print(f"vacuum: removed {removed} data dir(s), kept last "
                       f"{args.keep_last} version(s)")
+            elif args.diff:
+                snap, fv, tv = args.diff
+                snapshot_diff(spark, snap, int(fv), int(tv)) \
+                    .orderBy("change_type").show(1000, truncate=False)
+            else:
+                snap, v = args.restore
+                new_v = restore_version(spark, snap, int(v))
+                print(f"restored version {v} as new version {new_v}")
         except Exception as e:
             print(f"snapshot maintenance failed: {e}", file=sys.stderr)
             return 1

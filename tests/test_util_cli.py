@@ -103,3 +103,25 @@ def test_cli_versions_and_vacuum(tmp_path, capsys, spark):
     assert "removed 2 data dir(s)" in capsys.readouterr().out
     assert main(["-versions", snap]) == 0
     assert capsys.readouterr().out.split() == ["3"]
+
+
+def test_cli_diff_and_restore(tmp_path, capsys, spark):
+    from etl_tool_spark.__main__ import main
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch, read_snapshot
+
+    snap = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a0")], "id long, seq long, op string, payload string")
+    merge_cdc_batch(b1, snap, keys=["id"], batch_id=0)
+    b2 = spark.createDataFrame(
+        [(1, 20, "U", "a1"), (2, 20, "I", "b0")],
+        "id long, seq long, op string, payload string")
+    merge_cdc_batch(b2, snap, keys=["id"], batch_id=1)
+
+    assert main(["-diff", snap, "1", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "update" in out and "insert" in out
+    assert main(["-restore", snap, "1"]) == 0
+    assert "as new version 3" in capsys.readouterr().out
+    got = {r["id"]: r["payload"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: "a0"}
