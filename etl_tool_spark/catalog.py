@@ -4017,3 +4017,36 @@ def llm_domain_stats(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.countDistinct("lang").alias("n_langs"),
                   F.sum("_nt").alias("sum_tokens")))
+
+
+@query("join_range_banded", """
+WITH r AS (
+  SELECT s_suppkey, s_suppkey * 400 AS lo,
+         s_suppkey * 400 + 300 + (s_suppkey % 200) AS hi
+  FROM supplier)
+SELECT s_suppkey, count(*) AS n_points,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN r
+  ON l_extendedprice BETWEEN lo AND hi
+GROUP BY s_suppkey
+""")
+def join_range_banded(spark, sf_dir):
+    """PURE range join (no equi key): price tiers per supplier-derived
+    interval. The oracle runs the naive theta join; the Spark side runs
+    operators/relational.py banded_range_join — axis bands exploded on
+    the range side, plain equi-join on the band, exact BETWEEN
+    residual — the shape that stays linear at 100 TB where a
+    BroadcastNestedLoop would be |points| x |ranges|."""
+    from etl_tool_spark.operators.relational import banded_range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"))
+    r = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 400).cast("double").alias("lo"),
+        (F.col("s_suppkey") * 400 + 300 + F.col("s_suppkey") % 200)
+        .cast("double").alias("hi"))
+    j = banded_range_join(li, r, "price", "lo", "hi", band_size=512)
+    return (j.groupBy("s_suppkey")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  F.round(F.sum("price"), 2).alias("sum_price")))

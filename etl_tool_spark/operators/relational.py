@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "banded_range_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -142,3 +142,40 @@ def _asof_nearest(left: DataFrame, right: DataFrame, on: list[str],
         *[F.when(use_b, F.col(f"{p}_b")).otherwise(F.col(f"{p}_f"))
            .alias(f"{p}{suffix}") for p in payload_cols])
     return out
+
+
+def banded_range_join(points: DataFrame, ranges: DataFrame,
+                      point_col: str, lo_col: str, hi_col: str,
+                      band_size: int) -> DataFrame:
+    """Interval-containment join (point BETWEEN lo AND hi) WITHOUT an
+    equi key — the IP-to-geo / value-to-tier enrichment shape. Naive
+    Spark plans a pure range predicate as BroadcastNestedLoop (or a
+    cartesian when neither side broadcasts): every point × every range.
+
+    The scale formulation bands the axis: points key on
+    ``floor(point / band_size)``; each range explodes into one row per
+    band it overlaps (``(hi - lo) / band_size + 1`` rows); candidates
+    come from a plain equi-join on the band and the exact BETWEEN
+    residual filters them. Pick ``band_size`` near the typical range
+    width: the explode factor stays ~2 and each point meets only the
+    ranges sharing its band — shuffle + join cost is linear in rows,
+    never |points| × |ranges|.
+
+    Column names must not overlap between the two frames (rename
+    first); returns points' columns + ranges' columns for matches."""
+    overlap = set(points.columns) & set(ranges.columns)
+    if overlap:
+        raise ValueError(
+            f"banded_range_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first")
+    if band_size <= 0:
+        raise ValueError("band_size must be positive")
+    p = points.withColumn(
+        "_band", F.floor(F.col(point_col) / F.lit(band_size)))
+    r = ranges.withColumn(
+        "_band", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(band_size)),
+            F.floor(F.col(hi_col) / F.lit(band_size)))))
+    return (p.join(r, "_band")
+             .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+             .drop("_band"))

@@ -415,3 +415,28 @@ def test_edit_distance_join_rejects_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(ValueError):
         edit_distance_join(df, df, "name", "name")
+
+
+def test_banded_range_join_correct_and_no_cartesian(spark):
+    from etl_tool_spark.operators.relational import banded_range_join
+
+    pts = spark.createDataFrame([(i, float(i * 7)) for i in range(100)],
+                                "pid long, v double")
+    rng = spark.createDataFrame(
+        [(1, 0.0, 50.0), (2, 40.0, 120.0), (3, 600.0, 650.0),
+         (4, 1000.0, 2000.0)],
+        "rid long, lo double, hi double")
+    out = banded_range_join(pts, rng, "v", "lo", "hi", band_size=64)
+    got = {(r["pid"], r["rid"]) for r in out.collect()}
+    naive = {(p, rid) for p in range(100)
+             for rid, lo, hi in [(1, 0, 50), (2, 40, 120), (3, 600, 650),
+                                 (4, 1000, 2000)]
+             if lo <= p * 7 <= hi}
+    assert got == naive and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError, match="overlapping"):
+        banded_range_join(pts, pts, "v", "v", "v", 10)
+    with pytest.raises(ValueError, match="band_size"):
+        banded_range_join(pts, rng, "v", "lo", "hi", 0)
