@@ -408,6 +408,50 @@ def t_validate_allowed_values(col, dtype, params, ctx):
 
 
 # --------------------------------------------------------------------------
+# LLM-data scoring transforms: declarative playbook access to the text
+# analyzers (llm/text.py). Pure Column builders like the core 26 —
+# `mappings: [{source: text, target: lang, transform: languageId}]`
+# filters a corpus without leaving YAML.
+# --------------------------------------------------------------------------
+
+def t_language_id(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.text import language_id
+
+    return TransformResult(language_id(col.cast("string")))
+
+
+def t_quality_score(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.text import quality_features
+
+    return TransformResult(
+        quality_features(col.cast("string"))["quality_score"])
+
+
+def t_token_count(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.text import token_count
+
+    return TransformResult(token_count(col.cast("string")))
+
+
+def t_fingerprint(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.text import fingerprint
+
+    return TransformResult(fingerprint(col.cast("string")))
+
+
+def t_redact_pii(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.prep import redact_pii
+
+    return TransformResult(redact_pii(col.cast("string")))
+
+
+def t_normalize_url(col: Column, dtype, params, ctx) -> TransformResult:
+    from etl_tool_spark.llm.prep import normalize_url
+
+    return TransformResult(normalize_url(col.cast("string")))
+
+
+# --------------------------------------------------------------------------
 # Registry + dispatch
 # --------------------------------------------------------------------------
 
@@ -438,6 +482,13 @@ TRANSFORMS = {
     "validateregex": t_validate_regex,
     "validatenumericrange": t_validate_numeric_range,
     "validateallowedvalues": t_validate_allowed_values,
+    # beyond-reference: LLM-data scoring (llm/text.py, llm/prep.py)
+    "languageid": t_language_id,
+    "qualityscore": t_quality_score,
+    "tokencount": t_token_count,
+    "fingerprint": t_fingerprint,
+    "redactpii": t_redact_pii,
+    "normalizeurl": t_normalize_url,
 }
 
 # transforms whose shorthand suffix ("name:xyz") becomes the 'pattern' param

@@ -266,3 +266,38 @@ def test_register_custom_transform(spark):
     out = apply_mappings(df, [{"source": "x", "target": "y", "transform": "doubleIt"}],
                          keep_error_channel=False)
     assert out.collect()[0]["y"] == 6.0
+
+
+def test_llm_scoring_transforms_in_mapping_chain(spark):
+    """The LLM analyzers are reachable declaratively: a playbook mapping
+    chain scores/fingerprints/redacts text without Python."""
+    from etl_tool_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame(
+        [("the cat and the dog sat on the mat by the door", 1),
+         ("contact me at a@b.co from 10.1.2.3", 2)],
+        "text string, id long")
+    out = apply_mappings(df, [
+        {"source": "id", "target": "id"},
+        {"source": "text", "target": "lang", "transform": "languageId"},
+        {"source": "text", "target": "q", "transform": "qualityScore"},
+        {"source": "text", "target": "nt", "transform": "tokenCount"},
+        {"source": "text", "target": "fp", "transform": "fingerprint"},
+        {"source": "text", "target": "red", "transform": "redactPii"},
+    ], keep_error_channel=False)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "en" and rows[1]["nt"] == 12
+    assert 0.0 <= rows[1]["q"] <= 1.0
+    assert len(rows[1]["fp"]) == 32          # md5 hex
+    assert "<EMAIL>" in rows[2]["red"] and "<IP>" in rows[2]["red"]
+
+
+def test_normalize_url_transform(spark):
+    from etl_tool_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.COM/p/?b=2&a=1&utm_s=x",)], "u string")
+    out = apply_mappings(df, [
+        {"source": "u", "target": "n", "transform": "normalizeUrl"},
+    ], keep_error_channel=False)
+    assert out.collect()[0]["n"] == "https://ex.com/p?a=1&b=2"
