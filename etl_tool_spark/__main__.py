@@ -123,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
                                                   restore_version,
                                                   snapshot_diff, vacuum)
 
+        # bad version NUMBERS are usage errors (exit 2), not runtime ones
+        try:
+            if args.diff:
+                int(args.diff[1]), int(args.diff[2])
+            if args.restore:
+                int(args.restore[1])
+        except ValueError as e:
+            print(f"config error: version must be an integer: {e}",
+                  file=sys.stderr)
+            return 2
         try:
             if args.versions:
                 for v in list_versions(spark, args.versions):
@@ -147,8 +157,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if not args.config:
-        print("config error: -config is required (or use "
-              "-profile/-compact/-versions/-vacuum)", file=sys.stderr)
+        print("config error: -config is required (or use -profile/-compact/"
+              "-versions/-vacuum/-diff/-restore)", file=sys.stderr)
         return 2
 
     try:

@@ -414,41 +414,54 @@ def t_validate_allowed_values(col, dtype, params, ctx):
 # filters a corpus without leaving YAML.
 # --------------------------------------------------------------------------
 
-def t_language_id(col: Column, dtype, params, ctx) -> TransformResult:
+def _text_transform(load_fn, fips_md5: bool = False):
+    """Factory for string-in Column-out analyzer wrappers — one place
+    for the cast, the FIPS gate, and future param plumbing."""
+    def builder(col: Column, dtype, params, ctx) -> TransformResult:
+        if fips_md5 and ctx.fips:
+            raise TransformError(
+                "fingerprint is md5-based and not allowed in FIPS mode")
+        return TransformResult(load_fn(params)(col.cast("string")))
+    return builder
+
+
+def _load_language_id(params):
     from etl_tool_spark.llm.text import language_id
+    return language_id
 
-    return TransformResult(language_id(col.cast("string")))
 
-
-def t_quality_score(col: Column, dtype, params, ctx) -> TransformResult:
+def _load_quality_score(params):
     from etl_tool_spark.llm.text import quality_features
-
-    return TransformResult(
-        quality_features(col.cast("string"))["quality_score"])
+    return lambda c: quality_features(c)["quality_score"]
 
 
-def t_token_count(col: Column, dtype, params, ctx) -> TransformResult:
+def _load_token_count(params):
     from etl_tool_spark.llm.text import token_count
+    return token_count
 
-    return TransformResult(token_count(col.cast("string")))
 
-
-def t_fingerprint(col: Column, dtype, params, ctx) -> TransformResult:
+def _load_fingerprint(params):
     from etl_tool_spark.llm.text import fingerprint
+    return fingerprint
 
-    return TransformResult(fingerprint(col.cast("string")))
 
-
-def t_redact_pii(col: Column, dtype, params, ctx) -> TransformResult:
+def _load_redact_pii(params):
     from etl_tool_spark.llm.prep import redact_pii
+    return redact_pii
 
-    return TransformResult(redact_pii(col.cast("string")))
 
-
-def t_normalize_url(col: Column, dtype, params, ctx) -> TransformResult:
+def _load_normalize_url(params):
     from etl_tool_spark.llm.prep import normalize_url
+    strip_www = bool(params.get("stripWww", True))
+    return lambda c: normalize_url(c, strip_www=strip_www)
 
-    return TransformResult(normalize_url(col.cast("string")))
+
+t_language_id = _text_transform(_load_language_id)
+t_quality_score = _text_transform(_load_quality_score)
+t_token_count = _text_transform(_load_token_count)
+t_fingerprint = _text_transform(_load_fingerprint, fips_md5=True)
+t_redact_pii = _text_transform(_load_redact_pii)
+t_normalize_url = _text_transform(_load_normalize_url)
 
 
 # --------------------------------------------------------------------------

@@ -73,6 +73,9 @@ def edit_distance_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"edit_distance_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
+    if "_v" in left.columns or "_v" in right.columns:
+        raise ValueError("edit_distance_join: '_v' is reserved; rename "
+                         "that column first")
     l_var = left.withColumn(
         "_v", F.explode(deletion_neighborhood(F.col(left_on), max_distance)))
     r_var = right.withColumn(

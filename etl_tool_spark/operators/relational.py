@@ -168,6 +168,9 @@ def banded_range_join(points: DataFrame, ranges: DataFrame,
         raise ValueError(
             f"banded_range_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
+    if "_band" in points.columns or "_band" in ranges.columns:
+        raise ValueError("banded_range_join: '_band' is reserved; rename "
+                         "that column first")
     if band_size <= 0:
         raise ValueError("band_size must be positive")
     p = points.withColumn(

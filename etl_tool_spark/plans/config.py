@@ -293,6 +293,10 @@ def validate_config(cfg: PlaybookConfig) -> None:
                 errors.append(f"mappings[{i}]: unsupported hash algorithm {algo!r}")
             elif cfg.fipsMode and algo == "md5":
                 errors.append(f"mappings[{i}]: md5 not allowed in FIPS mode")
+        if key == "fingerprint" and cfg.fipsMode:
+            # fingerprint is md5-based by construction (llm/text.py)
+            errors.append(f"mappings[{i}]: fingerprint (md5) not allowed "
+                          "in FIPS mode")
         if key == "validatenumericrange":
             lo, hi = params.get("min"), params.get("max")
             if lo is None and hi is None:

@@ -301,3 +301,29 @@ def test_normalize_url_transform(spark):
         {"source": "u", "target": "n", "transform": "normalizeUrl"},
     ], keep_error_channel=False)
     assert out.collect()[0]["n"] == "https://ex.com/p?a=1&b=2"
+
+
+def test_fingerprint_transform_fips_rejected(spark, tmp_path):
+    """fingerprint is md5-based: both the plan-time validator and the
+    runtime builder must refuse it under FIPS."""
+    import yaml
+
+    from etl_tool_spark.functions.registry import (TransformError,
+                                                   build_transform)
+    from etl_tool_spark.plans import load_config
+    from etl_tool_spark.plans.config import ConfigError
+
+    with pytest.raises(TransformError, match="FIPS"):
+        from etl_tool_spark.functions.registry import Ctx
+        build_transform("fingerprint", {}, F.col("t"), "string",
+                        Ctx(dtypes={"t": "string"}, source="t", fips=True))
+
+    cfg = {"source": {"type": "csv", "file": "in.csv"},
+           "fipsMode": True,
+           "mappings": [{"source": "t", "target": "fp",
+                         "transform": "fingerprint"}],
+           "destination": {"type": "csv", "file": "out.csv"}}
+    p = tmp_path / "pb.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ConfigError, match="fingerprint"):
+        load_config(str(p))
