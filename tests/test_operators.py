@@ -440,3 +440,28 @@ def test_banded_range_join_correct_and_no_cartesian(spark):
         banded_range_join(pts, pts, "v", "v", "v", 10)
     with pytest.raises(ValueError, match="band_size"):
         banded_range_join(pts, rng, "v", "lo", "hi", 0)
+
+
+def test_banded_range_join_differential_random(spark):
+    """Differential vs the naive cross-check over random intervals and
+    band sizes, including negative values and empty overlaps."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        pts = [(i, float(rng.randint(-500, 500))) for i in range(120)]
+        ranges = []
+        for rid in range(15):
+            lo = rng.randint(-500, 450)
+            ranges.append((rid, float(lo), float(lo + rng.randint(0, 200))))
+        band = rng.choice([7, 64, 300])
+
+        from etl_tool_spark.operators.relational import banded_range_join
+
+        p = spark.createDataFrame(pts, "pid long, v double")
+        r = spark.createDataFrame(ranges, "rid long, lo double, hi double")
+        got = {(x["pid"], x["rid"]) for x in
+               banded_range_join(p, r, "v", "lo", "hi", band).collect()}
+        naive = {(pid, rid) for pid, v in pts
+                 for rid, lo, hi in ranges if lo <= v <= hi}
+        assert got == naive, f"trial {trial} band {band}"

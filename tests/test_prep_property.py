@@ -140,3 +140,32 @@ def test_boilerplate_ngrams_matches_python_model(spark, docs, n, min_docs):
     got = sorted(tuple(r) for r in
                  boilerplate_ngrams(df, n=n, min_docs=min_docs).collect())
     assert got == want
+
+
+# URL soup: schemes/hosts/ports/paths/queries/fragments incl. junk
+_urls = st.builds(
+    lambda sch, www, host, port, path, q, frag:
+        f"{sch}://{www}{host}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "https", "HTTP", "HtTpS", "ftp"]),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.sampled_from(["Ex.COM", "a.b.org", "x-y.net"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/A/b", "/A/b/", "/p%20q"]),
+    st.sampled_from(["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_c=9&z=",
+                     "?fbclid=f&b=2"]),
+    st.sampled_from(["", "#frag", "#x?y=1"]),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_urls, min_size=1, max_size=12))
+def test_normalize_url_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u): the canonical form is a
+    fixpoint, so re-running the pipeline over already-normalized keys
+    never changes them (append-stability of the dedup key)."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(P.normalize_url(F.col("url")).alias("n"))
+    rows = once.select("n", P.normalize_url(F.col("n")).alias("n2")).collect()
+    for r in rows:
+        assert r["n2"] == r["n"]
