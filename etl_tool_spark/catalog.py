@@ -4050,3 +4050,64 @@ def join_range_banded(spark, sf_dir):
     return (j.groupBy("s_suppkey")
              .agg(F.count(F.lit(1)).alias("n_points"),
                   F.round(F.sum("price"), 2).alias("sum_price")))
+
+
+@query("agg_mode_per_group", """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY 1, 2),
+ r AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, o_orderstatus) AS rk
+  FROM c)
+SELECT o_orderpriority, o_orderstatus AS modal_status, n AS n_orders
+FROM r WHERE rk = 1
+""")
+def agg_mode_per_group(spark, sf_dir):
+    """DETERMINISTIC per-group mode: bare mode()/max_by leave
+    tie-breaking unspecified in both engines, so the modal value comes
+    from an explicit (count DESC, value ASC) rank — two keyed
+    aggregations that partial-combine map-side, then a tiny window over
+    one row per (group, value)."""
+    o = _t(spark, sf_dir, "orders")
+    c = (o.groupBy("o_orderpriority", "o_orderstatus")
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("o_orderpriority") \
+              .orderBy(F.col("n").desc(), "o_orderstatus")
+    return (c.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1)
+             .select("o_orderpriority",
+                     F.col("o_orderstatus").alias("modal_status"),
+                     F.col("n").alias("n_orders")))
+
+
+@query("events_anomaly_zscore", """
+WITH s AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY user_id)
+SELECT e.user_id, e.event_id, round(e.value, 2) AS value,
+       round((e.value - s.mu) / s.sd, 4) AS zscore
+FROM events e JOIN s USING (user_id)
+WHERE s.sd > 0 AND (e.value - s.mu) / s.sd > 3
+""")
+def events_anomaly_zscore(spark, sf_dir):
+    """Batch twin of the streaming anomaly tracker
+    (streaming/stateful.py): events more than 3 sample standard
+    deviations above their user's mean. One window pass computes mu/sd
+    next to each event — the per-user stats never leave their
+    partition, vs the join formulation's second shuffle (the oracle
+    uses the join form; same rows)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    with _utc(spark):
+        return _stamp(
+            e.select("user_id", "event_id",
+                     F.round("value", 2).alias("value"),
+                     F.round(z, 4).alias("zscore"),
+                     sd.alias("_sd"), z.alias("_z"))
+             .filter((F.col("_sd") > 0) & (F.col("_z") > 3))
+             .drop("_sd", "_z"))
