@@ -909,18 +909,22 @@ def llm_dedup_groups(spark, sf_dir):
     themselves). Dedup policy = keep doc_id == group_id. The oracle is
     a DuckDB recursive CTE computing reachability min over the same
     pairs."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
     d = _docs(spark, sf_dir)
     pairs = llm_ngram_jaccard_pairs(spark, sf_dir)
     comp = G.connected_components(pairs, src="a", dst="b")
+    # labels cover only docs in ≥1 pair — usually a small fraction of the
+    # corpus, and a checkpointed frame has no size stats for AQE to
+    # broadcast on its own. But a crawl corpus can be 30-50% near-dup, so
+    # the hint is size-gated: comp is already materialized (checkpoint),
+    # the gate count is a cached-block scan, and over the gate the join
+    # falls back to sort-merge. Sizes come from one window shuffle on
+    # group_id.
     lab = (d.select("doc_id")
-            .join(F.broadcast(comp.withColumnRenamed("id", "doc_id")),
+            .join(gated_broadcast(comp.withColumnRenamed("id", "doc_id")),
                   "doc_id", "left")
             .select("doc_id", F.coalesce("label", "doc_id").alias("group_id")))
-    # labels cover only docs in ≥1 pair — a small fraction of the corpus
-    # (the hint matters because a checkpointed frame has no size stats
-    # for AQE to broadcast on its own). If a corpus ever has a near-dup
-    # majority, drop the hint and take the sort-merge join. Sizes come
-    # from one window shuffle on group_id.
     return lab.select("doc_id", "group_id",
                       F.count(F.lit(1)).over(Window.partitionBy("group_id"))
                        .alias("group_size"))
@@ -2307,15 +2311,23 @@ def llm_unigram_logprob(spark, sf_dir):
     stand-in for a KenLM-style perplexity filter). Two-pass over one
     tokenization: (1) global token frequencies, (2) re-join tokens to
     frequencies and average per doc. The frequency table is vocabulary-
-    sized — orders smaller than the corpus — and joins on the token key;
+    sized — orders smaller than the corpus — so it is checkpointed once
+    and BROADCAST through the size gate: a plain ``toks.join(freq,
+    "tok")`` re-shuffles every token occurrence on a Zipf-skewed key
+    ('the'-class hot tokens funnel into single reducers at scale). Over
+    the gate (a vocabulary too big to broadcast) the join falls back to
+    sort-merge, where AQE's skew-join splitting handles the hot keys;
     the global total rides along as a broadcast scalar."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
              .select("doc_id", F.explode(F.split(t, r"\s+")).alias("tok")))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True))
     total = freq.agg(F.sum("c").alias("total"))
-    return (toks.join(freq, "tok")
+    return (toks.join(gated_broadcast(freq), "tok")
                 .crossJoin(F.broadcast(total))
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_tokens"),

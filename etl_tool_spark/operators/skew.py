@@ -22,7 +22,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "gated_broadcast", "BROADCAST_ROW_GATE"]
+
+#: Max rows a frame may have and still get a broadcast hint from
+#: gated_broadcast. Sized for narrow (two-long) rows: ~32 bytes of
+#: UnsafeRow each → ~100 MB broadcast at the gate, well inside normal
+#: executor headroom but far above autoBroadcastJoinThreshold (hinted
+#: broadcasts bypass that threshold, which is exactly why they need a
+#: gate).
+BROADCAST_ROW_GATE = 3_000_000
+
+
+def gated_broadcast(df: DataFrame, row_gate: int | None = None) -> DataFrame:
+    """``broadcast(df)`` only when ``df`` is small enough to broadcast
+    safely; otherwise the frame unchanged (letting the planner take a
+    sort-merge join, with AQE free to re-decide from runtime stats).
+
+    An UNgated broadcast hint on a frame whose size scales with the
+    data is an executor/driver OOM at 100 TB, not a slow plan — the hint
+    bypasses autoBroadcastJoinThreshold entirely. The gate costs one
+    ``count()`` job; call this only on frames that are already
+    materialized (checkpointed/cached), where the count is a cheap
+    cached-block scan rather than a recompute."""
+    gate = BROADCAST_ROW_GATE if row_gate is None else row_gate
+    return F.broadcast(df) if df.count() <= gate else df
 
 # aggregates that re-combine losslessly: name -> (partial fn, final fn)
 _MERGEABLE = {

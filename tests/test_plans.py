@@ -127,10 +127,24 @@ def test_ivf_topk_no_cartesian_broadcast_probe(spark, catalog):
 
 def test_dedup_groups_no_cartesian(spark, catalog):
     """Connected-components dedup groups: candidate generation stays an
-    equi-join (inverted shingle index) and the label join broadcasts."""
+    equi-join (inverted shingle index) and the label join broadcasts
+    (the labels frame is far under the size gate at this SF)."""
     p = plan(catalog["llm_dedup_groups"](spark, SF_DIR))
     assert not nodes(p, "CartesianProduct")
     assert not nodes(p, "BroadcastNestedLoopJoin")
+    assert nodes(p, "BroadcastHashJoin")  # gate open -> hint applied
+
+
+def test_dedup_groups_broadcast_gate_closes(spark, catalog, monkeypatch):
+    """When the CC labels frame exceeds the broadcast row gate (forced
+    here by zeroing the gate), the label join must fall back to a
+    sort-merge join instead of a hinted corpus-fraction broadcast."""
+    from etl_tool_spark.operators import skew
+
+    monkeypatch.setattr(skew, "BROADCAST_ROW_GATE", -1)
+    p = plan(catalog["llm_dedup_groups"](spark, SF_DIR))
+    assert nodes(p, "SortMergeJoin")
+    assert not nodes(p, "CartesianProduct")
 
 
 def test_q10_pushdown_broadcast_topk(spark, catalog):
@@ -260,6 +274,16 @@ def test_unigram_logprob_vocab_join_not_cartesian(spark, catalog):
     # token->frequency is an equi-join; only the 1-row total broadcasts
     assert "CartesianProduct" not in p
     assert len(nodes(p, "BroadcastNestedLoopJoin")) <= 1
+
+
+def test_unigram_logprob_token_stream_never_shuffled_on_tok(spark, catalog):
+    """The Zipf-skew guard: the vocabulary frequency table broadcasts
+    (size-gated), so the exploded token stream must NOT be exchanged on
+    the skewed `tok` key — the only token-stream shuffle is the final
+    per-doc aggregation on doc_id."""
+    p = plan(catalog["llm_unigram_logprob"](spark, SF_DIR))
+    assert nodes(p, "BroadcastHashJoin")
+    assert "hashpartitioning(tok" not in p
 
 
 def test_q7_nation_pruning_broadcasts(spark, catalog):
