@@ -214,11 +214,17 @@ def read_jdbc(spark: SparkSession, path_or_query: str, options: dict[str, Any]) 
     """JDBC query source (reference executes arbitrary SQL verbatim,
     postgres.go:68). ``partitionColumn``/``numPartitions`` enable
     parallel partitioned reads — essential at scale; the reference reads
-    on a single connection."""
+    on a single connection.
+
+    A statement timeout defaults to 60 s (the reference hardcodes the
+    same for source queries, postgres.go:26,50) so a hung database
+    errors the job instead of stalling it forever; override with
+    ``queryTimeout`` (seconds, 0 disables)."""
     url = options.get("url") or options.get("connectionString")
     if not url:
         raise SourceError("jdbc source requires 'url'")
-    reader = spark.read.format("jdbc").option("url", url)
+    reader = (spark.read.format("jdbc").option("url", url)
+              .option("queryTimeout", int(options.get("queryTimeout", 60))))
     query = options.get("query") or path_or_query
     if options.get("dbtable"):
         reader = reader.option("dbtable", options["dbtable"])

@@ -235,7 +235,10 @@ def write_xlsx(df: DataFrame, path: str, options: dict[str, Any]) -> None:
 
 def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     """Bulk append (reference COPY path, postgres.go:264-314). Batched via
-    the JDBC 'batchsize' option; per-partition parallel inserts."""
+    the JDBC 'batchsize' option; per-partition parallel inserts. A 300 s
+    statement timeout (the reference's write-side default,
+    postgres.go:152) keeps a hung database from stalling the job;
+    override with ``queryTimeout`` (seconds, 0 disables)."""
     url = options.get("url") or options.get("connectionString")
     if not url:
         raise SinkError("jdbc sink requires 'url'")
@@ -243,6 +246,7 @@ def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     writer = (_sorted_cols(_clean(df)).write.format("jdbc")
               .option("url", url).option("dbtable", table)
               .option("batchsize", options.get("batch_size", 1000))
+              .option("queryTimeout", int(options.get("queryTimeout", 300)))
               .mode(options.get("mode", "append")))
     for k in ("user", "password", "driver"):
         if k in options:
@@ -250,8 +254,27 @@ def write_jdbc(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     writer.save()
 
 
+def _set_statement_timeout(conn, seconds: int) -> None:
+    """Best-effort per-session statement timeout on a DB-API connection
+    (postgres.go:152 hardcodes 300 s on the write path). `SET
+    statement_timeout` is Postgres syntax; engines without it (sqlite)
+    reject the statement and the guard is skipped — the timeout is a
+    hang protection, not a correctness requirement."""
+    if seconds <= 0:
+        return
+    try:
+        cur = conn.cursor()
+        cur.execute(f"SET statement_timeout = {int(seconds) * 1000}")
+        conn.commit()
+    except Exception:
+        try:
+            conn.rollback()
+        except Exception:
+            pass
+
+
 def _run_sql_commands(driver_module: str, url: str, commands: list[str],
-                      command_type: str) -> None:
+                      command_type: str, timeout_s: int = 300) -> None:
     """Preload/postload command list in ONE transaction
     (postgres.go:211-262): all-or-nothing, failure aborts with the
     failing command identified. Runs driver-side — these are DDL/
@@ -262,6 +285,7 @@ def _run_sql_commands(driver_module: str, url: str, commands: list[str],
         return
     mod = importlib.import_module(driver_module)
     conn = mod.connect(url)
+    _set_statement_timeout(conn, timeout_s)
     try:
         cur = conn.cursor()
         try:
@@ -313,6 +337,7 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
     if not url:
         raise SinkError("custom-sql sink requires 'url' (or 'database')")
     batch_size = int(options.get("batch_size", 0))
+    timeout_s = int(options.get("queryTimeout", 300))  # postgres.go:152
     placeholder = "?" if options.get("paramstyle", "pyformat") == "qmark" else "%s"
     cols = sorted(_clean(df).columns)  # alphabetical $n binding (postgres.go:326-331)
     # bind each $N occurrence (textual order) to the N-th sorted column —
@@ -327,7 +352,7 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
 
     preload = list(options.get("preload") or [])
     postload = list(options.get("postload") or [])
-    _run_sql_commands(driver_module, url, preload, "preload")
+    _run_sql_commands(driver_module, url, preload, "preload", timeout_s)
 
     rows = _clean(df).select(*[F.col(f"`{c}`") for c in cols])
 
@@ -343,6 +368,7 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
                 "on executors") from e
         log = logging.getLogger("etl_tool_spark.loader")
         conn = mod.connect(url)
+        _set_statement_timeout(conn, timeout_s)
         processed = failed = 0
         try:
             cur = conn.cursor()
@@ -399,7 +425,7 @@ def write_jdbc_custom_sql(df: DataFrame, command: str,
             "custom-sql loader: %d records processed, %d records failed "
             "(skipped)", processed, failed)
 
-    _run_sql_commands(driver_module, url, postload, "postload")
+    _run_sql_commands(driver_module, url, postload, "postload", timeout_s)
     return {"processed": processed, "failed": failed}
 
 

@@ -443,3 +443,84 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     got = {r["id"]: r["score"] for r in merged.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_statement_timeout_issued_on_postgres_like_connection():
+    """The DB-API loader sets a session statement timeout (the reference
+    hardcodes 300 s on the write path, postgres.go:152). Against an
+    engine that accepts `SET statement_timeout` the value arrives in
+    milliseconds; 0 disables the guard entirely."""
+    from etl_tool_spark.sources.sinks import _set_statement_timeout
+
+    class Cur:
+        def __init__(self, log):
+            self.log = log
+
+        def execute(self, sql, *a):
+            self.log.append(sql)
+
+    class Conn:
+        def __init__(self):
+            self.log = []
+            self.committed = False
+
+        def cursor(self):
+            return Cur(self.log)
+
+        def commit(self):
+            self.committed = True
+
+        def rollback(self):  # pragma: no cover - not hit on happy path
+            self.log.append("ROLLBACK")
+
+    conn = Conn()
+    _set_statement_timeout(conn, 300)
+    assert conn.log == ["SET statement_timeout = 300000"] and conn.committed
+
+    off = Conn()
+    _set_statement_timeout(off, 0)
+    assert off.log == []
+
+
+def test_statement_timeout_skipped_on_sqlite(spark, tmp_path):
+    """sqlite rejects `SET statement_timeout`; the guard must swallow
+    that and the load still succeed (timeout is hang protection, not a
+    correctness requirement)."""
+    db = tmp_path / "timeout.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE sink (k INTEGER, v TEXT)")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    counts = write_jdbc_custom_sql(
+        df.coalesce(1), "INSERT INTO sink VALUES ($1, $2)",
+        {"database": str(db), "driver_module": "sqlite3",
+         "paramstyle": "qmark", "batch_size": 1, "queryTimeout": 60})
+    assert counts == {"processed": 1, "failed": 0}
+
+
+def test_jdbc_reader_sets_query_timeout(spark, monkeypatch):
+    """read_jdbc must plumb queryTimeout (default 60 s, reference
+    postgres.go:26,50) into the Spark JDBC reader options."""
+    from etl_tool_spark.sources import registry
+
+    seen = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            seen["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            seen[k] = v
+            return self
+
+        def load(self):
+            return "LOADED"
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()))
+    out = registry.read_jdbc(spark, "SELECT 1", {"url": "jdbc:postgresql://x/db"})
+    assert out == "LOADED"
+    assert seen["queryTimeout"] == 60
+    seen.clear()
+    registry.read_jdbc(spark, "SELECT 1",
+                       {"url": "jdbc:postgresql://x/db", "queryTimeout": 0})
+    assert seen["queryTimeout"] == 0
