@@ -3664,6 +3664,46 @@ def er_edit_distance_join(spark, sf_dir):
     return j.select("cat_id", "dirty_id", "distance")
 
 
+@query("er_edit_distance_join_d2", """
+WITH cat AS (SELECT doc_id AS cat_id, substr(text, 1, 40) AS cat_title
+             FROM documents),
+ d1 AS (SELECT doc_id,
+               substr(substr(text, 1, 40), 1, (doc_id % 40)::INT)
+               || substr(substr(text, 1, 40), (doc_id % 40)::INT + 2) AS s
+        FROM documents),
+ dirty AS (SELECT doc_id + 1000000 AS dirty_id,
+                  substr(s, 1, (doc_id % 20)::INT)
+                  || substr(s, (doc_id % 20)::INT + 2) AS dirty_title
+           FROM d1)
+SELECT cat_id, dirty_id, levenshtein(cat_title, dirty_title) AS distance
+FROM cat, dirty
+WHERE levenshtein(cat_title, dirty_title) <= 2
+""")
+def er_edit_distance_join_d2(spark, sf_dir):
+    """Distance-2 record linkage: the dirty feed drops TWO characters
+    (doc_id-derived positions) from each catalog title; the depth-2
+    symmetric-delete neighborhood (operators/linkage.py — recursive
+    one-delete expansion, still a pure-Column equi-join + levenshtein
+    verify) recovers every pair within edit distance 2. The oracle
+    brute-forces the cross product in DuckDB — exactly the quadratic
+    plan the blocking exists to avoid at scale."""
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    d = _docs(spark, sf_dir)
+    title = F.substring("text", 1, 40)
+    cat = d.select(F.col("doc_id").alias("cat_id"), title.alias("cat_title"))
+    s1 = ("concat(substring(substring(text, 1, 40), 1, cast(doc_id % 40 as int)), "
+          "substring(substring(text, 1, 40), cast(doc_id % 40 as int) + 2))")
+    dirty = d.select(
+        (F.col("doc_id") + 1000000).alias("dirty_id"),
+        F.expr(f"concat(substring({s1}, 1, cast(doc_id % 20 as int)), "
+               f"substring({s1}, cast(doc_id % 20 as int) + 2))")
+         .alias("dirty_title"))
+    j = edit_distance_join(cat, dirty, "cat_title", "dirty_title",
+                           max_distance=2)
+    return j.select("cat_id", "dirty_id", "distance")
+
+
 @query("llm_weighted_sample", f"""
 WITH t AS (
   SELECT doc_id, lang, trim(text) AS tt,

@@ -20,9 +20,11 @@ characters, INCLUDING itself. Two strings within Levenshtein distance 1
 So candidates = equi-join on the hashed variant, and an exact
 ``levenshtein`` verify on the (tiny) candidate set makes the result
 EXACTLY "all cross pairs with distance <= max_distance" when
-``max_deletes >= max_distance`` (for distance 1; deeper distances need
-the correspondingly deeper deletion neighborhood, which grows as
-O(len^d) — the documented SymSpell storage trade).
+``max_deletes >= max_distance``: if lev(a, b) <= d then deleting (at
+most d) characters of a and of b at the edit positions reaches a common
+string, so depth-d neighborhoods always intersect — the standard
+SymSpell completeness argument. The neighborhood grows O(len^d) — the
+documented storage/shuffle trade, so depth 1 stays the default.
 
 Scale shape: the neighborhood expansion is map-side (one higher-order
 ``transform`` over the string, no Python), the join is a plain
@@ -41,22 +43,35 @@ from etl_tool_spark.llm.text import hash64
 __all__ = ["deletion_neighborhood", "edit_distance_join"]
 
 
+def _one_deletes(s: Column) -> Column:
+    """Array of the strings reachable from ``s`` by deleting exactly one
+    character (with duplicates; callers array_distinct)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(F.substring(s, F.lit(1), i - 1),
+                           F.substring(s, i + 1, F.length(s))))
+
+
 def deletion_neighborhood(col: Column, max_deletes: int = 1) -> Column:
     """Array of 60-bit hashes of ``col`` and every string reachable by
     deleting up to ``max_deletes`` characters (distinct). Pure Column
-    expression — higher-order functions, no UDF."""
-    if max_deletes != 1:
-        raise NotImplementedError(
-            "deletion_neighborhood currently supports max_deletes=1 "
-            "(the SymSpell d>1 neighborhood grows O(len^d); add the "
-            "recursive expansion when a use case needs distance 2)")
+    expression — nested higher-order functions, no UDF.
+
+    Depth d is the recursive expansion: apply the exactly-one-delete
+    step to the previous depth's frontier and union. Neighborhood size
+    grows O(len^d / d!) — the documented SymSpell storage/shuffle trade,
+    which is why d=1 stays the default and callers opt into d=2+ only
+    when the match distance genuinely requires it."""
+    if max_deletes < 1:
+        raise ValueError("deletion_neighborhood requires max_deletes >= 1")
     s = col.cast("string")
-    one_deletes = F.transform(
-        F.sequence(F.lit(1), F.length(s)),
-        lambda i: F.concat(F.substring(s, F.lit(1), i - 1),
-                           F.substring(s, i + 1, F.length(s))))
-    variants = F.array_distinct(F.concat(F.array(s), one_deletes))
-    return F.transform(variants, hash64)
+    frontier = F.array_distinct(_one_deletes(s))
+    variants = F.concat(F.array(s), frontier)
+    for _ in range(max_deletes - 1):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, _one_deletes)))
+        variants = F.concat(variants, frontier)
+    return F.transform(F.array_distinct(variants), hash64)
 
 
 def edit_distance_join(left: DataFrame, right: DataFrame,

@@ -465,3 +465,46 @@ def test_banded_range_join_differential_random(spark):
         naive = {(pid, rid) for pid, v in pts
                  for rid, lo, hi in ranges if lo <= v <= hi}
         assert got == naive, f"trial {trial} band {band}"
+
+
+def test_edit_distance_join_distance_two(spark):
+    """Depth-2 SymSpell: every pair at distance <= 2 (double deletion,
+    substitution+deletion, transposition-as-two-edits, double
+    insertion), nothing at distance 3, and the plan stays an equi-join."""
+    from etl_tool_spark.operators.linkage import edit_distance_join
+
+    left = spark.createDataFrame(
+        [(1, "spark"), (2, "table"), (3, "cluster")],
+        "lid long, lname string")
+    right = spark.createDataFrame(
+        [(10, "spark"),     # exact
+         (11, "sparkle"),   # 2 insertions
+         (12, "spk"),       # 2 deletions
+         (13, "sporc"),     # 2 substitutions
+         (14, "tabel"),     # transposition = 2 edits
+         (15, "clusters"),  # 1 insertion
+         (16, "spoooork")], # distance 4 - must NOT match
+        "rid long, rname string")
+    got = {(r["lid"], r["rid"]): r["distance"]
+           for r in edit_distance_join(left, right, "lname", "rname",
+                                       max_distance=2).collect()}
+    assert got == {(1, 10): 0, (1, 11): 2, (1, 12): 2, (1, 13): 2,
+                   (2, 14): 2, (3, 15): 1}
+    plan = edit_distance_join(left, right, "lname", "rname",
+                              max_distance=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_deletion_neighborhood_depth_two_counts(spark):
+    """Depth-2 neighborhood of 'abcd': itself + 4 one-deletes + 6
+    two-deletes = 11 distinct variants (all hashes distinct here)."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.operators.linkage import deletion_neighborhood
+
+    df = spark.createDataFrame([("abcd",)], "s string")
+    n = df.select(F.size(deletion_neighborhood(F.col("s"), 2)).alias("n")) \
+          .first()["n"]
+    assert n == 11
+
