@@ -72,6 +72,50 @@ def running_anomaly_tracker(events: DataFrame, threshold: float = 3.0,
                       timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+TWS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("mean_value", T.DoubleType()),
+])
+
+
+def has_tws_runtime() -> bool:
+    """transformWithStateInPandas serializes state through the Python
+    ``protobuf`` runtime; without it the query fails at START (not at
+    plan time), so the capability must be probed up front."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_counts_fallback(events: DataFrame,
+                            watermark: str = "2 hours") -> DataFrame:
+    """``running_counts_tws``'s exact output contract on
+    ``applyInPandasWithState`` — no protobuf / no RocksDB requirement.
+    Same state (n, total) and same per-batch emission."""
+    def stats(key: tuple, pdfs: Iterable[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "n_events": n,
+            "mean_value": (total / n) if n else None,
+        }])
+
+    return (events.withWatermark("ts", watermark)
+                  .groupBy("user_id")
+                  .applyInPandasWithState(stats, TWS_OUTPUT_SCHEMA,
+                                          STATE_SCHEMA, "update",
+                                          GroupStateTimeout.NoTimeout))
+
+
 def running_counts_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Same running per-user stats on the Spark 4 ``transformWithState``
     API (StatefulProcessor): typed ValueState instead of a raw tuple,
@@ -81,8 +125,16 @@ def running_counts_tws(events: DataFrame, watermark: str = "2 hours") -> DataFra
     Runtime requirements beyond this container: the Python ``protobuf``
     package (state serialization) and the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``).
-    Without them the query fails at start; applyInPandasWithState above
-    has no such dependencies."""
+    Where protobuf is absent this DEGRADES (with a log line) to
+    ``running_counts_fallback`` — identical output contract, the
+    applyInPandasWithState runtime — instead of failing at query start."""
+    if not has_tws_runtime():
+        import logging
+
+        logging.getLogger("etl_tool_spark.streaming").warning(
+            "transformWithState runtime unavailable (python protobuf "
+            "missing); falling back to applyInPandasWithState")
+        return running_counts_fallback(events, watermark)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -110,16 +162,11 @@ def running_counts_tws(events: DataFrame, watermark: str = "2 hours") -> DataFra
         def close(self) -> None:
             pass
 
-    out_schema = T.StructType([
-        T.StructField("user_id", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("mean_value", T.DoubleType()),
-    ])
     return (events.withWatermark("ts", watermark)
                   .groupBy("user_id")
                   .transformWithStateInPandas(
                       RunningStats(),
-                      outputStructType=out_schema,
+                      outputStructType=TWS_OUTPUT_SCHEMA,
                       outputMode="Update",
                       timeMode="None"))
 

@@ -730,3 +730,23 @@ def test_repeated_spans_merges_maximal_runs(spark):
            for r in X.repeated_spans(docs, n=8).collect()}
     # doc1: shared starts at token 5 (1-based); doc2: at token 1
     assert out == {1: (5, 12), 2: (1, 12)}
+
+
+def test_ann_recall_floors_vs_exact(spark):
+    """Approximation-quality floor (the rows-only driver check can't see
+    this): at the catalog's default settings on the sf0.01 gate data,
+    sign-LSH top-k must keep recall >= 0.8 and IVF >= 0.9 against the
+    exact brute-force twin. bench.py reports the same ratio per run as
+    recall_vs_exact."""
+    from etl_tool_spark.catalog import SPARK
+
+    sf = "/root/testdata/sf0.01"
+
+    def pairs(name):
+        return {(r["query_id"], r["vec_id"])
+                for r in SPARK[name](spark, sf)
+                .select("query_id", "vec_id").collect()}
+
+    exact = pairs("llm_embedding_topk")
+    assert len(pairs("llm_embedding_lsh_topk") & exact) / len(exact) >= 0.8
+    assert len(pairs("llm_embedding_ivf_topk") & exact) / len(exact) >= 0.9
