@@ -4163,3 +4163,172 @@ def events_anomaly_zscore(spark, sf_dir):
                      sd.alias("_sd"), z.alias("_z"))
              .filter((F.col("_sd") > 0) & (F.col("_z") > 3))
              .drop("_sd", "_z"))
+
+
+# =========================================================================
+# Round 3: corpus statistics — TF-IDF, bigram LM, Gopher-style quality
+# =========================================================================
+
+@query("llm_tfidf_top_terms", """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+ dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+ nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+ scored AS (
+  SELECT doc_id, tok, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
+ ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rank
+  FROM scored)
+SELECT doc_id, tok, tfidf, rank FROM ranked WHERE rank <= 3
+""")
+def llm_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (the classic keyword/topic-proxy
+    extraction over a training corpus). Shape at 100 TB: term frequency
+    partial-aggregates on the compound (doc, tok) key (never skewed),
+    document frequency reduces THAT frame to vocabulary size, and the
+    df table joins back through the broadcast size gate — the token
+    stream is shuffled once on (doc_id, tok) and never on the skewed
+    bare token. Ranking is on the ROUNDED score (tok tiebreak) so float
+    noise can't flip ranks across engines."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select("doc_id", F.explode(F.split(t, r"\s+")).alias("tok")))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+             .localCheckpoint(eager=True))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(gated_broadcast(dfq), "tok")
+                .crossJoin(F.broadcast(nd))
+                .select("doc_id", "tok",
+                        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+                         .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= 3))
+
+
+@query("llm_bigram_logprob", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+ pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bg
+  FROM t WHERE len(a) >= 2),
+ p2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM pairs),
+ cbg AS (SELECT bg, count(*) AS cb FROM p2 GROUP BY bg),
+ cw AS (SELECT w1, count(*) AS c1 FROM p2 GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(log10(cb / c1)), 6) AS avg_bigram_logprob
+FROM p2 JOIN cbg USING (bg) JOIN cw USING (w1)
+GROUP BY doc_id
+""")
+def llm_bigram_logprob(spark, sf_dir):
+    """Per-document average bigram conditional log-probability under the
+    corpus's own counts — one step up the n-gram-LM ladder from
+    llm_unigram_logprob as a perplexity-style quality proxy. The
+    conditional is P(w2|w1) = c(w1 w2) / c(w1), with c(w1) counted over
+    bigram PREFIX positions so the model is self-consistent at document
+    ends. Bigrams form map-side (one higher-order transform over the
+    token array, no second tokenization); both count tables are
+    vocabulary-/bigram-vocabulary-sized and join back through the
+    broadcast size gate, so the skewed bare-token key is never a
+    shuffle key of the full stream."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    arr = (d.filter(t != "")
+            .select("doc_id", F.split(t, r"\s+").alias("a"))
+            .filter(F.size("a") >= 2))
+    pairs = arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(a) - 1),"
+            " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+         .alias("bg"))
+    p2 = pairs.select("doc_id", "bg",
+                      F.substring_index("bg", " ", 1).alias("w1"))
+    cbg = (p2.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+             .localCheckpoint(eager=True))
+    cw = (p2.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+            .localCheckpoint(eager=True))
+    return (p2.join(gated_broadcast(cbg), "bg")
+              .join(gated_broadcast(cw), "w1")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(F.log10(F.col("cb") / F.col("c1"))), 6)
+                    .alias("avg_bigram_logprob")))
+
+
+@query("llm_gopher_quality", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE trim(text) <> ''),
+ m AS (
+  SELECT doc_id,
+         len(a) AS n_tokens,
+         round(list_sum(list_transform(a, x -> length(x))) / len(a), 6)
+           AS mean_word_len,
+         round(len(list_filter(a, x -> regexp_matches(x, '[A-Za-z]')))
+               / len(a), 6) AS alpha_frac,
+         round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+               / len(lines), 6) AS bullet_frac,
+         round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+               / len(lines), 6) AS ellipsis_frac
+  FROM t)
+SELECT doc_id, n_tokens, mean_word_len, alpha_frac, bullet_frac, ellipsis_frac,
+       (CASE WHEN n_tokens BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3 AND 10
+                  AND alpha_frac >= 0.8
+                  AND bullet_frac <= 0.9
+                  AND ellipsis_frac <= 0.3
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM m
+""")
+def llm_gopher_quality(spark, sf_dir):
+    """Gopher/C4-style repetition-free quality rules (Rae et al. 2021
+    'Scaling Language Models', §A1.1, public arXiv): token-count bounds,
+    mean-word-length bounds, minimum fraction of alphabetic words, and
+    caps on bullet-started / ellipsis-ended lines; `keep` = all rules
+    pass (as 0/1 so the cross-engine hash is type-stable). Entirely
+    map-side — every metric is a higher-order function over the
+    token/line arrays of one row, no shuffle at all until the driver's
+    ordering; at 100 TB this is a pure scan+project the optimizer can
+    pipeline into any downstream filter."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    a = F.split(t, r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_tokens = F.size(a)
+    mean_word_len = F.round(
+        F.aggregate(a, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)) / n_tokens, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(a, lambda x: x.rlike("[A-Za-z]"))) / n_tokens, 6)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda line: line.rlike(r"^\s*[-*•]")))
+        / F.size(lines), 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda line: line.rlike(r"(\.\.\.|…)\s*$")))
+        / F.size(lines), 6)
+    m = (d.filter(t != "")
+          .select("doc_id", n_tokens.alias("n_tokens"),
+                  mean_word_len.alias("mean_word_len"),
+                  alpha_frac.alias("alpha_frac"),
+                  bullet_frac.alias("bullet_frac"),
+                  ellipsis_frac.alias("ellipsis_frac")))
+    keep = (F.col("n_tokens").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("bullet_frac") <= 0.9)
+            & (F.col("ellipsis_frac") <= 0.3))
+    return m.withColumn("keep", keep.cast("long"))
