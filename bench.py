@@ -60,6 +60,42 @@ BENCH_QUERIES = [
     "er_edit_distance_join",
     "llm_weighted_sample",
     "etl_snapshot_asof",
+    # round 3: the remaining TPC-H shapes + warehouse + time-series +
+    # skew/sql/linkage queries, so regressions surface where they'd occur
+    "q2_min_per_group_join",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "etl_profile_orders",
+    "etl_scd2_intervals",
+    "etl_quality_checks",
+    "etl_cdc_merge_fold",
+    "events_hopping_window",
+    "events_islands",
+    "events_gap_fill",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "events_trending",
+    "agg_salted_skew",
+    "agg_robust_outliers",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topk",
+    "join_range_banded",
+    "er_edit_distance_join_d2",
+    "llm_incremental_dedup",
+    "llm_repeated_spans",
 ]
 
 
@@ -148,12 +184,31 @@ def main() -> None:
         except Exception:
             pass
 
+    # approximation-quality floor: recall of the banded/trained ANN paths
+    # vs the exact brute-force twin, so quality can't silently regress
+    # while the rows-only correctness check stays green
+    def _topk_pairs(name: str) -> set:
+        df = SPARK[name](spark, sf_dir)
+        return {(r["query_id"], r["vec_id"])
+                for r in df.select("query_id", "vec_id").collect()}
+
+    recall: dict[str, float] = {}
+    try:
+        exact = _topk_pairs("llm_embedding_topk")
+        for name, key in (("llm_embedding_lsh_topk", "lsh_topk"),
+                          ("llm_embedding_ivf_topk", "ivf_topk")):
+            got = _topk_pairs(name)
+            recall[key] = round(len(got & exact) / max(len(exact), 1), 4)
+    except Exception as e:  # recall is diagnostics; never sink the bench
+        print(f"# recall computation failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "catalog_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "recall_vs_exact": recall,
         "plan_stats": {"queries": len(BENCH_QUERIES),
                        "cartesian_products": cartesians,
                        "total_exchanges": exchanges},

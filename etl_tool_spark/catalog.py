@@ -1949,7 +1949,13 @@ def q7_volume_shipping(spark, sf_dir):
     ship year. The nation filters broadcast and PRUNE both fact paths
     early (supplier side and customer side each shrink before the
     fact-fact joins); the disjunctive nation pair evaluates as the
-    join residual."""
+    join residual. The two fact-side joins (lineitem-orders,
+    orders-customer) are PINNED sort-merge: at 100 TB neither side fits
+    a broadcast (customers of two nations is still ~GBs), and without
+    the hint the tiny-SF threshold flips them to broadcast — the one
+    plan shape in the catalog that would differ between test and
+    production scale (asserted scale-invariant in
+    tests/test_plans.py)."""
     with _utc(spark):
         li = _t(spark, sf_dir, "lineitem").filter(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
@@ -1975,8 +1981,8 @@ def q7_volume_shipping(spark, sf_dir):
                    & (F.col("cust_nation") == "NATION_1")))
         return _stamp(
             li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-              .join(o, li.l_orderkey == o.o_orderkey)
-              .join(c, o.o_custkey == c.c_custkey)
+              .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+              .join(c.hint("merge"), o.o_custkey == c.c_custkey)
               .filter(pair)
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").alias("l_year"))

@@ -528,11 +528,12 @@ def test_headline_plan_shapes_scale_invariant(spark, catalog):
         return sig
 
     skip = {"llm_clean_corpus"}  # staging write breaks lazy plan build twice
-    extra = [  # newest round-2 additions not in the bench headline set
+    extra = [  # newest round-2/3 additions not in the bench headline set
         "join_range_banded", "llm_url_normalize", "llm_repeated_spans",
         "llm_quality_percentile", "llm_domain_stats", "agg_robust_outliers",
         "agg_mode_per_group", "events_anomaly_zscore", "events_per_key_cap",
-        "etl_snapshot_asof"]
+        "etl_snapshot_asof",
+        "llm_tfidf_top_terms", "llm_bigram_logprob", "llm_gopher_quality"]
     diffs = []
     for name in [*BENCH_QUERIES, *extra]:
         if name in skip:
