@@ -416,19 +416,25 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
     ever re-hashing old documents — the continuous corpus-building
     workflow (nightly crawl drops, streaming ingests).
 
-    ``store_dir`` is a parquet signature store of (id, _hs shingle-hash
-    array) rows, created on first call. Each call:
+    ``store_dir`` is a two-table parquet store, created on first call:
+    ``sig/`` holds (id, _hs shingle-hash array) for exact verification,
+    ``bands/`` holds the banded LSH keys (id, _band, _bucket) — so old
+    documents are neither re-hashed NOR re-banded, ever; the per-batch
+    cost is proportional to the batch, not the store (at 100 TB, bands/
+    is additionally bucketed by (band, bucket) so the probe join is
+    co-located and prunes to matching buckets). Each call:
 
-      1. hashes only the new batch (old docs' signatures are read back);
+      1. hashes + bands only the new batch (written once, then every
+         consumer — banding join, both verify sides, lazy re-executions
+         — scans the store parquet instead of recomputing);
       2. emits candidate pairs touching ≥1 new doc: new×old via an
-         equi-join of the new batch's band keys against the store's
-         (at 100 TB: store the banded table bucketed by (band, bucket)
-         and this join is co-located and prunes to matching buckets —
-         the new batch is typically small enough to broadcast), plus
-         new×new via the usual in-bucket pairing;
+         equi-join of the new batch's band keys against the store's,
+         plus new×new via the usual in-bucket pairing;
       3. verifies exact Jaccard on candidates only, reading old shingle
          hashes from the store;
-      4. appends the new signatures to the store (``update_store``).
+      4. appends happen in step 1 (``update_store``); with
+         ``update_store=False`` nothing is written and the batch's
+         hashing stays lazy.
 
     Old–old pairs are never re-emitted — they were reported when their
     younger member arrived. Union of every batch's output == the
@@ -452,20 +458,45 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
     import glob as _glob
     import os as _os
 
-    part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
-    first_batch = not part_files
+    sig_dir = _os.path.join(store_dir, "sig")
+    bands_dir = _os.path.join(store_dir, "bands")
+    sig_files = sorted(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
+    band_files = sorted(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    first_batch = not sig_files
     if first_batch:
         hs_old = spark.createDataFrame([], hs_new.schema)
     else:
-        hs_old = spark.read.parquet(*part_files)
+        hs_old = spark.read.parquet(*sig_files)
 
-    banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
+    if update_store:
+        # append FIRST, then pin the new side to its just-written part
+        # files: hashing and banding run exactly once — the banding
+        # join, both verify sides, and any re-execution of the lazy
+        # result all scan the store parquet instead of recomputing (the
+        # same signatures-are-a-table shape minhash_dedup_pairs uses
+        # via staging_dir).
+        hs_new.write.mode("append").parquet(sig_dir)
+        new_sig = sorted(set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
+                         - set(sig_files))
+        hs_new = spark.read.parquet(*new_sig)
+        _band_frame(hs_new, id_col, num_hashes, bands) \
+            .write.mode("append").parquet(bands_dir)
+        new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+                          - set(band_files))
+        banded_new = spark.read.parquet(*new_band)
+    else:
+        banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
+
     if first_batch:
         new_new = (_bucket_pairs(banded_new, id_col, max_bucket=max_bucket)
                    .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
         cands = new_new.distinct()
     else:
-        banded_old = _band_frame(hs_old, id_col, num_hashes, bands)
+        # the store's banded table, pinned pre-append — old docs are
+        # never re-banded (band_files can only be absent here if the
+        # store predates the bands/ table; rebuild from signatures then)
+        banded_old = (spark.read.parquet(*band_files) if band_files
+                      else _band_frame(hs_old, id_col, num_hashes, bands))
         if max_bucket is not None:
             # the hot-bucket guard must bound the new×old JOIN too, and
             # bucket size is the COMBINED (store + batch) population — a
@@ -496,10 +527,7 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         cands = new_new.unionByName(new_old).distinct()
 
     hs_all = hs_new.unionByName(hs_old)
-    pairs = _jaccard_verify(hs_all, cands, id_col, threshold)
-    if update_store:
-        hs_new.write.mode("append").parquet(store_dir)
-    return pairs
+    return _jaccard_verify(hs_all, cands, id_col, threshold)
 
 
 def simhash_from_hashes(th: Column, bits: int = 16) -> Column:

@@ -310,8 +310,10 @@ def test_incremental_minhash_equals_one_shot(spark, tmp_path):
     assert not set(p1) & set(p2), "no pair reported twice"
     merged = {**p1, **p2}
     assert merged == full
-    # store now holds every doc's signatures exactly once
-    assert spark.read.parquet(store).count() == docs.count()
+    # store now holds every doc's signatures exactly once, and the
+    # banded LSH keys table alongside (old docs are never re-banded)
+    assert spark.read.parquet(store + "/sig").count() == docs.count()
+    assert spark.read.parquet(store + "/bands").count() == 8 * docs.count()
     docs.unpersist()
 
 
