@@ -545,3 +545,35 @@ def test_headline_plan_shapes_scale_invariant(spark, catalog):
         if s_small != s_big:
             diffs.append((name, s_small, s_big))
     assert not diffs, f"scale-dependent plan shapes: {diffs}"
+
+
+def test_tfidf_token_stream_never_shuffled_on_bare_token(spark, catalog):
+    """TF-IDF: tf aggregates on the compound (doc_id, tok) key; the df
+    table comes back through the broadcast gate — the exploded stream
+    must never be exchanged on the skewed bare `tok` key."""
+    p = plan(catalog["llm_tfidf_top_terms"](spark, SF_DIR))
+    assert nodes(p, "BroadcastHashJoin")
+    assert not nodes(p, "CartesianProduct")
+    import re
+
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        keys = [k.strip().split("#")[0] for k in part.split(",")[:-1]]
+        assert keys != ["tok"], f"token stream shuffled on bare tok: {part}"
+
+
+def test_bigram_logprob_gated_broadcast_joins(spark, catalog):
+    """Both bigram count tables broadcast under the gate; the bigram
+    stream is only ever shuffled for the final per-doc aggregate."""
+    p = plan(catalog["llm_bigram_logprob"](spark, SF_DIR))
+    assert len(nodes(p, "BroadcastHashJoin")) >= 2
+    assert "hashpartitioning(bg" not in p and "hashpartitioning(w1" not in p
+    assert not nodes(p, "CartesianProduct")
+
+
+def test_gopher_quality_pure_mapside(spark, catalog):
+    """Every Gopher metric is a higher-order function over one row's
+    arrays: the only exchange is the deliberate small-file repartition
+    in _docs (a no-op at real scale), and nothing explodes."""
+    p = plan(catalog["llm_gopher_quality"](spark, SF_DIR))
+    assert len(nodes(p, "Exchange")) <= 1
+    assert not nodes(p, "Generate")  # no explode — array math in place
