@@ -4338,3 +4338,79 @@ def llm_gopher_quality(spark, sf_dir):
             & (F.col("bullet_frac") <= 0.9)
             & (F.col("ellipsis_frac") <= 0.3))
     return m.withColumn("keep", keep.cast("long"))
+
+
+@query("llm_embedding_dim_stats", """
+WITH d AS (
+  SELECT unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT dim, count(*) AS n,
+       round(avg(v), 6) AS mean, round(stddev_samp(v), 6) AS sd,
+       round(min(v), 6) AS lo, round(max(v), 6) AS hi
+FROM d GROUP BY dim
+""")
+def llm_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension statistics of the embedding column — the standard
+    embedding-QA sweep (dead dimensions: sd ~ 0; scale drift: mean far
+    from 0; clipped dims: lo/hi at a bound) run before any ANN index is
+    trained. posexplode fans each vector into (dim, value) rows that
+    partial-aggregate map-side; the shuffle moves nlist*dims partial
+    states, never the vector stream. At 100 TB this is the pattern for
+    any fixed-width array profile."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("dim", "v"))
+    return (e.groupBy("dim")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.avg("v"), 6).alias("mean"),
+                  F.round(F.stddev_samp("v"), 6).alias("sd"),
+                  F.round(F.min("v"), 6).alias("lo"),
+                  F.round(F.max("v"), 6).alias("hi")))
+
+
+@query("llm_semantic_dedup_groups", """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.45),
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+ comp AS (SELECT u AS vec_id, min(v) AS mn FROM reach GROUP BY u),
+ lab AS (SELECT d.vec_id,
+                coalesce(least(c.mn, d.vec_id), d.vec_id) AS group_id
+         FROM embeddings d LEFT JOIN comp c ON c.vec_id = d.vec_id)
+SELECT vec_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size
+FROM lab
+""")
+def llm_semantic_dedup_groups(spark, sf_dir):
+    """Semantic (embedding-space) transitive dedup groups: the 5th dedup
+    family composed with connected components — sign-LSH banded cosine
+    pairs (llm/similarity.py, no cartesian) collapsed to min-id labels
+    (llm/graph.py), every vector labeled with its component (singletons:
+    themselves). The same fixpoint that powers text near-dup groups runs
+    unchanged on embedding-derived edges — pair origin is a plug. The
+    oracle brute-forces the cosine pairs and replays reachability as a
+    recursive CTE."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    emb = _emb(spark, sf_dir)
+    pairs = S.embedding_dup_pairs(emb, threshold=0.45, dim=64,
+                                  bands=64, rows_per_band=6)
+    comp = G.connected_components(pairs, src="a", dst="b")
+    lab = (emb.select("vec_id")
+              .join(gated_broadcast(comp.withColumnRenamed("id", "vec_id")),
+                    "vec_id", "left")
+              .select("vec_id",
+                      F.coalesce("label", "vec_id").alias("group_id")))
+    return lab.select("vec_id", "group_id",
+                      F.count(F.lit(1)).over(Window.partitionBy("group_id"))
+                       .alias("group_size"))
