@@ -406,6 +406,46 @@ def _jaccard_verify(hs_frame: DataFrame, cands: DataFrame, id_col: str,
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
 
 
+def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
+                    num_hashes: int, bands: int):
+    """Append a signature frame to the two-table store (sig/ + bands/)
+    and return both sides re-read PINNED to the just-written part files
+    — hashing and banding execute exactly once (during the writes);
+    every later consumer scans parquet."""
+    import glob as _glob
+    import os as _os
+
+    spark = hs.sparkSession
+    sig_dir = _os.path.join(store_dir, "sig")
+    bands_dir = _os.path.join(store_dir, "bands")
+    pre_sig = set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
+    pre_band = set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    hs.write.mode("append").parquet(sig_dir)
+    new_sig = sorted(set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
+                     - pre_sig)
+    hs = spark.read.parquet(*new_sig)
+    _band_frame(hs, id_col, num_hashes, bands) \
+        .write.mode("append").parquet(bands_dir)
+    new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+                      - pre_band)
+    return hs, spark.read.parquet(*new_band)
+
+
+def append_signatures(df: DataFrame, store_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 8,
+                      shingle_n: int = 3) -> None:
+    """Append ``df``'s minhash signatures + banded keys to an
+    incremental store WITHOUT running pair discovery. The ingest-gate
+    path (streaming/dedup.py:near-dup gate) uses this to remember only
+    the SURVIVORS of a batch — dropped duplicates must not pollute the
+    store, or later docs would be compared against text the corpus never
+    kept. Parameters must match the store's (same hash family)."""
+    hs = df.select(F.col(id_col),
+                   shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    _append_and_pin(hs, store_dir, id_col, num_hashes, bands)
+
+
 def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
                               id_col: str = "doc_id", text_col: str = "text",
                               num_hashes: int = 16, bands: int = 8,
@@ -475,15 +515,8 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # result all scan the store parquet instead of recomputing (the
         # same signatures-are-a-table shape minhash_dedup_pairs uses
         # via staging_dir).
-        hs_new.write.mode("append").parquet(sig_dir)
-        new_sig = sorted(set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
-                         - set(sig_files))
-        hs_new = spark.read.parquet(*new_sig)
-        _band_frame(hs_new, id_col, num_hashes, bands) \
-            .write.mode("append").parquet(bands_dir)
-        new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
-                          - set(band_files))
-        banded_new = spark.read.parquet(*new_band)
+        hs_new, banded_new = _append_and_pin(hs_new, store_dir, id_col,
+                                             num_hashes, bands)
     else:
         banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
 

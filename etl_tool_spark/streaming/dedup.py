@@ -21,12 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_tool_spark.llm.dedup import (incremental_exact_dedup,
+from etl_tool_spark.llm.dedup import (append_signatures,
+                                      incremental_exact_dedup,
                                       incremental_minhash_pairs)
 from etl_tool_spark.llm.text import fingerprint
 
 __all__ = ["near_dedup_stream", "exact_dedup_stream",
-           "clean_ingest_stream", "land_batch"]
+           "clean_ingest_stream", "land_batch",
+           "near_dedup_ingest_stream", "land_near_batch"]
 
 
 def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
@@ -134,3 +136,68 @@ def clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
     # crash-safety order) is exact_dedup_stream's, defined once
     return exact_dedup_stream(kept, store_dir, out_dir, checkpoint,
                               id_col=id_col, text_col=text_col)
+
+
+def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                    out_dir: str, id_col: str = "doc_id",
+                    text_col: str = "text", **minhash_kwargs) -> None:
+    """NEAR-dup ingest gate for one batch, keep-earliest policy against
+    the LANDED corpus: a batch doc drops if it near-duplicates a stored
+    survivor (stored always wins — it landed first) or a smaller-id doc
+    of its own batch; survivors land in ``out_dir`` and only THEIR
+    signatures enter the store. Gating against landed survivors (not
+    everything ever seen) is the principled corpus semantics: a doc that
+    resembles only a never-landed duplicate duplicates nothing in the
+    corpus. The landed set stays pairwise near-dup-free: both sides of
+    any qualifying pair can never land (within a batch the larger id
+    drops; across batches the later one drops).
+
+    Same land-before-store crash order as land_batch: a replayed batch
+    re-lands (at-least-once, collapse on batch_id), never silently
+    drops."""
+    sig_kwargs = {k: v for k, v in minhash_kwargs.items()
+                  if k in ("num_hashes", "bands", "shingle_n")}
+    pairs = incremental_minhash_pairs(
+        batch_df, store_dir, id_col=id_col, text_col=text_col,
+        update_store=False, **minhash_kwargs)
+    ids = batch_df.select(F.col(id_col)).distinct()
+    flagged = (pairs
+               .join(F.broadcast(ids.select(F.col(id_col).alias("a"),
+                                            F.lit(True).alias("_a_new"))),
+                     "a", "left")
+               .join(F.broadcast(ids.select(F.col(id_col).alias("b"),
+                                            F.lit(True).alias("_b_new"))),
+                     "b", "left"))
+    a_new = F.coalesce(F.col("_a_new"), F.lit(False))
+    b_new = F.coalesce(F.col("_b_new"), F.lit(False))
+    # pairs always touch >=1 batch doc; a < b by id
+    drop = (F.when(a_new & b_new, F.col("b"))       # in-batch: larger id
+             .when(a_new & ~b_new, F.col("a"))      # partner stored
+             .otherwise(F.col("b")))                # partner stored
+    drops = flagged.select(drop.alias(id_col)).distinct()
+    survivors = batch_df.join(F.broadcast(drops), id_col, "left_anti")
+    (survivors.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
+    append_signatures(survivors, store_dir, id_col=id_col,
+                      text_col=text_col, **sig_kwargs)
+
+
+def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
+                             checkpoint: str, id_col: str = "doc_id",
+                             text_col: str = "text", **minhash_kwargs):
+    """Streaming near-dup dedup-on-ingest: each micro-batch lands only
+    documents that near-duplicate neither a previously landed survivor
+    nor a smaller-id batch sibling (see land_near_batch). The always-
+    near-dup-free landing zone — where near_dedup_stream is the pair
+    REPORT over everything ingested, this is the ingest GATE."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        land_near_batch(batch_df, batch_id, store_dir, out_dir,
+                        id_col=id_col, text_col=text_col, **minhash_kwargs)
+
+    q = (docs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -577,3 +577,53 @@ def test_rate_cap_stream_matches_batch_cap(spark, events_stream, tmp_path):
              .filter(F.col("rn") <= 2)
              .select("user_id", "event_id").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_near_dedup_ingest_gate(spark, tmp_path):
+    """Streaming near-dup ingest gate: the landing zone equals the
+    sequential batch fold (keep-earliest vs landed survivors), contains
+    no near-dup pair, and a doc near-duplicating a batch-1 survivor is
+    dropped in batch 2."""
+    from etl_tool_spark.llm.dedup import minhash_dedup_pairs
+    from etl_tool_spark.streaming.dedup import (land_near_batch,
+                                                near_dedup_ingest_stream)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    uniq = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    rows1 = [(1, base + " END1"), (2, base + " END2"),   # 2 near-dups 1
+             (3, uniq + " first")]
+    rows2 = [(10, base + " END3"),                        # near-dups doc 1
+             (11, uniq + " first extra"),                 # near-dups doc 3
+             (12, "totally different text with no overlap at all here")]
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    near_dedup_ingest_stream(stream, str(tmp_path / "store"),
+                             str(tmp_path / "landed"),
+                             str(tmp_path / "ckpt"))
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    got = {r["doc_id"] for r in landed.collect()}
+    assert got == {1, 3, 12}  # 2 drops in-batch; 10 & 11 drop vs store
+
+    # landed set is pairwise near-dup-free under the same hash family
+    leftover = minhash_dedup_pairs(landed.select("doc_id", "text")).count()
+    assert leftover == 0
+
+    # sequential batch fold produces the identical landing zone
+    fold_store = str(tmp_path / "fold_store")
+    fold_out = str(tmp_path / "fold_landed")
+    land_near_batch(b1, 0, fold_store, fold_out)
+    land_near_batch(b2, 1, fold_store, fold_out)
+    fold = {r["doc_id"]
+            for r in spark.read.parquet(fold_out).collect()}
+    assert fold == got
