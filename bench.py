@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "er_edit_distance_join_d2",
     "llm_incremental_dedup",
     "llm_repeated_spans",
+    "llm_semantic_dedup_groups",
+    "llm_embedding_dim_stats",
+    "llm_temperature_mix",
+    "llm_vocab_coverage",
+    "llm_epoch_shuffle",
+    "llm_ngram_novelty",
 ]
 
 

@@ -4414,3 +4414,159 @@ def llm_semantic_dedup_groups(spark, sf_dir):
     return lab.select("vec_id", "group_id",
                       F.count(F.lit(1)).over(Window.partitionBy("group_id"))
                        .alias("group_size"))
+
+
+@query("llm_temperature_mix", """
+WITH w AS (
+  SELECT source,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+           AS tokens
+  FROM documents GROUP BY source),
+ s AS (SELECT sum(tokens) AS total,
+              sum(pow(tokens, 1.0/0.7)) AS z FROM w)
+SELECT source, tokens,
+       round(tokens / total, 6) AS raw_share,
+       round(pow(tokens, 1.0/0.7) / z, 6) AS temp_share,
+       round(pow(tokens, 1.0/0.7) / z * total / tokens, 6) AS epochs
+FROM w CROSS JOIN s
+""")
+def llm_temperature_mix(spark, sf_dir):
+    """Temperature-scaled corpus mixing weights (the T<1 upsampling rule
+    from multilingual/multi-domain training — e.g. mBERT/XLM-R exponent
+    smoothing, public papers): per-source token mass w_i becomes
+    sampling share p_i = w_i^(1/T) / sum w_j^(1/T) (T=0.7), and
+    `epochs` = p_i * total / w_i is how many passes over source i one
+    total-budget epoch implies (>1 = upsampled). One partial-agg'd
+    shuffle on `source` produces the per-source masses; the normalizer
+    is a broadcast scalar — at 100 TB nothing after the first
+    aggregation touches more rows than there are sources."""
+    d = _docs(spark, sf_dir)
+    w = (d.select("source", X.token_count(F.col("text")).alias("_nt"))
+          .groupBy("source").agg(F.sum("_nt").alias("tokens")))
+    pw = F.pow(F.col("tokens").cast("double"), 1.0 / 0.7)
+    s = w.agg(F.sum("tokens").alias("total"), F.sum(pw).alias("z"))
+    return (w.crossJoin(F.broadcast(s))
+             .select("source", "tokens",
+                     F.round(F.col("tokens") / F.col("total"), 6)
+                      .alias("raw_share"),
+                     F.round(pw / F.col("z"), 6).alias("temp_share"),
+                     F.round(pw / F.col("z") * F.col("total")
+                             / F.col("tokens"), 6).alias("epochs")))
+
+
+@query("llm_vocab_coverage", """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+ ranked AS (SELECT tok, c,
+                   row_number() OVER (ORDER BY c DESC, tok) AS r,
+                   sum(c) OVER (ORDER BY c DESC, tok) AS cum
+            FROM freq),
+ tot AS (SELECT sum(c) AS total FROM freq)
+SELECT pct, min(r) AS vocab_size
+FROM ranked CROSS JOIN tot
+CROSS JOIN (VALUES (50), (90), (95), (99)) AS t(pct)
+WHERE cum >= pct / 100.0 * total
+GROUP BY pct
+""")
+def llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-sizing question 'how
+    many types cover X% of the token mass?' for X in {50,90,95,99}.
+    Token counts partial-aggregate map-side; the rank + running-sum
+    window is ONE total-order pass over the VOCABULARY (orders smaller
+    than the corpus — the same contract llm_zipf_slope documents); the
+    grand total rides along as a broadcast scalar and the four
+    thresholds explode from a literal array. At 100 TB the corpus-sized
+    stage is only the first aggregation."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select(F.explode(X.tokens(F.col("text"))).alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = freq.select(
+        "c", F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rangeBetween(Window.unboundedPreceding, 0))
+         .alias("cum"))
+    tot = freq.agg(F.sum("c").alias("total"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (50, 90, 95, 99)]))
+    return (ranked.crossJoin(F.broadcast(tot))
+                  .select("r", "cum", "total", pcts.alias("pct"))
+                  .filter(F.col("cum") >= F.col("pct") / 100.0
+                          * F.col("total"))
+                  .groupBy("pct").agg(F.min("r").alias("vocab_size")))
+
+
+@query("llm_epoch_shuffle", """
+WITH h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT
+          % 8)::INT AS shard,
+         ('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+FROM h
+""")
+def llm_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: every document gets a
+    (shard, pos) — shard from the salted hash llm/prep.py shard_assign
+    uses for output interleaving, pos = rank of an independent
+    epoch-salted hash within the shard. A pure function of (salt,
+    doc_id): re-runs, appends, and retries reproduce the same global
+    order, and changing the epoch salt is a fresh permutation with zero
+    state. The only shuffle is the hash partition by shard; each
+    shard's sort is independent, so parallelism = n_shards at any
+    scale (pick n_shards >> executors; pos never needs a global
+    total order)."""
+    d = _docs(spark, sf_dir)
+    ordc = X.hash64(F.concat(F.lit("epoch0:"),
+                             F.col("doc_id").cast("string")))
+    h = d.select("doc_id", P.shard_assign(F.col("doc_id"), 8).alias("shard"),
+                 ordc.alias("ord"))
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return h.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+
+
+@query("llm_ngram_novelty", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+ g AS (
+  SELECT DISTINCT doc_id, array_to_string(a[i:i+4], ' ') AS gram
+  FROM t, unnest(range(1, len(a) - 3)) AS u(i)
+  WHERE len(a) >= 5),
+ df AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY gram)
+SELECT g.doc_id, count(*) AS n_grams,
+       round(avg(CASE WHEN dfreq = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+""")
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document 5-gram novelty — the fraction of a doc's distinct
+    word 5-grams that occur in NO other document (the inverse of the
+    boilerplate signal: low novelty = templated/duplicated content,
+    high = unique prose). Gram arrays build and de-duplicate map-side
+    (array_distinct before explode), so the first shuffle carries one
+    row per distinct (doc, gram); gram doc-frequencies partial-agg on
+    the gram key and join back sort-merge — the df table scales with
+    the corpus, so no broadcast, and 5-gram keys are near-unique (df=1
+    dominates), so the join key has no hot-key skew for AQE to split.
+    Same two-shuffle shape as llm/text.py boilerplate_ngrams."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    a = F.col("a")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(a) - 4),
+        lambda i: F.concat_ws(" ", F.slice(a, i, 5))))
+    g = (d.filter(t != "").select("doc_id", X.tokens(F.col("text")).alias("a"))
+          .filter(F.size("a") >= 5)
+          .select("doc_id", F.explode(grams).alias("gram")))
+    df_tab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
+    return (g.join(df_tab, "gram")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  F.round(F.avg(F.when(F.col("dfreq") == 1, 1.0)
+                                 .otherwise(0.0)), 6).alias("novelty")))
