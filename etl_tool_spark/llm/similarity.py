@@ -26,6 +26,7 @@ from etl_tool_spark.llm.text import hash64
 
 __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "sign_bits", "embedding_dup_pairs",
+           "incremental_embedding_pairs", "append_embedding_signatures",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
            "ivf_build_index", "ivf_search"]
 
@@ -138,6 +139,24 @@ def sign_bits(vec: Column, dim: int, planes: int) -> Column:
     return bits(vec)
 
 
+def _banded_keys(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64,
+                 bands: int = 64, rows_per_band: int = 6) -> DataFrame:
+    """(id, _bkt) — one row per (vector, band), _bkt = 'band:signbits'.
+    The sign projection runs once per row (sign_bits materializes the
+    full bit array before the per-band slices)."""
+    bits = df.select(F.col(id_col),
+                     sign_bits(F.col(vec_col), dim,
+                               bands * rows_per_band).alias("_bits"))
+    buckets = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.array_join(F.slice(F.col("_bits"), b * rows_per_band + 1,
+                                      rows_per_band), ""))
+        for b in range(bands)
+    ])
+    return bits.select(id_col, F.explode(buckets).alias("_bkt"))
+
+
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, bands: int = 64,
@@ -155,16 +174,7 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
     the buckets prune >99% of pairs. The exact O(n²) form lives in the
     oracle / tests as the small-n twin (same pattern as
     brute_force_topk vs lsh_topk)."""
-    bits = df.select(F.col(id_col),
-                     F.col(vec_col).alias("_vec"),
-                     sign_bits(F.col(vec_col), dim, bands * rows_per_band).alias("_bits"))
-    buckets = F.array(*[
-        F.concat(F.lit(f"{b}:"),
-                 F.array_join(F.slice(F.col("_bits"), b * rows_per_band + 1,
-                                      rows_per_band), ""))
-        for b in range(bands)
-    ])
-    banded = bits.select(id_col, F.explode(buckets).alias("_bkt"))
+    banded = _banded_keys(df, id_col, vec_col, dim, bands, rows_per_band)
     left, right = banded.alias("l"), banded.alias("r")
     cands = (left.join(right, [F.col("l._bkt") == F.col("r._bkt"),
                                F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
@@ -434,3 +444,119 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 5,
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,
+                        vec_col: str, dim: int, bands: int,
+                        rows_per_band: int):
+    """Append a (id, vec, _norm) frame to the two-table embedding store
+    (vec/ + bands/) and return both sides re-read PINNED to the
+    just-written part files — the sign projection and norms execute
+    exactly once (during the writes); every later consumer scans
+    parquet. Same shape as llm/dedup.py's minhash store."""
+    import glob as _glob
+    import os as _os
+
+    spark = vf.sparkSession
+    vec_dir = _os.path.join(store_dir, "vec")
+    bands_dir = _os.path.join(store_dir, "bands")
+    pre_vec = set(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
+    pre_band = set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    vf.write.mode("append").parquet(vec_dir)
+    new_vec = sorted(set(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
+                     - pre_vec)
+    vf = spark.read.parquet(*new_vec)
+    _banded_keys(vf, id_col, vec_col, dim, bands, rows_per_band) \
+        .write.mode("append").parquet(bands_dir)
+    new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+                      - pre_band)
+    return vf, spark.read.parquet(*new_band)
+
+
+def _norm_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col), F.col(vec_col),
+                     norm(F.col(vec_col)).alias("_norm"))
+
+
+def append_embedding_signatures(df: DataFrame, store_dir: str,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dim: int = 64, bands: int = 64,
+                                rows_per_band: int = 6) -> None:
+    """Append vectors + banded sign-LSH keys to an incremental embedding
+    store WITHOUT pair discovery — the semantic ingest gate remembers
+    only a batch's SURVIVORS (llm/dedup.py append_signatures rationale:
+    dropped near-dups must not pollute the store)."""
+    _append_and_pin_vec(_norm_frame(df, id_col, vec_col), store_dir,
+                        id_col, vec_col, dim, bands, rows_per_band)
+
+
+def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
+                                threshold: float = 0.45,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dim: int = 64, bands: int = 64,
+                                rows_per_band: int = 6,
+                                update_store: bool = True) -> DataFrame:
+    """Embedding-cosine near-dup pairs for a NEW batch against a growing
+    corpus, never re-projecting old vectors — the semantic twin of
+    llm/dedup.py incremental_minhash_pairs, same two-table store
+    contract: ``vec/`` holds (id, vector, norm) for exact verification,
+    ``bands/`` the sign-LSH keys. Candidates = new×old via an equi-join
+    of the batch's band keys against the store's, plus new×new
+    in-bucket pairs; exact cosine verifies candidates only. Old–old
+    pairs were reported when their younger member arrived; union over
+    batches == one-shot embedding_dup_pairs (asserted in tests). Ids
+    must be globally unique; old-side reads are pinned to pre-append
+    part files so the lazy result survives the append.
+
+    Returns (a, b, cosine_sim) with a < b, cosine ≥ threshold."""
+    import glob as _glob
+    import os as _os
+
+    spark = new_df.sparkSession
+    vf_new = _norm_frame(new_df, id_col, vec_col)
+
+    vec_dir = _os.path.join(store_dir, "vec")
+    bands_dir = _os.path.join(store_dir, "bands")
+    vec_files = sorted(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
+    band_files = sorted(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    first_batch = not vec_files
+    vf_old = (spark.createDataFrame([], vf_new.schema) if first_batch
+              else spark.read.parquet(*vec_files))
+
+    if update_store:
+        vf_new, banded_new = _append_and_pin_vec(
+            vf_new, store_dir, id_col, vec_col, dim, bands, rows_per_band)
+    else:
+        banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
+                                  rows_per_band)
+
+    l, r = banded_new.alias("l"), banded_new.alias("r")
+    new_new = (l.join(r, [F.col("l._bkt") == F.col("r._bkt"),
+                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+                .select(F.col(f"l.{id_col}").alias("a"),
+                        F.col(f"r.{id_col}").alias("b")))
+    if first_batch:
+        cands = new_new.distinct()
+    else:
+        banded_old = (spark.read.parquet(*band_files) if band_files
+                      else _banded_keys(vf_old, id_col, vec_col, dim,
+                                        bands, rows_per_band))
+        new_old = (banded_old
+                   .join(banded_new.withColumnRenamed(id_col, "_nid"),
+                         "_bkt")
+                   .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),
+                           F.greatest(F.col(id_col), F.col("_nid")).alias("b")))
+        cands = new_new.unionByName(new_old).distinct()
+
+    allv = vf_new.unionByName(vf_old)
+    va = allv.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+                     F.col("_norm").alias("_na"))
+    vb = allv.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+                     F.col("_norm").alias("_nb"))
+    sim = F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
+    return (cands.join(va, "a").join(vb, "b")
+                 .filter(sim >= threshold)
+                 .select("a", "b", F.round(sim, 6).alias("cosine_sim")))

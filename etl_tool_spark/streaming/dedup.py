@@ -28,7 +28,8 @@ from etl_tool_spark.llm.text import fingerprint
 
 __all__ = ["near_dedup_stream", "exact_dedup_stream",
            "clean_ingest_stream", "land_batch",
-           "near_dedup_ingest_stream", "land_near_batch"]
+           "near_dedup_ingest_stream", "land_near_batch",
+           "semantic_ingest_stream", "land_semantic_batch"]
 
 
 def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
@@ -138,6 +139,31 @@ def clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
                               id_col=id_col, text_col=text_col)
 
 
+def _gate_survivors(batch_df: DataFrame, pairs: DataFrame,
+                    id_col: str) -> DataFrame:
+    """Keep-earliest drop policy shared by the minhash and semantic
+    ingest gates: given near-dup ``pairs`` (a < b, each touching ≥1
+    batch row), drop the batch member of any batch×stored pair (the
+    stored side landed first) and the larger id of any in-batch pair.
+    Returns the surviving batch rows."""
+    ids = batch_df.select(F.col(id_col)).distinct()
+    flagged = (pairs
+               .join(F.broadcast(ids.select(F.col(id_col).alias("a"),
+                                            F.lit(True).alias("_a_new"))),
+                     "a", "left")
+               .join(F.broadcast(ids.select(F.col(id_col).alias("b"),
+                                            F.lit(True).alias("_b_new"))),
+                     "b", "left"))
+    a_new = F.coalesce(F.col("_a_new"), F.lit(False))
+    b_new = F.coalesce(F.col("_b_new"), F.lit(False))
+    # pairs always touch >=1 batch doc; a < b by id
+    drop = (F.when(a_new & b_new, F.col("b"))       # in-batch: larger id
+             .when(a_new & ~b_new, F.col("a"))      # partner stored
+             .otherwise(F.col("b")))                # partner stored
+    drops = flagged.select(drop.alias(id_col)).distinct()
+    return batch_df.join(F.broadcast(drops), id_col, "left_anti")
+
+
 def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                     out_dir: str, id_col: str = "doc_id",
                     text_col: str = "text", **minhash_kwargs) -> None:
@@ -160,22 +186,7 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     pairs = incremental_minhash_pairs(
         batch_df, store_dir, id_col=id_col, text_col=text_col,
         update_store=False, **minhash_kwargs)
-    ids = batch_df.select(F.col(id_col)).distinct()
-    flagged = (pairs
-               .join(F.broadcast(ids.select(F.col(id_col).alias("a"),
-                                            F.lit(True).alias("_a_new"))),
-                     "a", "left")
-               .join(F.broadcast(ids.select(F.col(id_col).alias("b"),
-                                            F.lit(True).alias("_b_new"))),
-                     "b", "left"))
-    a_new = F.coalesce(F.col("_a_new"), F.lit(False))
-    b_new = F.coalesce(F.col("_b_new"), F.lit(False))
-    # pairs always touch >=1 batch doc; a < b by id
-    drop = (F.when(a_new & b_new, F.col("b"))       # in-batch: larger id
-             .when(a_new & ~b_new, F.col("a"))      # partner stored
-             .otherwise(F.col("b")))                # partner stored
-    drops = flagged.select(drop.alias(id_col)).distinct()
-    survivors = batch_df.join(F.broadcast(drops), id_col, "left_anti")
+    survivors = _gate_survivors(batch_df, pairs, id_col)
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     append_signatures(survivors, store_dir, id_col=id_col,
@@ -195,6 +206,53 @@ def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
                         id_col=id_col, text_col=text_col, **minhash_kwargs)
 
     q = (docs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                        out_dir: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.45, **lsh_kwargs) -> None:
+    """SEMANTIC (embedding-cosine) ingest gate for one batch — the
+    land_near_batch policy verbatim with sign-LSH cosine pairs instead
+    of minhash Jaccard pairs: a batch vector drops if it
+    cosine-near-duplicates a landed survivor (stored wins) or a
+    smaller-id batch sibling; only survivor vectors + band keys enter
+    the store (llm/similarity.py incremental store). Same
+    land-before-store crash order."""
+    from etl_tool_spark.llm.similarity import (append_embedding_signatures,
+                                               incremental_embedding_pairs)
+
+    pairs = incremental_embedding_pairs(
+        batch_df, store_dir, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, update_store=False, **lsh_kwargs)
+    survivors = _gate_survivors(batch_df, pairs, id_col)
+    (survivors.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
+    append_embedding_signatures(survivors, store_dir, id_col=id_col,
+                                vec_col=vec_col, **lsh_kwargs)
+
+
+def semantic_ingest_stream(vecs: DataFrame, store_dir: str, out_dir: str,
+                           checkpoint: str, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.45, **lsh_kwargs):
+    """Streaming semantic dedup-on-ingest: each micro-batch lands only
+    vectors whose cosine similarity to every previously landed survivor
+    and every smaller-id batch sibling stays below the threshold — the
+    embedding twin of near_dedup_ingest_stream, for corpora deduped on
+    meaning (paraphrases, re-encodes) rather than surface text."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        land_semantic_batch(batch_df, batch_id, store_dir, out_dir,
+                            id_col=id_col, vec_col=vec_col,
+                            threshold=threshold, **lsh_kwargs)
+
+    q = (vecs.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update")
          .trigger(availableNow=True)

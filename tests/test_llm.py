@@ -752,3 +752,29 @@ def test_ann_recall_floors_vs_exact(spark):
     exact = pairs("llm_embedding_topk")
     assert len(pairs("llm_embedding_lsh_topk") & exact) / len(exact) >= 0.8
     assert len(pairs("llm_embedding_ivf_topk") & exact) / len(exact) >= 0.9
+
+
+def test_incremental_embedding_equals_one_shot(spark, tmp_path):
+    """Batch-by-batch incremental semantic dedup must reproduce exactly
+    the one-shot embedding_dup_pairs set over the full corpus, with no
+    pair reported twice; the store holds every vector once and its
+    banded sign-LSH keys alongside."""
+    from etl_tool_spark.llm import similarity as S
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+                .limit(200).cache())
+    kw = dict(threshold=0.3, dim=64, bands=64, rows_per_band=6)
+    full = {(r["a"], r["b"]): r["cosine_sim"]
+            for r in S.embedding_dup_pairs(emb, **kw).collect()}
+    store = str(tmp_path / "emb_store")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    p1 = {(r["a"], r["b"]): r["cosine_sim"]
+          for r in S.incremental_embedding_pairs(b1, store, **kw).collect()}
+    p2 = {(r["a"], r["b"]): r["cosine_sim"]
+          for r in S.incremental_embedding_pairs(b2, store, **kw).collect()}
+    assert not set(p1) & set(p2), "no pair reported twice"
+    assert {**p1, **p2} == full and full, "union == one-shot (non-empty)"
+    assert spark.read.parquet(store + "/vec").count() == emb.count()
+    assert spark.read.parquet(store + "/bands").count() == 64 * emb.count()
+    emb.unpersist()

@@ -627,3 +627,56 @@ def test_near_dedup_ingest_gate(spark, tmp_path):
     fold = {r["doc_id"]
             for r in spark.read.parquet(fold_out).collect()}
     assert fold == got
+
+
+def test_semantic_ingest_gate(spark, tmp_path):
+    """Streaming semantic (embedding-cosine) ingest gate: the landing
+    zone equals the sequential batch fold, contains no cosine pair at
+    the threshold, and a vector near-duplicating a batch-1 survivor is
+    dropped in batch 2."""
+    from etl_tool_spark.llm.similarity import embedding_dup_pairs
+    from etl_tool_spark.streaming.dedup import (land_semantic_batch,
+                                                semantic_ingest_stream)
+
+    def vec(*v):
+        return [float(x) for x in v]
+
+    e1 = vec(1, 0, 0, 0, 0.1, 0, 0, 0)
+    e1b = vec(0.99, 0.01, 0, 0, 0.1, 0, 0, 0)      # cosine ~1 vs e1
+    e3 = vec(0, 1, 0, 0, 0, 0.1, 0, 0)
+    e3b = vec(0, 0.98, 0.02, 0, 0, 0.1, 0, 0)      # cosine ~1 vs e3
+    orth = vec(0, 0, 0, 1, 0, 0, 0, 0.1)
+    rows1 = [(1, e1), (2, e1b), (3, e3)]           # 2 near-dups 1 in-batch
+    rows2 = [(10, vec(0.98, 0, 0.02, 0, 0.1, 0, 0, 0)),  # near e1 (stored)
+             (11, e3b),                                   # near e3 (stored)
+             (12, orth)]                                  # unique
+    schema = "vec_id long, embedding array<float>"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    kw = dict(threshold=0.9, dim=8, bands=16, rows_per_band=4)
+
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    semantic_ingest_stream(stream, str(tmp_path / "store"),
+                           str(tmp_path / "landed"),
+                           str(tmp_path / "ckpt"), **kw)
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    got = {r["vec_id"] for r in landed.collect()}
+    assert got == {1, 3, 12}  # 2 drops in-batch; 10 & 11 drop vs store
+
+    # landed set is pairwise cosine-dup-free under the same LSH family
+    leftover = embedding_dup_pairs(landed.select("vec_id", "embedding"),
+                                   **kw).count()
+    assert leftover == 0
+
+    # sequential batch fold produces the identical landing zone
+    land_semantic_batch(b1, 0, str(tmp_path / "fs"), str(tmp_path / "fl"), **kw)
+    land_semantic_batch(b2, 1, str(tmp_path / "fs"), str(tmp_path / "fl"), **kw)
+    fold = {r["vec_id"]
+            for r in spark.read.parquet(str(tmp_path / "fl")).collect()}
+    assert fold == got
