@@ -577,3 +577,46 @@ def test_gopher_quality_pure_mapside(spark, catalog):
     p = plan(catalog["llm_gopher_quality"](spark, SF_DIR))
     assert len(nodes(p, "Exchange")) <= 1
     assert not nodes(p, "Generate")  # no explode — array math in place
+
+
+def test_temperature_mix_scalar_broadcast(spark, catalog):
+    """The normalizer (total, z) must attach as a broadcast scalar —
+    never a shuffle join of the tiny per-source frame against itself."""
+    p = plan(catalog["llm_temperature_mix"](spark, SF_DIR))
+    assert nodes(p, "BroadcastNestedLoopJoin")
+    assert not nodes(p, "SortMergeJoin") and not nodes(p, "CartesianProduct")
+
+
+def test_vocab_coverage_corpus_stage_is_one_agg(spark, catalog):
+    """Corpus-sized work is exactly the token-frequency aggregation
+    (partial+final); everything after runs on the vocabulary — the rank
+    window and threshold explosion add no corpus-keyed exchange."""
+    import re
+
+    p = plan(catalog["llm_vocab_coverage"](spark, SF_DIR))
+    assert nodes(p, "BroadcastNestedLoopJoin")  # the total as a scalar
+    # exchanges: tok hashpartition (freq agg), the window's single
+    # partition, final pct agg — none on corpus rows after the first
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    tok_exchanges = [q for q in parts if q.strip().startswith("tok")]
+    assert len(tok_exchanges) <= 1
+
+
+def test_epoch_shuffle_single_exchange(spark, catalog):
+    """One hash exchange on shard, per-shard sorts — never a global
+    total-order sort of the corpus."""
+    import re
+
+    p = plan(catalog["llm_epoch_shuffle"](spark, SF_DIR))
+    assert len(nodes(p, "Exchange")) == 1
+    assert re.search(r"hashpartitioning\(shard", p)
+    assert "rangepartitioning" not in p
+
+
+def test_ngram_novelty_no_broadcast_of_df_table(spark, catalog):
+    """The gram doc-frequency table scales with the corpus: the join
+    back must be sort-merge (AQE may later re-plan from runtime stats),
+    and nothing may be cartesian."""
+    p = plan(catalog["llm_ngram_novelty"](spark, SF_DIR))
+    assert nodes(p, "SortMergeJoin")
+    assert not nodes(p, "CartesianProduct")
