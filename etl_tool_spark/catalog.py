@@ -4484,7 +4484,11 @@ def llm_vocab_coverage(spark, sf_dir):
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
              .select(F.explode(X.tokens(F.col("text"))).alias("tok")))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint: freq feeds BOTH the rank window and the grand total —
+    # without materializing, the corpus-sized tokenize+aggregate would
+    # execute twice (two tok exchanges; plan-asserted single)
+    freq = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True))
     w = Window.orderBy(F.col("c").desc(), F.col("tok"))
     ranked = freq.select(
         "c", F.row_number().over(w).alias("r"),
@@ -4565,7 +4569,11 @@ def llm_ngram_novelty(spark, sf_dir):
           .filter(F.size("a") >= 5)
           .select("doc_id", F.explode(grams).alias("gram")))
     df_tab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
-    return (g.join(df_tab, "gram")
+    # merge hint: the df table scales with the corpus, so the join-back
+    # must be sort-merge at every scale (a stats-based broadcast at test
+    # scale would flip shape at production scale; AQE still splits any
+    # hot key at runtime)
+    return (g.join(df_tab.hint("merge"), "gram")
              .groupBy("doc_id")
              .agg(F.count(F.lit(1)).alias("n_grams"),
                   F.round(F.avg(F.when(F.col("dfreq") == 1, 1.0)

@@ -28,7 +28,8 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "sign_bits", "embedding_dup_pairs",
            "incremental_embedding_pairs", "append_embedding_signatures",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
-           "ivf_build_index", "ivf_search"]
+           "ivf_build_index", "ivf_search", "ivf_append_index",
+           "ivf_cell_stats"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -444,6 +445,40 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 5,
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def ivf_append_index(new_df: DataFrame, index_dir: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    assign against the FROZEN centroids (read from the index, broadcast
+    as literals), precompute norms, and append to the cell-partitioned
+    vectors table — per-batch cost ∝ batch, and ivf_search sees the new
+    vectors immediately (same partition layout, same pruning). This is
+    the standard index-maintenance split (FAISS add-vs-train): the
+    quantizer drifts as the corpus grows, so monitor ivf_cell_stats and
+    rebuild via ivf_build_index when cell imbalance degrades recall —
+    appends never mutate existing files, so a rebuild can run alongside
+    reads and swap in atomically."""
+    base = index_dir.rstrip("/")
+    spark = new_df.sparkSession
+    cent_rows = spark.read.parquet(f"{base}/centroids") \
+                     .orderBy("cell").collect()
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    (ivf_assign(new_df, centroids, vec_col=vec_col, cluster_col="cell")
+        .withColumn("_cnorm", norm(F.col(vec_col)))
+        .write.mode("append").partitionBy("cell")
+        .parquet(f"{base}/vectors"))
+
+
+def ivf_cell_stats(spark, index_dir: str) -> DataFrame:
+    """Per-cell population of a persisted IVF index — the rebuild
+    trigger (a cell holding a large corpus fraction means probes scan
+    too much; many near-empty cells mean wasted nlist). Reads only
+    partition metadata + counts; one aggregate over the index."""
+    base = index_dir.rstrip("/")
+    return (spark.read.parquet(f"{base}/vectors")
+                 .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")))
 
 
 def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,

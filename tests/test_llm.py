@@ -778,3 +778,27 @@ def test_incremental_embedding_equals_one_shot(spark, tmp_path):
     assert spark.read.parquet(store + "/vec").count() == emb.count()
     assert spark.read.parquet(store + "/bands").count() == 64 * emb.count()
     emb.unpersist()
+
+
+def test_ivf_append_without_retrain(spark, tmp_path):
+    """ivf_append_index adds vectors under the frozen quantizer: search
+    over build(half)+append(half) ≡ ivf_topk over the full corpus with
+    the half-trained centroids; cell stats cover every vector."""
+    import etl_tool_spark.llm.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = str(tmp_path / "ivf")
+    cents = S.ivf_build_index(half1, idx, nlist=8)
+    S.ivf_append_index(half2, idx)
+    got = sorted(tuple(r) for r in
+                 S.ivf_search(spark, idx, queries, k=5, nprobe=4).collect())
+    want = sorted(tuple(r) for r in
+                  S.ivf_topk(emb, queries, k=5, nlist=8, nprobe=4,
+                             centroids=cents).collect())
+    assert got == want and len(got) == 25
+    stats = S.ivf_cell_stats(spark, idx)
+    assert stats.agg(F.sum("n_vectors")).collect()[0][0] == emb.count()
