@@ -161,7 +161,8 @@ def _banded_keys(df: DataFrame, id_col: str = "vec_id",
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, bands: int = 64,
-                        rows_per_band: int = 6) -> DataFrame:
+                        rows_per_band: int = 6,
+                        max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale-shaped: banded
     sign-LSH candidate generation (equi-join on (band, signature) —
     never a cross join) followed by exact cosine verification on the
@@ -174,8 +175,23 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
     (≥ 0.8, q ≥ 0.8) a handful of bands already gives ~1.0 recall and
     the buckets prune >99% of pairs. The exact O(n²) form lives in the
     oracle / tests as the small-n twin (same pattern as
-    brute_force_topk vs lsh_topk)."""
+    brute_force_topk vs lsh_topk).
+
+    ``max_bucket`` is the hot-bucket guard (llm/dedup.py
+    lsh_candidate_pairs parity): a bucket holding b vectors emits
+    C(b,2) candidates, so one degenerate bucket — a cluster of
+    boilerplate embeddings, or any bucket at thresholds low enough
+    that bands stop discriminating — can go quadratic. Buckets over
+    the cap are dropped whole (bounded recall loss, sized by one
+    count shuffle over band rows, never a pair fan-out); None keeps
+    every bucket and the exact-recall contract the oracle checks."""
     banded = _banded_keys(df, id_col, vec_col, dim, bands, rows_per_band)
+    if max_bucket is not None:
+        hot = (banded.groupBy("_bkt")
+                     .agg(F.count(F.lit(1)).alias("_n"))
+                     .filter(F.col("_n") > max_bucket)
+                     .select("_bkt"))
+        banded = banded.join(hot, "_bkt", "left_anti")
     left, right = banded.alias("l"), banded.alias("r")
     cands = (left.join(right, [F.col("l._bkt") == F.col("r._bkt"),
                                F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])

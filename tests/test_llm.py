@@ -802,3 +802,23 @@ def test_ivf_append_without_retrain(spark, tmp_path):
     assert got == want and len(got) == 25
     stats = S.ivf_cell_stats(spark, idx)
     assert stats.agg(F.sum("n_vectors")).collect()[0][0] == emb.count()
+
+
+def test_embedding_pairs_hot_bucket_cap(spark):
+    """max_bucket drops over-populated sign-LSH buckets whole: capped
+    output is a subset of uncapped, and a degenerate all-identical
+    cluster (every bucket hot) emits nothing under a tiny cap."""
+    import etl_tool_spark.llm.similarity as S
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+                .limit(120))
+    kw = dict(threshold=0.3, dim=64, bands=16, rows_per_band=4)
+    full = {(r["a"], r["b"]) for r in
+            S.embedding_dup_pairs(emb, **kw).collect()}
+    capped = {(r["a"], r["b"]) for r in
+              S.embedding_dup_pairs(emb, max_bucket=8, **kw).collect()}
+    assert capped <= full
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.5] * 32) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    assert S.embedding_dup_pairs(same, max_bucket=5, **kw).count() == 0
