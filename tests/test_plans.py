@@ -622,3 +622,38 @@ def test_ngram_novelty_no_broadcast_of_df_table(spark, catalog):
     p = plan(catalog["llm_ngram_novelty"](spark, SF_DIR))
     assert nodes(p, "SortMergeJoin")
     assert not nodes(p, "CartesianProduct")
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Runtime bloom-filter join pruning (on by default, production
+    thresholds: creation side ≤ 10 MB, application scan ≥ 10 GB — i.e.
+    exactly the selective-dim × huge-fact joins of the 100 TB target).
+    With thresholds scaled to test data, Spark must inject a
+    bloom_filter_agg on the filtered creation side and a might_contain
+    filter on the fact side BEFORE its shuffle — rows dropped pre-
+    exchange instead of post-join."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    keys = ["spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1KB")     # sf-scaled stand-in for 10GB
+        spark.conf.set(keys[1], "-1")      # force the shuffle-join path
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = (spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+                  .filter(F.col("o_totalprice") > 400000))
+        j = (li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+               .groupBy("l_returnflag").count())
+        p = plan(j)
+        assert "bloom_filter_agg" in p
+        # the bloom probe filters the FACT key (l_orderkey), i.e. the
+        # filter landed on the application side, not the creation side
+        probe = [ln for ln in p.splitlines() if "might_contain" in ln]
+        assert probe and any("l_orderkey" in ln for ln in probe)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
