@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "llm_vocab_coverage",
     "llm_epoch_shuffle",
     "llm_ngram_novelty",
+    "llm_dedup_cluster_stats",
 ]
 
 

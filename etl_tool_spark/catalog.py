@@ -4416,6 +4416,41 @@ def llm_semantic_dedup_groups(spark, sf_dir):
                        .alias("group_size"))
 
 
+@query("llm_dedup_cluster_stats", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+ lab AS (SELECT d.doc_id,
+                coalesce(least(c.mn, d.doc_id), d.doc_id) AS group_id
+         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+ g AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY group_id)
+SELECT group_size, count(*) AS n_groups,
+       (group_size * count(*))::BIGINT AS n_docs
+FROM g GROUP BY group_size
+""")
+def llm_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup PLANNING report
+    read before committing to a dedup pass: n_docs at group_size 1 is
+    the unique mass; the tail (large clusters) is boilerplate/mirror
+    content whose removal saving is (size-1)/size of its mass. Composes
+    the CC labels (llm_dedup_groups, window column pruned away since
+    only (doc, group) survives the select) with two vocabulary-small
+    aggregations; nothing after the label join touches more rows than
+    there are groups."""
+    lab = llm_dedup_groups(spark, sf_dir).select("doc_id", "group_id")
+    g = lab.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return (g.groupBy("group_size")
+             .agg(F.count(F.lit(1)).alias("n_groups"))
+             .select("group_size", "n_groups",
+                     (F.col("group_size") * F.col("n_groups"))
+                     .cast("long").alias("n_docs")))
+
+
 @query("llm_temperature_mix", """
 WITH w AS (
   SELECT source,
