@@ -32,6 +32,28 @@ __all__ = ["near_dedup_stream", "exact_dedup_stream",
            "semantic_ingest_stream", "land_semantic_batch"]
 
 
+def _batch_marker(store_dir: str, batch_id: int):
+    """O(1) idempotency check for a (store, batch) application: returns
+    (already_applied, commit_fn). The marker is written AFTER the
+    batch's land + store writes succeed, so a replay of a FULLY-applied
+    batch is a no-op (no duplicate landing rows, no duplicate store
+    signatures) — effectively-once for every crash outside the narrow
+    append→marker window, where the documented at-least-once semantics
+    (collapse on batch_id) still hold. The check costs one stat call,
+    never a scan of the growing store."""
+    import os
+
+    marker_dir = os.path.join(store_dir, "_applied")
+    marker = os.path.join(marker_dir, str(batch_id))
+
+    def commit() -> None:
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    return os.path.exists(marker), commit
+
+
 def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                out_dir: str, id_col: str = "doc_id",
                text_col: str = "text") -> None:
@@ -40,7 +62,11 @@ def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     state a crash can leave is landed-but-not-remembered, which a
     replay turns into a duplicate landing (at-least-once); the reverse
     order's intermediate state (remembered-but-not-landed) would make
-    the replay drop the batch silently."""
+    the replay drop the batch silently. A replay of a fully-applied
+    batch is a no-op (_batch_marker)."""
+    applied, commit = _batch_marker(store_dir, batch_id)
+    if applied:
+        return
     fresh = incremental_exact_dedup(batch_df, store_dir,
                                     id_col=id_col, text_col=text_col,
                                     update_store=False)
@@ -48,6 +74,7 @@ def land_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
           .write.mode("append").parquet(out_dir))
     (fresh.select(fingerprint(F.col(text_col)).alias("_fp"))
           .write.mode("append").parquet(store_dir))
+    commit()
 
 
 def near_dedup_stream(docs: DataFrame, store_dir: str, pairs_dir: str,
@@ -180,7 +207,13 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
 
     Same land-before-store crash order as land_batch: a replayed batch
     re-lands (at-least-once, collapse on batch_id), never silently
-    drops."""
+    drops; a replay of a FULLY-applied batch is a no-op
+    (_batch_marker) — without the marker it would also re-append its
+    survivors' signatures (same-id pairs are excluded by a < b, so the
+    store copy cannot flag its own replay)."""
+    applied, commit = _batch_marker(store_dir, batch_id)
+    if applied:
+        return
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
                   if k in ("num_hashes", "bands", "shingle_n")}
     pairs = incremental_minhash_pairs(
@@ -191,6 +224,7 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
               .write.mode("append").parquet(out_dir))
     append_signatures(survivors, store_dir, id_col=id_col,
                       text_col=text_col, **sig_kwargs)
+    commit()
 
 
 def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
@@ -224,10 +258,14 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     cosine-near-duplicates a landed survivor (stored wins) or a
     smaller-id batch sibling; only survivor vectors + band keys enter
     the store (llm/similarity.py incremental store). Same
-    land-before-store crash order."""
+    land-before-store crash order and _batch_marker replay no-op as
+    land_near_batch."""
     from etl_tool_spark.llm.similarity import (append_embedding_signatures,
                                                incremental_embedding_pairs)
 
+    applied, commit = _batch_marker(store_dir, batch_id)
+    if applied:
+        return
     pairs = incremental_embedding_pairs(
         batch_df, store_dir, threshold=threshold, id_col=id_col,
         vec_col=vec_col, update_store=False, **lsh_kwargs)
@@ -236,6 +274,7 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
               .write.mode("append").parquet(out_dir))
     append_embedding_signatures(survivors, store_dir, id_col=id_col,
                                 vec_col=vec_col, **lsh_kwargs)
+    commit()
 
 
 def semantic_ingest_stream(vecs: DataFrame, store_dir: str, out_dir: str,

@@ -680,3 +680,32 @@ def test_semantic_ingest_gate(spark, tmp_path):
     fold = {r["vec_id"]
             for r in spark.read.parquet(str(tmp_path / "fl")).collect()}
     assert fold == got
+
+
+def test_ingest_gate_replay_is_noop(spark, tmp_path):
+    """Replaying a FULLY-applied batch (same batch_id) must change
+    neither the landing zone nor the signature store — the _batch_marker
+    effectively-once contract. (Same-id pairs are excluded by a < b, so
+    without the marker the store copy could not flag its own replay and
+    signatures would silently duplicate.)"""
+    from etl_tool_spark.streaming.dedup import land_batch, land_near_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    b1 = spark.createDataFrame([(1, base + " ONE"), (2, "unique text here")],
+                               "doc_id long, text string")
+
+    store, out = str(tmp_path / "ns"), str(tmp_path / "nl")
+    land_near_batch(b1, 7, store, out)
+    landed1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    sig1 = spark.read.parquet(store + "/sig").count()
+    land_near_batch(b1, 7, store, out)          # replay after success
+    assert sorted(r["doc_id"]
+                  for r in spark.read.parquet(out).collect()) == landed1
+    assert spark.read.parquet(store + "/sig").count() == sig1
+
+    estore, eout = str(tmp_path / "es"), str(tmp_path / "el")
+    land_batch(b1, 3, estore, eout)
+    n1 = spark.read.parquet(eout).count()
+    land_batch(b1, 3, estore, eout)             # replay after success
+    assert spark.read.parquet(eout).count() == n1
