@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "llm_epoch_shuffle",
     "llm_ngram_novelty",
     "llm_dedup_cluster_stats",
+    "er_trigram_join",
 ]
 
 

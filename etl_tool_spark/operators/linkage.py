@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.text import hash64
 
-__all__ = ["deletion_neighborhood", "edit_distance_join"]
+__all__ = ["deletion_neighborhood", "edit_distance_join",
+           "char_ngrams", "trigram_join"]
 
 
 def _one_deletes(s: Column) -> Column:
@@ -101,3 +102,64 @@ def edit_distance_join(left: DataFrame, right: DataFrame,
     dist = F.levenshtein(F.col(left_on), F.col(right_on))
     return (cands.withColumn("distance", dist)
                  .filter(F.col("distance") <= max_distance))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string (pg_trgm-style, without
+    padding). Strings shorter than ``n`` contribute themselves, so no
+    row silently vanishes from the index."""
+    s = col.cast("string")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n))
+    return F.array_distinct(grams)
+
+
+def trigram_join(left: DataFrame, right: DataFrame,
+                 left_on: str, right_on: str,
+                 threshold: float = 0.5, n: int = 3,
+                 max_df: int | None = None) -> DataFrame:
+    """All cross-table pairs with character-n-gram Jaccard similarity
+    >= ``threshold`` — the pg_trgm `%` fuzzy join, scale-shaped. Where
+    edit_distance_join matches near-identical short strings (distance
+    ≤ 2), trigram Jaccard tolerates proportionally more divergence in
+    longer strings (word swaps, multi-char typos).
+
+    Shape: distinct n-grams build map-side on each row; the inverted-
+    index equi-join on the gram counts |A∩B| directly (one partial-
+    agg'd shuffle on the gram); set sizes join back and the Jaccard
+    |A∩B| / (|A|+|B|-|A∩B|) filters. Nothing is quadratic in either
+    table — cost scales with gram co-occurrence, not |L|×|R|.
+
+    ``max_df``: drop grams indexed by more than ``max_df`` rows per
+    side from CANDIDATE GENERATION (the pg_trgm common-gram problem:
+    'the' pairs everything). Exactness caveat — a true pair sharing
+    ONLY dropped grams is missed, so the default None keeps the exact
+    contract the oracle checks; set it at scale where hot grams would
+    otherwise dominate the shuffle. Returns left + right columns +
+    ``similarity``; column names must not overlap."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"trigram_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first")
+    lg = left.select(*left.columns,
+                     F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
+    rg = right.select(*right.columns,
+                      F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
+    if max_df is not None:
+        l_hot = (lg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > max_df).select("_g"))
+        r_hot = (rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > max_df).select("_g"))
+        lg = lg.join(l_hot, "_g", "left_anti")
+        rg = rg.join(r_hot, "_g", "left_anti")
+    inter = (lg.join(rg, "_g")
+               .groupBy(*left.columns, *right.columns)
+               .agg(F.count(F.lit(1)).alias("_i")))
+    sim = F.col("_i") / (F.size(char_ngrams(F.col(left_on), n))
+                         + F.size(char_ngrams(F.col(right_on), n))
+                         - F.col("_i"))
+    return (inter.filter(sim >= threshold)
+                 .select(*left.columns, *right.columns,
+                         F.round(sim, 6).alias("similarity")))

@@ -508,3 +508,36 @@ def test_deletion_neighborhood_depth_two_counts(spark):
           .first()["n"]
     assert n == 11
 
+
+
+def test_trigram_join_matches_and_caps(spark):
+    """trigram_join finds proportionally-damaged matches a cartesian-free
+    way; max_df drops hot grams from candidate generation (capped output
+    ⊆ exact output); short strings still index (whole-string gram)."""
+    from etl_tool_spark.operators.linkage import char_ngrams, trigram_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "completely different"),
+         (3, "ab")], "lid long, ltxt string")
+    right = spark.createDataFrame(
+        [(10, "the quick brwn fox jumps"),   # 3-gram overlap high
+         (11, "nothing shared here at all"), (12, "ab")],
+        "rid long, rtxt string")
+    out = {(r["lid"], r["rid"]): r["similarity"]
+           for r in trigram_join(left, right, "ltxt", "rtxt",
+                                 threshold=0.5).collect()}
+    assert (1, 10) in out and out[(1, 10)] < 1.0
+    assert (3, 12) in out and out[(3, 12)] == 1.0   # whole-string gram
+    assert (2, 11) not in out
+    capped = {(r["lid"], r["rid"])
+              for r in trigram_join(left, right, "ltxt", "rtxt",
+                                    threshold=0.5, max_df=2).collect()}
+    assert capped <= set(out)
+    # gram builder: short string -> itself; no empty grams
+    g = left.select(char_ngrams(F.col("ltxt")).alias("g")).collect()
+    assert ["ab"] == g[2]["g"]
+    with __import__("pytest").raises(ValueError):
+        trigram_join(left.withColumnRenamed("ltxt", "same"),
+                     right.withColumnRenamed("rtxt", "same"),
+                     "same", "same")
