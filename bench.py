@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "llm_ngram_novelty",
     "llm_dedup_cluster_stats",
     "er_trigram_join",
+    "agg_histogram_equidepth",
 ]
 
 

@@ -4675,3 +4675,47 @@ def er_trigram_join(spark, sf_dir):
                    "cast(doc_id % 30 as int) + 4)")).alias("dirty_title"))
     j = trigram_join(cat, dirty, "cat_title", "dirty_title", threshold=0.5)
     return j.select("cat_id", "dirty_id", "similarity")
+
+
+@query("agg_histogram_equidepth", """
+WITH c AS (SELECT (round(l_extendedprice * 100))::BIGINT AS cents
+           FROM lineitem),
+ b AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS q FROM c)
+SELECT CASE WHEN cents <= q[1] THEN 0
+            WHEN cents <= q[2] THEN 1
+            WHEN cents <= q[3] THEN 2
+            ELSE 3 END AS bucket,
+       count(*) AS n,
+       round(min(cents) / 100.0, 2) AS lo,
+       round(max(cents) / 100.0, 2) AS hi
+FROM c CROSS JOIN b
+GROUP BY 1
+""")
+def agg_histogram_equidepth(spark, sf_dir):
+    """Equi-depth (quantile-bucketed) histogram — agg_histogram's
+    fixed-width twin for skewed columns, where equal-width buckets
+    leave most bins empty. Two passes over the fact column: exact
+    quartile boundaries in one aggregate, broadcast back as a scalar
+    row; bucket assignment + per-bucket stats in one partial-agg'd
+    shuffle. Prices quantize to integer cents first, so the
+    interpolated boundaries are sums/quarters of integers —
+    bit-identical in both engines (dividing by 4 is exact in binary).
+    At 100 TB swap the boundary pass to approx_percentile(ε) — same
+    downstream shape, documented error; the exact form here is the
+    oracle contract."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    b = li.agg(F.percentile(F.col("cents"),
+                            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                .alias("q"))
+    q = F.col("q")
+    bucket = (F.when(F.col("cents") <= q[0], 0)
+               .when(F.col("cents") <= q[1], 1)
+               .when(F.col("cents") <= q[2], 2)
+               .otherwise(3))
+    return (li.crossJoin(F.broadcast(b))
+              .select(bucket.alias("bucket"), "cents")
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.min("cents") / 100.0, 2).alias("lo"),
+                   F.round(F.max("cents") / 100.0, 2).alias("hi")))
