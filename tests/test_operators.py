@@ -541,3 +541,48 @@ def test_trigram_join_matches_and_caps(spark):
         trigram_join(left.withColumnRenamed("ltxt", "same"),
                      right.withColumnRenamed("rtxt", "same"),
                      "same", "same")
+
+
+def test_trigram_join_differential_bruteforce(spark):
+    """Seeded differential: trigram_join over random strings (some
+    corrupted copies, some unrelated) must equal the brute-force
+    all-pairs Jaccard computed in plain Python — pair set AND rounded
+    similarity values."""
+    import random
+
+    from etl_tool_spark.operators.linkage import trigram_join
+
+    rng = random.Random(42)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+
+    def sentence():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+
+    lrows = [(i, sentence()) for i in range(25)]
+    rrows = []
+    for j in range(25):
+        if j % 2 == 0:                       # corrupted copy of some left
+            s = lrows[j % len(lrows)][1]
+            k = rng.randrange(max(len(s) - 3, 1))
+            rrows.append((100 + j, s[:k] + s[k + 3:]))
+        else:
+            rrows.append((100 + j, sentence()))
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    want = {}
+    for li, ls in lrows:
+        for ri, rs in rrows:
+            a, b = grams(ls), grams(rs)
+            sim = len(a & b) / len(a | b)
+            if sim >= 0.5:
+                want[(li, ri)] = round(sim, 6)
+
+    left = spark.createDataFrame(lrows, "lid long, ltxt string")
+    right = spark.createDataFrame(rrows, "rid long, rtxt string")
+    got = {(r["lid"], r["rid"]): r["similarity"]
+           for r in trigram_join(left, right, "ltxt", "rtxt",
+                                 threshold=0.5).collect()}
+    assert got == want and want
