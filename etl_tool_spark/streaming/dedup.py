@@ -29,7 +29,8 @@ from etl_tool_spark.llm.text import fingerprint
 __all__ = ["near_dedup_stream", "exact_dedup_stream",
            "clean_ingest_stream", "land_batch",
            "near_dedup_ingest_stream", "land_near_batch",
-           "semantic_ingest_stream", "land_semantic_batch"]
+           "semantic_ingest_stream", "land_semantic_batch",
+           "full_clean_ingest_stream", "land_clean_batch"]
 
 
 def _batch_marker(store_dir: str, batch_id: int):
@@ -292,6 +293,85 @@ def semantic_ingest_stream(vecs: DataFrame, store_dir: str, out_dir: str,
                             threshold=threshold, **lsh_kwargs)
 
     q = (vecs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                     out_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", **minhash_kwargs) -> None:
+    """Full cleaning gate for one (already quality/language-filtered)
+    batch — the streaming twin of llm/pipeline.py clean_corpus's dedup
+    stages over one store family:
+
+      exact:  keep the min-id representative per normalized fingerprint
+              (batch-internal) that is not already fingerprint-stored;
+      near:   drop representatives near-duplicating a LANDED survivor
+              or a smaller-id batch sibling (_gate_survivors policy);
+      land:   survivors append to ``out_dir``; only SURVIVOR
+              fingerprints + signatures enter the store — both stores
+              describe exactly the landed corpus, so a later exact copy
+              of a never-landed doc is judged (correctly) against what
+              the corpus actually kept.
+
+    Store layout: ``store_dir/fp`` fingerprints, ``store_dir/sig`` +
+    ``store_dir/bands`` minhash tables, ``store_dir/_applied`` batch
+    markers (land-before-store order; replay of a fully-applied batch
+    is a no-op)."""
+    import os
+
+    applied, commit = _batch_marker(store_dir, batch_id)
+    if applied:
+        return
+    fresh = incremental_exact_dedup(batch_df, os.path.join(store_dir, "fp"),
+                                    id_col=id_col, text_col=text_col,
+                                    update_store=False)
+    pairs = incremental_minhash_pairs(
+        fresh, store_dir, id_col=id_col, text_col=text_col,
+        update_store=False, **minhash_kwargs)
+    survivors = _gate_survivors(fresh, pairs, id_col)
+    (survivors.withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(out_dir))
+    (survivors.select(fingerprint(F.col(text_col)).alias("_fp"))
+              .write.mode("append").parquet(os.path.join(store_dir, "fp")))
+    sig_kwargs = {k: v for k, v in minhash_kwargs.items()
+                  if k in ("num_hashes", "bands", "shingle_n")}
+    append_signatures(survivors, store_dir, id_col=id_col,
+                      text_col=text_col, **sig_kwargs)
+    commit()
+
+
+def full_clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
+                             checkpoint: str, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_quality: float = 0.5, **minhash_kwargs):
+    """The COMPLETE streaming cleaning pipeline — clean_corpus as an
+    ingest gate: stateless quality + language filters run on the stream
+    frame (pushed into each micro-batch's scan), then every batch
+    passes the exact and near-dup gates against the landed corpus
+    (land_clean_batch). The landing zone is always filtered, exactly
+    deduped, and pairwise near-dup-free."""
+    from etl_tool_spark.llm.text import language_id, quality_features, tokens
+
+    base = docs.select("*", tokens(F.col(text_col)).alias("_toks"))
+    feats = quality_features(F.col(text_col), toks=F.col("_toks"))
+    kept = (base.select("*",
+                        feats["quality_score"].alias("_q"),
+                        language_id(F.col(text_col),
+                                    toks=F.col("_toks")).alias("_lang"))
+                .filter((F.col("_q") >= min_quality)
+                        & (F.col("_lang") != "und"))
+                .drop("_toks", "_q", "_lang"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        land_clean_batch(batch_df, batch_id, store_dir, out_dir,
+                         id_col=id_col, text_col=text_col, **minhash_kwargs)
+
+    q = (kept.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update")
          .trigger(availableNow=True)

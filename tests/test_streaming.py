@@ -709,3 +709,67 @@ def test_ingest_gate_replay_is_noop(spark, tmp_path):
     n1 = spark.read.parquet(eout).count()
     land_batch(b1, 3, estore, eout)             # replay after success
     assert spark.read.parquet(eout).count() == n1
+
+
+def test_full_clean_ingest_stream(spark, tmp_path):
+    """The complete streaming cleaning gate: the landing zone is
+    quality/language-filtered, exactly deduped, pairwise near-dup-free,
+    and equals the sequential land_clean_batch fold over the same
+    (pre-filtered) batches."""
+    from etl_tool_spark.llm.dedup import minhash_dedup_pairs
+    from etl_tool_spark.llm.text import (fingerprint, language_id,
+                                         quality_features, tokens)
+    from etl_tool_spark.streaming.dedup import (full_clean_ingest_stream,
+                                                land_clean_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .limit(300).cache())
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 != 0)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    full_clean_ingest_stream(stream, str(tmp_path / "store"),
+                             str(tmp_path / "landed"),
+                             str(tmp_path / "ckpt"))
+    landed = spark.read.parquet(str(tmp_path / "landed")).cache()
+    got = {r["doc_id"] for r in landed.collect()}
+    assert got, "gate landed nothing"
+
+    # 1. every landed doc passes the stateless filters
+    base = landed.select("*", tokens(F.col("text")).alias("_toks"))
+    feats = quality_features(F.col("text"), toks=F.col("_toks"))
+    bad = (base.select(feats["quality_score"].alias("_q"),
+                       language_id(F.col("text"),
+                                   toks=F.col("_toks")).alias("_lang"))
+               .filter((F.col("_q") < 0.5) | (F.col("_lang") == "und")))
+    assert bad.count() == 0
+
+    # 2. no two landed docs share a fingerprint
+    fps = landed.select(fingerprint(F.col("text")).alias("_fp"))
+    assert fps.count() == fps.distinct().count()
+
+    # 3. pairwise near-dup-free under the same hash family
+    assert minhash_dedup_pairs(landed.select("doc_id", "text")).count() == 0
+
+    # 4. sequential fold over pre-filtered batches lands the same set
+    def filt(df):
+        b = df.select("*", tokens(F.col("text")).alias("_toks"))
+        f = quality_features(F.col("text"), toks=F.col("_toks"))
+        return (b.select("*", f["quality_score"].alias("_q"),
+                         language_id(F.col("text"),
+                                     toks=F.col("_toks")).alias("_lang"))
+                 .filter((F.col("_q") >= 0.5) & (F.col("_lang") != "und"))
+                 .drop("_toks", "_q", "_lang"))
+
+    land_clean_batch(filt(b1), 0, str(tmp_path / "fs"), str(tmp_path / "fl"))
+    land_clean_batch(filt(b2), 1, str(tmp_path / "fs"), str(tmp_path / "fl"))
+    fold = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "fl")).collect()}
+    assert fold == got
+    landed.unpersist()
+    docs.unpersist()
