@@ -9,11 +9,15 @@ each near-dup pair exactly when its *younger* member arrives, and the
 union of all batches' outputs equals the one-shot batch pipeline over
 everything ingested (the property tested for the batch API).
 
-Delivery semantics: foreachBatch + checkpoint gives at-least-once here —
-a batch replayed after a crash would re-append its signatures and pairs.
-A production deployment makes the sink idempotent by keying on batch_id
-(kept as a column for exactly that) or lands both writes in a
-snapshot-isolated table format; raw parquet keeps this module
+Delivery semantics: foreachBatch + checkpoint replays a batch only if
+it did not commit. The ingest GATES write an O(1) _applied/<batch_id>
+marker after their land + store writes (_batch_marker), so a replay of
+a fully-applied batch is a no-op — effectively-once everywhere except a
+crash inside the narrow append→marker window, where the land-before-
+store order degrades to at-least-once (duplicate landings keyed by
+batch_id, never silent loss). The pair-REPORT stream keeps plain
+at-least-once; a production deployment lands both writes in a
+snapshot-isolated table format — raw parquet keeps this module
 dependency-free."""
 
 from __future__ import annotations
