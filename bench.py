@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "llm_dedup_cluster_stats",
     "er_trigram_join",
     "agg_histogram_equidepth",
+    "events_sliding_distinct",
 ]
 
 

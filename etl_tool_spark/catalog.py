@@ -4719,3 +4719,40 @@ def agg_histogram_equidepth(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.min("cents") / 100.0, 2).alias("lo"),
                    F.round(F.max("cents") / 100.0, 2).alias("hi")))
+
+
+@query("events_sliding_distinct", """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events),
+ days AS (SELECT DISTINCT day FROM du),
+ fan AS (SELECT unnest(range(day, day + INTERVAL 7 DAY,
+                             INTERVAL 1 DAY)) AS day, user_id
+         FROM du)
+SELECT f.day::TIMESTAMP AS day, count(DISTINCT user_id) AS users_7d
+FROM fan f JOIN days d ON d.day = f.day
+GROUP BY 1
+""")
+def events_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day — the rolling-MAU
+    shape that window functions cannot express (COUNT(DISTINCT) over a
+    moving frame isn't supported in either engine's window path). The
+    scale formulation: dedupe events to (day, user) FIRST (one
+    partial-agg'd shuffle over the raw stream), then fan each pair out
+    map-side to the 7 target days it contributes to, keep observed days
+    via a broadcast calendar semi-join, and distinct-count per day. The
+    ×7 fan-out runs on the DEDUPED pairs (bounded by days×users), never
+    the raw event stream; the sketch-store alternative
+    (operators/sketches.py, HLL union over day sketches) is the
+    documented approximate path when exactness can be traded."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        du = (e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+               .distinct())
+        days = du.select("day").distinct()
+        fan = du.select(
+            F.explode(F.expr("sequence(day, day + interval 6 days, "
+                             "interval 1 day)")).alias("day"),
+            "user_id")
+        return _stamp(fan.join(F.broadcast(days), "day")
+                         .groupBy("day")
+                         .agg(F.countDistinct("user_id").alias("users_7d")))
