@@ -168,7 +168,20 @@ def _columnar_writer(df: DataFrame, options: dict[str, Any]):
 
 
 def write_parquet(df: DataFrame, path: str, options: dict[str, Any]) -> None:
-    _columnar_writer(df, options).parquet(path)
+    """``bloomFilterColumns`` (list) writes a parquet bloom filter per
+    listed column: point-lookup predicates (`key = x`, joins on the
+    key) then skip row groups whose filter proves absence — the
+    file-level complement to min/max stats, which are useless for
+    high-cardinality unsorted keys (every row group spans the whole
+    value range, but blooms still prune). ``bloomFilterExpectedItems``
+    sizes the filters (default 1M distinct per row group)."""
+    writer = _columnar_writer(df, options)
+    for col in options.get("bloomFilterColumns") or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{col}",
+            int(options.get("bloomFilterExpectedItems", 1_000_000)))
+    writer.parquet(path)
 
 
 def write_orc(df: DataFrame, path: str, options: dict[str, Any]) -> None:

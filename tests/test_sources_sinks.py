@@ -524,3 +524,31 @@ def test_jdbc_reader_sets_query_timeout(spark, monkeypatch):
     registry.read_jdbc(spark, "SELECT 1",
                        {"url": "jdbc:postgresql://x/db", "queryTimeout": 0})
     assert seen["queryTimeout"] == 0
+
+
+def test_parquet_bloom_filter_columns(spark, tmp_path):
+    """bloomFilterColumns writes per-column parquet bloom filters:
+    the footer grows by the serialized filter (sized by expected NDV)
+    and the data reads back identically. (pyarrow in this container
+    doesn't expose bloom_filter_offset, so the size delta — stable and
+    order-of-kilobytes — is the observable.)"""
+    import glob
+    import os
+
+    from etl_tool_spark.sources.sinks import write_parquet
+
+    df = (spark.range(20000)
+               .selectExpr("id", "cast(id % 7 as string) as cat")
+               .coalesce(1))
+    plain_dir, bloom_dir = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_parquet(df, plain_dir, {})
+    write_parquet(df, bloom_dir, {"bloomFilterColumns": ["id"],
+                                  "bloomFilterExpectedItems": 20000})
+    size = {d: sum(os.path.getsize(f)
+                   for f in glob.glob(d + "/*.parquet"))
+            for d in (plain_dir, bloom_dir)}
+    assert size[bloom_dir] > size[plain_dir] + 1024, size
+    got = spark.read.parquet(bloom_dir)
+    assert got.count() == 20000
+    assert (got.orderBy("id").collect()
+            == spark.read.parquet(plain_dir).orderBy("id").collect())
