@@ -4756,3 +4756,51 @@ def events_sliding_distinct(spark, sf_dir):
         return _stamp(fan.join(F.broadcast(days), "day")
                          .groupBy("day")
                          .agg(F.countDistinct("user_id").alias("users_7d")))
+
+@query("llm_ingest_gate_fold", f"""
+WITH p AS ({_oracle_minhash()}),
+ drops1 AS (SELECT DISTINCT b AS doc_id FROM p
+            WHERE a % 2 = 0 AND b % 2 = 0),
+ s1 AS (SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 0
+          AND doc_id NOT IN (SELECT doc_id FROM drops1)),
+ drops2 AS (
+   SELECT DISTINCT CASE WHEN a % 2 = 1 AND b % 2 = 1 THEN b
+                        WHEN a % 2 = 1 THEN a
+                        ELSE b END AS doc_id
+   FROM p
+   WHERE (a % 2 = 1 AND b % 2 = 1)
+      OR (a % 2 = 1 AND b % 2 = 0 AND b IN (SELECT doc_id FROM s1))
+      OR (a % 2 = 0 AND b % 2 = 1 AND a IN (SELECT doc_id FROM s1))),
+ s2 AS (SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM drops2))
+SELECT doc_id, 0::BIGINT AS batch_id FROM s1
+UNION ALL
+SELECT doc_id, 1::BIGINT AS batch_id FROM s2
+""")
+def llm_ingest_gate_fold(spark, sf_dir):
+    """The streaming near-dup ingest gate as an oracle-checked batch
+    fold: the corpus arrives as two batches (even ids, then odd ids);
+    each batch lands only documents that near-duplicate neither a
+    LANDED survivor nor a smaller-id batch sibling
+    (streaming/dedup.py land_near_batch — keep-earliest policy,
+    survivor-only store updates). The oracle replays the same decision
+    procedure in SQL over the full-corpus LSH pair set: batch-1 drops =
+    higher ids of even-even pairs; batch-2 drops = odd members of pairs
+    whose partner is a batch-1 SURVIVOR (dropped evens cannot flag
+    anyone — they never entered the store) plus higher ids of odd-odd
+    pairs. This hash-checks the gate's store semantics end-to-end, not
+    just its pytest fold."""
+    import tempfile
+
+    from etl_tool_spark.streaming.dedup import land_near_batch
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="etl_gate_fold_")
+    store, out = f"{base}/store", f"{base}/landed"
+    land_near_batch(d.filter(F.col("doc_id") % 2 == 0), 0, store, out)
+    land_near_batch(d.filter(F.col("doc_id") % 2 == 1), 1, store, out)
+    return (spark.read.parquet(out)
+                 .select("doc_id",
+                         F.col("batch_id").cast("long").alias("batch_id")))
