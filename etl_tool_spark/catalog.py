@@ -4804,3 +4804,56 @@ def llm_ingest_gate_fold(spark, sf_dir):
     return (spark.read.parquet(out)
                  .select("doc_id",
                          F.col("batch_id").cast("long").alias("batch_id")))
+
+
+@query("llm_semantic_gate_fold", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.45),
+ drops1 AS (SELECT DISTINCT b AS vec_id FROM p
+            WHERE a % 2 = 0 AND b % 2 = 0),
+ s1 AS (SELECT vec_id FROM embeddings
+        WHERE vec_id % 2 = 0
+          AND vec_id NOT IN (SELECT vec_id FROM drops1)),
+ drops2 AS (
+   SELECT DISTINCT CASE WHEN a % 2 = 1 AND b % 2 = 1 THEN b
+                        WHEN a % 2 = 1 THEN a
+                        ELSE b END AS vec_id
+   FROM p
+   WHERE (a % 2 = 1 AND b % 2 = 1)
+      OR (a % 2 = 1 AND b % 2 = 0 AND b IN (SELECT vec_id FROM s1))
+      OR (a % 2 = 0 AND b % 2 = 1 AND a IN (SELECT vec_id FROM s1))),
+ s2 AS (SELECT vec_id FROM embeddings
+        WHERE vec_id % 2 = 1
+          AND vec_id NOT IN (SELECT vec_id FROM drops2))
+SELECT vec_id, 0::BIGINT AS batch_id FROM s1
+UNION ALL
+SELECT vec_id, 1::BIGINT AS batch_id FROM s2
+""")
+def llm_semantic_gate_fold(spark, sf_dir):
+    """The semantic (embedding-cosine) ingest gate as an oracle-checked
+    batch fold — llm_ingest_gate_fold's twin over sign-LSH cosine pairs
+    (streaming/dedup.py land_semantic_batch). The oracle brute-forces
+    the cosine pairs (the small-n twin of the banded candidates, same
+    pattern as llm_semantic_dedup_groups) and replays the keep-earliest
+    decision: dropped vectors never enter the store, so they flag
+    nothing."""
+    import tempfile
+
+    from etl_tool_spark.streaming.dedup import land_semantic_batch
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="etl_sem_gate_fold_")
+    store, out = f"{base}/store", f"{base}/landed"
+    kw = dict(threshold=0.45, dim=64, bands=64, rows_per_band=6)
+    land_semantic_batch(emb.filter(F.col("vec_id") % 2 == 0), 0,
+                        store, out, **kw)
+    land_semantic_batch(emb.filter(F.col("vec_id") % 2 == 1), 1,
+                        store, out, **kw)
+    return (spark.read.parquet(out)
+                 .select("vec_id",
+                         F.col("batch_id").cast("long").alias("batch_id")))
