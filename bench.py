@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "er_trigram_join",
     "agg_histogram_equidepth",
     "events_sliding_distinct",
+    "events_funnel_windowed",
 ]
 
 

@@ -4857,3 +4857,60 @@ def llm_semantic_gate_fold(spark, sf_dir):
     return (spark.read.parquet(out)
                  .select("vec_id",
                          F.col("batch_id").cast("long").alias("batch_id")))
+
+
+@query("events_funnel_windowed", """
+WITH s AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END)
+                    AS t_signup
+           FROM events GROUP BY user_id),
+ v AS (SELECT e.user_id, min(e.ts) AS t_view
+       FROM events e JOIN s ON e.user_id = s.user_id
+       WHERE e.event_type = 'view' AND e.ts > s.t_signup
+         AND e.ts <= s.t_signup + INTERVAL 24 HOUR
+       GROUP BY e.user_id),
+ p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+       FROM events e JOIN v ON e.user_id = v.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+         AND e.ts <= v.t_view + INTERVAL 24 HOUR
+       GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_users,
+       (SELECT count(t_signup) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_view_24h,
+       (SELECT count(*) FROM p) AS n_purchase_24h
+""")
+def events_funnel_windowed(spark, sf_dir):
+    """Time-bounded funnel: signup → first view within 24 h of signup →
+    first purchase within 24 h of THAT view. Unlike events_funnel's
+    single-pass conditional-min collapse (whole-history ordering), each
+    step's deadline depends on the previous step's achieved time, so
+    the shape is the step-chained join-back: per-user step times
+    aggregate, join back to events, re-aggregate — three shuffles, all
+    hashed on user_id, so the lineage reuses one partitioning end to
+    end. Step frames shrink monotonically (only converting users
+    survive), and the final counts attach as broadcast scalars."""
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        s = e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+             .alias("t_signup"))
+        sj = s.filter(F.col("t_signup").isNotNull())
+        v = (e.join(sj, "user_id")
+              .filter((F.col("event_type") == "view")
+                      & (F.col("ts") > F.col("t_signup"))
+                      & (F.col("ts") <= F.col("t_signup")
+                         + F.expr("INTERVAL 24 HOURS")))
+              .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+        p = (e.join(v, "user_id")
+              .filter((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("t_view"))
+                      & (F.col("ts") <= F.col("t_view")
+                         + F.expr("INTERVAL 24 HOURS")))
+              .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+        totals = s.agg(F.count(F.lit(1)).alias("n_users"),
+                       F.count("t_signup").alias("n_signup"))
+        return _stamp(
+            totals.crossJoin(F.broadcast(
+                      v.agg(F.count(F.lit(1)).alias("n_view_24h"))))
+                  .crossJoin(F.broadcast(
+                      p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))))
