@@ -134,7 +134,10 @@ def main() -> None:
     # it, so one extra repeat is needed before the timing stabilizes
     # (measured: run sequences like 15.7s → 6.3s on identical plans)
     heavy = {"llm_minhash_lsh_pairs", "llm_simhash_near_pairs",
-             "llm_clean_corpus", "llm_dedup_groups"}
+             "llm_clean_corpus", "llm_dedup_groups",
+             "llm_incremental_dedup", "llm_semantic_dedup_groups",
+             "llm_dedup_cluster_stats", "er_edit_distance_join_d2",
+             "er_trigram_join"}
 
     # compile + JIT every query's generated code on the tiny sf0.001
     # tables first: the plan SHAPE (and therefore the generated source,
