@@ -826,7 +826,7 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
 
 
-def _oracle_minhash() -> str:
+def _oracle_minhash(src: str = "documents") -> str:
     num_hashes, bands, rows = 16, 8, 2
     from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
 
@@ -842,7 +842,7 @@ def _oracle_minhash() -> str:
         for b in range(bands))
     return f"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-              FROM documents),
+              FROM {src}),
  sh AS (SELECT doc_id,
                CASE WHEN len(toks) >= 3 THEN
                  list_transform(range(1, len(toks) - 1),
@@ -4917,3 +4917,100 @@ def events_funnel_windowed(spark, sf_dir):
                       v.agg(F.count(F.lit(1)).alias("n_view_24h"))))
                   .crossJoin(F.broadcast(
                       p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))))
+
+
+def _oracle_clean_gate_fold() -> str:
+    allstop = "[" + ", ".join(
+        f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+           (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+             / greatest(length(tt), 1) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains({allstop}, x)))
+             / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+             AS stop_ratio,
+           len(list_filter(toks, x -> list_contains({allstop}, x)))
+             AS any_hits
+    FROM (SELECT doc_id, text, trim(text) AS tt,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents))
+  WHERE floor((least(n_tokens / 20.0, 1.0) * 0.4
+              + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+              + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000 >= 0.5
+    AND any_hits > 0),
+ fpv AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         FROM kept),
+ b1m AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id % 2 = 0
+         GROUP BY f),
+ b1fresh AS (SELECT k.doc_id, k.text FROM kept k JOIN b1m USING (doc_id)),
+ b2m AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id % 2 = 1
+         GROUP BY f),
+ b2pool AS (SELECT k.doc_id, k.text FROM kept k JOIN b2m USING (doc_id)),
+ pool AS (SELECT doc_id, text FROM b1fresh
+          UNION ALL SELECT doc_id, text FROM b2pool),
+ p AS ({_oracle_minhash("pool")}),
+ drops1 AS (SELECT DISTINCT b AS doc_id FROM p
+            WHERE a % 2 = 0 AND b % 2 = 0),
+ s1 AS (SELECT doc_id FROM b1fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops1)),
+ s1f AS (SELECT f FROM fpv WHERE doc_id IN (SELECT doc_id FROM s1)),
+ b2fresh AS (SELECT v.doc_id FROM b2pool k JOIN fpv v USING (doc_id)
+             WHERE v.f NOT IN (SELECT f FROM s1f)),
+ drops2 AS (
+   SELECT DISTINCT CASE WHEN a % 2 = 1 AND b % 2 = 1 THEN b
+                        WHEN a % 2 = 1 THEN a
+                        ELSE b END AS doc_id
+   FROM p
+   WHERE (a % 2 = 1 AND b % 2 = 1
+            AND a IN (SELECT doc_id FROM b2fresh)
+            AND b IN (SELECT doc_id FROM b2fresh))
+      OR (a % 2 = 1 AND a IN (SELECT doc_id FROM b2fresh)
+            AND b IN (SELECT doc_id FROM s1))
+      OR (b % 2 = 1 AND b IN (SELECT doc_id FROM b2fresh)
+            AND a IN (SELECT doc_id FROM s1))),
+ s2 AS (SELECT doc_id FROM b2fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops2))
+SELECT doc_id, 0::BIGINT AS batch_id FROM s1
+UNION ALL
+SELECT doc_id, 1::BIGINT AS batch_id FROM s2
+"""
+
+
+@query("llm_clean_gate_fold", _oracle_clean_gate_fold())
+def llm_clean_gate_fold(spark, sf_dir):
+    """The COMPLETE cleaning gate (streaming/dedup.py land_clean_batch:
+    quality filter → language filter → exact dedup-on-ingest → near-dup
+    gate) as an oracle-checked two-batch fold. The oracle composes the
+    catalog's existing SQL replicas: the quality/langid filters (lang ≠
+    'und' ⇔ ≥1 stopword hit in any language — argmax of all-zero is the
+    only 'und' path), per-batch min-id fingerprint representatives, the
+    minhash pair CTEs instantiated over the union candidate pool, and
+    the keep-earliest drop rules in which only LANDED survivors can
+    flag later documents (batch-2's exact check runs against batch-1's
+    NEAR survivors — a doc whose exact twin never landed is judged
+    against what the corpus kept). Every stage of the streaming gate's
+    decision procedure is value-hash-checked end to end."""
+    import tempfile
+
+    from etl_tool_spark.llm.text import language_id, quality_features, tokens
+    from etl_tool_spark.streaming.dedup import land_clean_batch
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select("*", tokens(F.col("text")).alias("_toks"))
+    feats = quality_features(F.col("text"), toks=F.col("_toks"))
+    kept = (base.select("*", feats["quality_score"].alias("_q"),
+                        language_id(F.col("text"),
+                                    toks=F.col("_toks")).alias("_lang"))
+                .filter((F.col("_q") >= 0.5) & (F.col("_lang") != "und"))
+                .drop("_toks", "_q", "_lang"))
+    basedir = tempfile.mkdtemp(prefix="etl_clean_gate_fold_")
+    store, out = f"{basedir}/store", f"{basedir}/landed"
+    land_clean_batch(kept.filter(F.col("doc_id") % 2 == 0), 0, store, out)
+    land_clean_batch(kept.filter(F.col("doc_id") % 2 == 1), 1, store, out)
+    return (spark.read.parquet(out)
+                 .select("doc_id",
+                         F.col("batch_id").cast("long").alias("batch_id")))
