@@ -4,7 +4,10 @@ explicitly batch-only, playbook_development_guide.md:460)."""
 from etl_tool_spark.streaming.dedup import (
     clean_ingest_stream,
     exact_dedup_stream,
+    full_clean_ingest_stream,
+    near_dedup_ingest_stream,
     near_dedup_stream,
+    semantic_ingest_stream,
 )
 from etl_tool_spark.streaming.cdc import (
     cdc_merge_stream,
