@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "agg_histogram_equidepth",
     "events_sliding_distinct",
     "events_funnel_windowed",
+    "llm_tokenizer_fertility",
 ]
 
 

@@ -5014,3 +5014,35 @@ def llm_clean_gate_fold(spark, sf_dir):
     return (spark.read.parquet(out)
                  .select("doc_id",
                          F.col("batch_id").cast("long").alias("batch_id")))
+
+
+@query("llm_tokenizer_fertility", """
+WITH m AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+           AS ws,
+         length(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe
+  FROM documents)
+SELECT lang, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+       round(sum(bpe) / greatest(sum(ws), 1), 6) AS fertility
+FROM m GROUP BY lang
+""")
+def llm_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility — subword tokens produced per
+    whitespace word (the standard multilingual-tokenizer fit metric:
+    high fertility means a language pays more sequence length per word,
+    the signal behind vocabulary rebalancing in public multilingual
+    tokenizer studies). Both counts are map-side expressions over one
+    scan; one partial-agg'd shuffle on the language."""
+    d = _docs(spark, sf_dir)
+    return (d.select("lang",
+                     X.token_count(F.col("text")).alias("_ws"),
+                     X.bpe_ish_token_count(F.col("text")).alias("_bpe"))
+             .groupBy("lang")
+             .agg(F.sum("_ws").alias("ws_tokens"),
+                  F.sum("_bpe").alias("bpe_tokens"),
+                  F.round(F.sum("_bpe") /
+                          F.greatest(F.sum("_ws"), F.lit(1)), 6)
+                   .alias("fertility")))
