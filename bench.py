@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "events_sliding_distinct",
     "events_funnel_windowed",
     "llm_tokenizer_fertility",
+    "llm_token_budget_select",
+    "agg_pareto_frontier",
+    "llm_minhash_threshold_sweep",
 ]
 
 
@@ -138,7 +141,7 @@ def main() -> None:
              "llm_clean_corpus", "llm_dedup_groups",
              "llm_incremental_dedup", "llm_semantic_dedup_groups",
              "llm_dedup_cluster_stats", "er_edit_distance_join_d2",
-             "er_trigram_join"}
+             "er_trigram_join", "llm_minhash_threshold_sweep"}
 
     # compile + JIT every query's generated code on the tiny sf0.001
     # tables first: the plan SHAPE (and therefore the generated source,

@@ -27,6 +27,7 @@ from etl_tool_spark.llm import graph as G
 from etl_tool_spark.llm import prep as P
 from etl_tool_spark.llm import similarity as S
 from etl_tool_spark.llm import text as X
+from etl_tool_spark.operators import globalorder as GO
 from etl_tool_spark.operators.dedup import dedup as op_dedup
 from etl_tool_spark.operators.mapping import apply_mappings
 
@@ -826,7 +827,7 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
 
 
-def _oracle_minhash(src: str = "documents") -> str:
+def _oracle_minhash(src: str = "documents", threshold: float = 0.7) -> str:
     num_hashes, bands, rows = 16, 8, 2
     from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
 
@@ -865,7 +866,7 @@ WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS
            GROUP BY c.a, c.b)
 SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-WHERE i / (sa.sz + sb.sz - i) >= 0.7
+WHERE i / (sa.sz + sb.sz - i) >= {threshold}
 """
 
 
@@ -5046,3 +5047,133 @@ def llm_tokenizer_fertility(spark, sf_dir):
                   F.round(F.sum("_bpe") /
                           F.greatest(F.sum("_ws"), F.lit(1)), 6)
                    .alias("fertility")))
+
+
+# =========================================================================
+# Global-order operators (operators/globalorder.py): prefix aggregates
+# over a whole-table ordering WITHOUT the single-partition window that a
+# bare `sum() OVER (ORDER BY ...)` plans to. The oracle runs the naive
+# global window (fine in DuckDB at gate scale); Spark runs the banded
+# decomposition — hash-equality between them is exactly the proof that
+# the decomposition is lossless.
+# =========================================================================
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t),
+ q AS (
+  SELECT doc_id, n_tokens,
+         floor((least(n_tokens / 20.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000
+           AS quality_score
+  FROM m),
+ c AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM q)
+SELECT doc_id, quality_score, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < (SELECT sum(n_tokens) * 0.25 FROM q)
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]")
+
+
+@query("llm_token_budget_select", _TOKEN_BUDGET_ORACLE)
+def llm_token_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: walk documents best-quality-first
+    and keep them until the training budget (25% of total corpus token
+    mass) is spent — the standard "data-constrained" curation step when
+    compute affords only a fraction of the crawl.
+
+    The naive formulation is a global `sum OVER (ORDER BY quality DESC)`
+    — a single-partition window at 100 TB. Here the 4-decimal quality
+    score itself is the band key (≤10⁴ distinct values): one tiny
+    ordered pass over the per-score token-mass summary produces band
+    offsets, and the per-document cumulative runs as a window
+    PARTITIONED BY score — parallel across bands
+    (operators/globalorder.py:budget_select). The budget scalar is a
+    broadcast one-row attach, so it composes without a collect."""
+    d = _docs(spark, sf_dir)
+    d = d.select("doc_id", "text", X.tokens(F.col("text")).alias("_toks"))
+    feats = X.quality_features(F.col("text"), toks=F.col("_toks"))
+    base = d.select("doc_id",
+                    X.token_count(F.col("text")).alias("n_tokens"),
+                    feats["quality_score"].alias("quality_score"))
+    total = base.agg(F.sum("n_tokens").alias("_total"))
+    base = base.crossJoin(F.broadcast(total))
+    sel = GO.budget_select(base, band="quality_score",
+                           intra_order=[F.col("doc_id").asc()],
+                           weight="n_tokens",
+                           budget=F.col("_total") * 0.25,
+                           cum_out="cum_tokens")
+    return sel.select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+
+
+@query("agg_pareto_frontier", """
+WITH pts AS (
+  SELECT p_retailprice AS price, max(p_size) AS size
+  FROM part GROUP BY p_retailprice)
+SELECT price, size FROM pts a
+WHERE NOT EXISTS (SELECT 1 FROM pts b
+  WHERE b.price < a.price AND b.size >= a.size)
+""")
+def agg_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (lower price, larger size). The oracle states it as NOT EXISTS
+    dominance — O(n²), fine for DuckDB at gate scale, impossible at
+    100 TB. Spark reduces to one partial-agg'd shuffle (max size per
+    price), then an exclusive prefix-max of size along ascending price
+    via the banded decomposition (band = floor(price), cardinality
+    bounded by the price domain, not the row count): a part is on the
+    frontier iff its size beats every cheaper part's
+    (operators/globalorder.py:banded_prefix_max)."""
+    pts = (_t(spark, sf_dir, "part")
+           .groupBy(F.col("p_retailprice").alias("price"))
+           .agg(F.max("p_size").alias("size"))
+           .withColumn("_band", F.floor("price")))
+    pm = GO.banded_prefix_max(pts, "_band", [F.col("price").asc()],
+                              "size", out="_prev")
+    return (pm.filter(F.col("size") > F.coalesce(F.col("_prev"), F.lit(-1)))
+              .select("price", "size"))
+
+
+@query("llm_minhash_threshold_sweep", f"""
+WITH pairs AS ({_oracle_minhash(threshold=0.5)})
+SELECT CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 END), 0) AS BIGINT) AS ge_050,
+       CAST(coalesce(sum(CASE WHEN jaccard >= 0.7 THEN 1 END), 0) AS BIGINT) AS ge_070,
+       CAST(coalesce(sum(CASE WHEN jaccard >= 0.8 THEN 1 END), 0) AS BIGINT) AS ge_080,
+       CAST(coalesce(sum(CASE WHEN jaccard >= 0.9 THEN 1 END), 0) AS BIGINT) AS ge_090
+FROM pairs
+""")
+def llm_minhash_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold planning sweep: from ONE MinHash→LSH→verify pass
+    at the loosest threshold (0.5), count the surviving pair volume at
+    each candidate production threshold — the report that picks the
+    dedup aggressiveness before committing to a full corpus rewrite.
+    Costs the same as a single llm_minhash_lsh_pairs run plus one
+    scalar aggregation; the per-threshold counts come from the SAME
+    verified pair frame, not re-runs."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    staging = tempfile.mkdtemp(prefix="etl_minhash_sweep_")
+    pairs = D.minhash_dedup_pairs(d, num_hashes=16, bands=8, shingle_n=3,
+                                  threshold=0.5,
+                                  staging_dir=f"{staging}/sig")
+    return pairs.agg(*[
+        F.coalesce(F.sum(F.when(F.col("jaccard") >= t, 1)), F.lit(0))
+         .cast("long").alias(f"ge_{int(t * 100):03d}")
+        for t in (0.5, 0.7, 0.8, 0.9)])

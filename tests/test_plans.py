@@ -657,3 +657,43 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_token_budget_doc_window_is_band_partitioned(spark, catalog):
+    """The per-document cumulative window must be PARTITIONED BY the
+    quality-score band (parallel across bands), never a bare global
+    window: the only SinglePartition stages allowed are the scalar
+    budget and the tiny per-score band summary."""
+    p = plan(catalog["llm_token_budget_select"](spark, SF_DIR))
+    assert len(nodes(p, "CartesianProduct")) == 0
+    # the doc-level window (its spec orders by doc_id inside the band)
+    # must be fed by a hash exchange on the score, not SinglePartition
+    assert "hashpartitioning(knownfloatingpointnormalized(normalizenanandzero(quality_score" in p \
+        or "hashpartitioning(quality_score" in p
+    import re
+    doc_windows = [m for m in re.finditer(
+        r"Arguments: \[sum\([^\]]*windowspecdefinition\([^\]]*doc_id", p)]
+    assert doc_windows, "expected a per-doc cumulative window"
+
+
+def test_pareto_frontier_banded_no_global_window_over_rows(spark, catalog):
+    p = plan(catalog["agg_pareto_frontier"](spark, SF_DIR))
+    assert len(nodes(p, "CartesianProduct")) == 0
+    # intra-band prefix max is partitioned by the price bucket
+    assert "hashpartitioning(_band" in p
+    # the offsets frame joins back as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in p
+
+
+def test_minhash_sweep_single_pair_pass(spark, catalog):
+    """The threshold sweep must be ONE minhash pipeline plus a scalar
+    agg — not one pipeline per threshold (no repeated banding joins
+    beyond the single candidate-generation pass)."""
+    p = plan(catalog["llm_minhash_threshold_sweep"](spark, SF_DIR))
+    assert len(nodes(p, "CartesianProduct")) == 0
+    # exactly one candidate-banding self-join on the band key `bb`
+    bb_joins = [x for x in p.splitlines()
+                if "SortMergeJoin" in x and "bb" in x] + \
+               [x for x in p.splitlines()
+                if "BroadcastHashJoin" in x and "bb" in x]
+    assert len(bb_joins) <= 2  # tree line + details line of ONE join
