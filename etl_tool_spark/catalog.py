@@ -5177,3 +5177,50 @@ def llm_minhash_threshold_sweep(spark, sf_dir):
         F.coalesce(F.sum(F.when(F.col("jaccard") >= t, 1)), F.lit(0))
          .cast("long").alias(f"ge_{int(t * 100):03d}")
         for t in (0.5, 0.7, 0.8, 0.9)])
+
+
+@query("llm_leakage_safe_split", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+ edges AS (SELECT a AS u, b AS v FROM pairs
+           UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (
+   SELECT u, v FROM edges
+   UNION
+   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u),
+ lab AS (SELECT d.doc_id,
+                coalesce(least(c.mn, d.doc_id), d.doc_id) AS group_id
+         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+ a AS (SELECT doc_id, group_id,
+              {_H64.format(x="'split:' || group_id")} % 100 AS b,
+              {_H64.format(x="doc_id::VARCHAR")} AS h
+       FROM lab)
+SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT group_id) AS n_groups,
+       bit_xor(h) AS member_sig
+FROM a GROUP BY 1
+""")
+def llm_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the split key is the
+    near-dup GROUP id (transitive closure over exact-Jaccard pairs),
+    not the doc id — so two near-duplicate documents can never land on
+    opposite sides of the train/eval boundary (the classic evaluation
+    contamination llm_split_shard's per-doc hash cannot prevent). Same
+    salted-md5 assignment as llm_split_shard, so the split stays stable
+    under appends and re-runs as long as group representatives are.
+
+    Cost beyond the CC labels themselves: one map-side hash + one
+    aggregation shuffle. The member_sig bit_xor makes the oracle verify
+    exact per-split MEMBERSHIP (and the group count shows whole groups
+    moved together — n_docs > n_groups exactly where dup groups
+    exist)."""
+    lab = llm_dedup_groups(spark, sf_dir).select("doc_id", "group_id")
+    a = lab.select(
+        P.split_assign(F.col("group_id")).alias("split"),
+        "group_id",
+        X.hash64(F.col("doc_id").cast("string")).alias("_h"))
+    return (a.groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.countDistinct("group_id").alias("n_groups"),
+                  F.expr("bit_xor(_h)").alias("member_sig")))

@@ -822,3 +822,26 @@ def test_embedding_pairs_hot_bucket_cap(spark):
         [(i, [1.0, 0.5] * 32) for i in range(20)],
         "vec_id long, embedding array<float>")
     assert S.embedding_dup_pairs(same, max_bucket=5, **kw).count() == 0
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    """llm_leakage_safe_split's reason to exist, asserted directly: on
+    sf0.001 the per-doc hash assignment (llm_split_shard's key) places
+    members of 5 of the 21 multi-doc near-dup groups on opposite sides
+    of the train/eval boundary — evaluation leakage — while the
+    group-keyed assignment never splits a group (and not vacuously:
+    the same 21 groups are present)."""
+    from etl_tool_spark.catalog import SPARK
+    from etl_tool_spark.llm import prep as P
+
+    lab = (SPARK["llm_dedup_groups"](spark, "/root/testdata/sf0.001")
+           .filter(F.col("group_size") > 1))
+    a = lab.select("group_id",
+                   P.split_assign(F.col("doc_id")).alias("doc_split"),
+                   P.split_assign(F.col("group_id")).alias("grp_split"))
+    per = (a.groupBy("group_id")
+            .agg(F.countDistinct("doc_split").alias("nd"),
+                 F.countDistinct("grp_split").alias("ng")))
+    assert per.count() == 21
+    assert per.filter(F.col("nd") > 1).count() == 5   # the hazard is real
+    assert per.filter(F.col("ng") > 1).count() == 0   # and prevented
