@@ -5224,3 +5224,52 @@ def llm_leakage_safe_split(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.countDistinct("group_id").alias("n_groups"),
                   F.expr("bit_xor(_h)").alias("member_sig")))
+
+
+def _oracle_pagerank(iters: int = 3, scale: int = 10**9,
+                     damp_num: int = 85, damp_den: int = 100) -> str:
+    """DuckDB twin of llm/graph.py:pagerank with the SAME fixed
+    iteration count unrolled as CTEs — integer arithmetic end-to-end
+    (sum promotes to HUGEINT, // truncates on positives exactly like
+    Spark's div), so the comparison is exact, not approximate."""
+    tele = (damp_den - damp_num) * scale // damp_den
+    ctes = [f"r0 AS (SELECT u AS node, {scale}::BIGINT AS rk FROM deg)"]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.v AS node, sum(r.rk // d.d) AS m
+  FROM edges e JOIN r{i - 1} r ON r.node = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v),
+ r{i} AS (SELECT node, CAST({tele} + ({damp_num} * m) // {damp_den} AS BIGINT) AS rk
+          FROM c{i})""")
+    body = ",\n ".join(ctes)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+ edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+ deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+ {body}
+SELECT node, rk AS pr FROM r{iters}
+"""
+
+
+@query("graph_pagerank", _oracle_pagerank())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the customer↔supplier trade graph (distinct
+    (customer, supplier) pairs that share an order line), 3 power
+    iterations, integer-exact scaled arithmetic
+    (llm/graph.py:pagerank). The oracle unrolls the identical
+    iterations as SQL CTEs — a bit-exact differential for an iterative
+    distributed algorithm, where float PageRank would be
+    summation-order-dependent and only approximately comparable.
+    Per-round cost: one shuffle join on the source vertex + one
+    partial-agg'd sum on the destination; lineage truncated per round
+    via localCheckpoint exactly like connected_components."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+          .select((F.col("o_custkey") * 2).alias("src"),
+                  (F.col("l_suppkey") * 2 + 1).alias("dst"))
+          .distinct())
+    return (G.pagerank(e, iters=3)
+              .select("node", F.col("rank").alias("pr")))

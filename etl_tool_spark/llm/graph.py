@@ -194,3 +194,68 @@ def connected_components_star(edges: DataFrame, src: str = "src",
             verts_rdd.unpersist(False)
         if prev_rdd is not None:
             prev_rdd.unpersist(False)
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, scale: int = 10**9,
+             damp_num: int = 85, damp_den: int = 100) -> DataFrame:
+    """Integer-exact PageRank over the UNDIRECTED graph of ``edges``:
+    (node, rank) after exactly ``iters`` power iterations, all
+    arithmetic in scaled longs with truncating integer division — so
+    the result is bit-identical on any engine that has 64-bit integer
+    division (the catalog's DuckDB oracle unrolls the same iterations
+    in SQL), with none of the float-summation order sensitivity that
+    makes naive distributed PageRank non-deterministic.
+
+    rank₀(v) = scale; each round
+      rank(v) = (damp_den−damp_num)·scale ÷ damp_den
+              + damp_num · Σ_{u→v} (rank(u) ÷ deg(u)) ÷ damp_den
+    (÷ = truncating division; ranks are PageRank·N·scale, so the
+    total mass ≈ |V|·scale and no per-node 1/N division is needed).
+
+    Scale shape per round: one shuffle join (ranks ⋈ edges on the
+    source vertex) + one partial-agg'd sum on the destination — the
+    same per-round account as connected_components, with the same
+    localCheckpoint lineage truncation and round-by-round block
+    release. Symmetrized edges mean no dangling vertices (every node
+    in an edge has out-degree ≥ 1), so no dangling-mass redistribution
+    pass is needed.
+
+    Long-domain bound: a node's rank is < damp_num · |V| · scale, so
+    the default scale=10⁹ is exact to ~10⁸ vertices; beyond that pass
+    a smaller scale (fewer rank digits) — the 128-bit alternative
+    costs Spark's ``div``-returns-long surface and is not needed
+    before ~10¹⁰ vertices at scale=10⁶.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    ed_rdd = _checkpoint_rdd(ed)
+    teleport = (damp_den - damp_num) * scale // damp_den
+    ranks = deg.select(F.col("u").alias("node"),
+                       F.lit(scale).cast("long").alias("rank"))
+    prev_rdd = None
+    try:
+        for _ in range(iters):
+            contrib = (ed.join(ranks, ed["u"] == ranks["node"])
+                         .select(F.col("v").alias("node"),
+                                 F.expr("rank div d").alias("m"))
+                         .groupBy("node").agg(F.sum("m").alias("m")))
+            new_ranks = contrib.select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"({damp_num} * m) div {damp_den}")).alias("rank")
+            ).localCheckpoint(eager=True)
+            if prev_rdd is not None:
+                prev_rdd.unpersist(False)
+            prev_rdd = _checkpoint_rdd(new_ranks)
+            ranks = new_ranks
+        prev_rdd = None  # the caller owns the returned checkpoint
+        return ranks
+    finally:
+        if ed_rdd is not None:
+            ed_rdd.unpersist(False)
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)

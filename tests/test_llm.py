@@ -845,3 +845,39 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     assert per.count() == 21
     assert per.filter(F.col("nd") > 1).count() == 5   # the hazard is real
     assert per.filter(F.col("ng") > 1).count() == 0   # and prevented
+
+
+def test_pagerank_integer_exact_vs_reference_loop(spark):
+    """llm/graph.py:pagerank must equal a sequential pure-Python replica
+    of the same scaled-integer recurrence on a small fixed graph — the
+    distributed shuffles/joins cannot change a single ulp because there
+    are no floats anywhere."""
+    from etl_tool_spark.llm.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=4, scale=10**9).collect()}
+
+    # sequential replica
+    und = set()
+    for u, v in raw:
+        und.add((u, v)); und.add((v, u))
+    from collections import defaultdict
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for u, v in und:
+        out[u].append(v); deg[u] += 1
+    scale = 10**9
+    rank = {u: scale for u in deg}
+    for _ in range(4):
+        m = defaultdict(int)
+        for u in deg:
+            c = rank[u] // deg[u]
+            for v in out[u]:
+                m[v] += c
+        rank = {v: 15 * scale // 100 + (85 * mv) // 100
+                for v, mv in m.items()}
+    assert got == rank
+    # teleport floor: every node retains at least the teleport mass
+    assert min(got.values()) >= 15 * 10**9 // 100
