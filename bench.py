@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "llm_token_budget_select",
     "agg_pareto_frontier",
     "llm_minhash_threshold_sweep",
+    "graph_pagerank",
 ]
 
 

@@ -5273,3 +5273,121 @@ def graph_pagerank(spark, sf_dir):
           .distinct())
     return (G.pagerank(e, iters=3)
               .select("node", F.col("rank").alias("pr")))
+
+
+@query("agg_weighted_median", """
+WITH g AS (SELECT l_extendedprice AS price,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1),
+ c AS (SELECT price,
+              CAST(sum(w) OVER (ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw
+       FROM g)
+SELECT min(price) AS weighted_median
+FROM c WHERE cw * 2 >= (SELECT sum(w) FROM g)
+""")
+def agg_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median price over all of lineitem — the
+    smallest price whose cumulative weight covers half the total. The
+    oracle's global `sum() OVER (ORDER BY price)` is a single-partition
+    window at scale; Spark pre-aggregates weight per distinct price
+    (one partial-agg'd shuffle), then runs the banded cumulative
+    (band = floor(price), cardinality bounded by the price DOMAIN, not
+    the row count — operators/globalorder.py). Weights cast to long so
+    every cumulative sum is integer-exact; the boundary comparison can
+    never flip on float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (li.groupBy(F.col("l_extendedprice").alias("price"))
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+           .withColumn("_band", F.floor("price")))
+    c = GO.banded_cumsum(g, "_band", [F.col("price").asc()], "w", out="cw")
+    tot = g.agg(F.sum("w").alias("_tot"))
+    return (c.crossJoin(F.broadcast(tot))
+             .filter(F.col("cw") * 2 >= F.col("_tot"))
+             .agg(F.min("price").alias("weighted_median")))
+
+
+@query("window_rolling_median", """
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+FROM events
+""")
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median of the last 5 events per user — the robust
+    smoother where a moving average is outlier-dominated. Spark has no
+    median window over row frames, so the frame's values are gathered
+    with collect_list OVER the same frame (bounded: 5 elements, so the
+    state per row is O(frame), never O(partition)) and the median read
+    from the sorted array — one shuffle on user_id, same as any other
+    window query; both engines average the two middle values for even
+    frames with identical double arithmetic."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    vals = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(vals)
+    med = F.when(n == 0, F.lit(None).cast("double"))\
+          .when(n % 2 == 1,
+                F.element_at(vals, ((n + 1) / 2).cast("int")))\
+          .otherwise((F.element_at(vals, (n / 2).cast("int"))
+                      + F.element_at(vals, (n / 2 + 1).cast("int"))) / 2)
+    return e.select("event_id", "user_id",
+                    F.round(med, 6).alias("rolling_median"))
+
+
+@query("er_entity_groups", f"""
+WITH RECURSIVE cat AS (
+  SELECT doc_id AS cat_id, substr(text, 1, 40) AS cat_title FROM documents),
+ dirty AS (SELECT doc_id + 1000000 AS dirty_id,
+                  substr(substr(text, 1, 40), 1, (doc_id % 40)::INT)
+                  || substr(substr(text, 1, 40), (doc_id % 40)::INT + 2)
+                    AS dirty_title
+           FROM documents),
+ pairs AS (SELECT cat_id AS a, dirty_id AS b FROM cat, dirty
+           WHERE levenshtein(cat_title, dirty_title) <= 1),
+ edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+ reach(u, v) AS (SELECT u, v FROM edges
+   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+ comp AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u),
+ nodes AS (SELECT cat_id AS id FROM cat UNION SELECT dirty_id FROM dirty),
+ lab AS (SELECT n.id, coalesce(least(c.mn, n.id), n.id) AS entity_id
+         FROM nodes n LEFT JOIN comp c ON c.id = n.id)
+SELECT entity_id, count(*) AS n_members,
+       bit_xor({_H64.format(x="id::VARCHAR")}) AS member_sig
+FROM lab GROUP BY 1
+""")
+def er_entity_groups(spark, sf_dir):
+    """Entity resolution end-to-end: linkage pairs (SymSpell-blocked
+    edit-distance join — never a cartesian) collapsed into entity
+    clusters by connected components, every unmatched record its own
+    entity. The catalog's ER family stops being pairwise here: this is
+    the (record → canonical entity id) assignment a downstream MDM /
+    golden-record pipeline consumes. Oracle: brute-force levenshtein
+    pairs + recursive reachability in DuckDB, membership verified per
+    entity via bit_xor. Same size-gated label broadcast as
+    llm_dedup_groups."""
+    from etl_tool_spark.operators.linkage import edit_distance_join
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    d = _docs(spark, sf_dir)
+    title = F.substring("text", 1, 40)
+    cat = d.select(F.col("doc_id").alias("cat_id"), title.alias("cat_title"))
+    dirty = d.select(
+        (F.col("doc_id") + 1000000).alias("dirty_id"),
+        F.concat(F.expr("substring(substring(text, 1, 40), 1, cast(doc_id % 40 as int))"),
+                 F.expr("substring(substring(text, 1, 40), cast(doc_id % 40 as int) + 2)"))
+         .alias("dirty_title"))
+    pairs = edit_distance_join(cat, dirty, "cat_title", "dirty_title",
+                               max_distance=1).select("cat_id", "dirty_id")
+    comp = G.connected_components(pairs, src="cat_id", dst="dirty_id")
+    nodes = (cat.select(F.col("cat_id").alias("id"))
+                .unionByName(dirty.select(F.col("dirty_id").alias("id")))
+                .distinct())
+    lab = (nodes.join(gated_broadcast(comp), "id", "left")
+                .select(X.hash64(F.col("id").cast("string")).alias("_h"),
+                        F.coalesce("label", "id").alias("entity_id")))
+    return (lab.groupBy("entity_id")
+               .agg(F.count(F.lit(1)).alias("n_members"),
+                    F.expr("bit_xor(_h)").alias("member_sig")))
