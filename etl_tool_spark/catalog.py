@@ -5391,3 +5391,63 @@ def er_entity_groups(spark, sf_dir):
     return (lab.groupBy("entity_id")
                .agg(F.count(F.lit(1)).alias("n_members"),
                     F.expr("bit_xor(_h)").alias("member_sig")))
+
+
+@query("llm_budget_gate_fold", """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t),
+ q AS (
+  SELECT doc_id, n_tokens,
+         floor((least(n_tokens / 20.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000
+           AS quality_score
+  FROM m),
+ c AS (
+  SELECT doc_id, quality_score, n_tokens, doc_id % 2 AS batch_id,
+         CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 2
+              ORDER BY quality_score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM q),
+ tot AS (SELECT doc_id % 2 AS batch_id, sum(n_tokens) AS mass
+         FROM q GROUP BY 1)
+SELECT c.doc_id, c.quality_score, c.n_tokens, c.batch_id
+FROM c JOIN tot USING (batch_id)
+WHERE c.cum - c.n_tokens < 0.5 * tot.mass
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]"))
+def llm_budget_gate_fold(spark, sf_dir):
+    """The streaming token-budget admission gate
+    (streaming/dedup.py:land_budget_batch) as an oracle-checked
+    two-batch fold: each batch (even ids, then odd ids) lands its
+    best-quality documents until half of ITS OWN token mass is
+    admitted — the greedy budget_select fill, boundary document
+    included. The oracle replays both admissions with per-batch global
+    windows; the Spark side runs the banded decomposition inside the
+    actual gate function (markers, land path and all), so the hash
+    match covers the production code path, not a catalog re-derivation."""
+    import tempfile
+
+    from etl_tool_spark.streaming.dedup import land_budget_batch
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    basedir = tempfile.mkdtemp(prefix="etl_budget_gate_")
+    store, out = f"{basedir}/store", f"{basedir}/landed"
+    land_budget_batch(d.filter(F.col("doc_id") % 2 == 0), 0, store, out,
+                      quota_frac=0.5)
+    land_budget_batch(d.filter(F.col("doc_id") % 2 == 1), 1, store, out,
+                      quota_frac=0.5)
+    return (spark.read.parquet(out)
+            .select("doc_id", "quality_score", "n_tokens", "batch_id"))

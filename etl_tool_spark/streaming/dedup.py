@@ -34,7 +34,8 @@ __all__ = ["near_dedup_stream", "exact_dedup_stream",
            "clean_ingest_stream", "land_batch",
            "near_dedup_ingest_stream", "land_near_batch",
            "semantic_ingest_stream", "land_semantic_batch",
-           "full_clean_ingest_stream", "land_clean_batch"]
+           "full_clean_ingest_stream", "land_clean_batch",
+           "budget_ingest_stream", "land_budget_batch"]
 
 
 def _batch_marker(store_dir: str, batch_id: int):
@@ -376,6 +377,79 @@ def full_clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
                          id_col=id_col, text_col=text_col, **minhash_kwargs)
 
     q = (kept.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def land_budget_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                      out_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      token_quota: int | None = None,
+                      quota_frac: float | None = None) -> None:
+    """Token-budget admission gate for one batch: score each document
+    (llm/text.py quality features), walk the batch best-quality-first
+    and land documents until the batch's token quota is spent — the
+    greedy fill of operators/globalorder.py:budget_select, so the
+    boundary document that crosses the quota is admitted and everything
+    after it is dropped. The throttle for a compute- or
+    storage-constrained landing zone that should keep the BEST fraction
+    of each ingest cycle, not a random one.
+
+    Exactly one of ``token_quota`` (absolute tokens per batch) or
+    ``quota_frac`` (fraction of the batch's own token mass) must be
+    given. ``store_dir`` holds only the _applied batch markers —
+    replays of a fully-applied batch are no-ops; the admission decision
+    itself is a pure function of the batch content, so at-least-once
+    replays of an unmarked batch land the same rows (collapse on
+    batch_id)."""
+    from etl_tool_spark.llm.text import quality_features, token_count, tokens
+    from etl_tool_spark.operators.globalorder import budget_select
+
+    if (token_quota is None) == (quota_frac is None):
+        raise ValueError("pass exactly one of token_quota / quota_frac")
+    applied, commit = _batch_marker(store_dir, batch_id)
+    if applied:
+        return
+    base = batch_df.select("*", tokens(F.col(text_col)).alias("_toks"))
+    feats = quality_features(F.col(text_col), toks=F.col("_toks"))
+    scored = base.select("*", feats["quality_score"].alias("_q"),
+                         token_count(F.col(text_col)).alias("_nt")) \
+                 .drop("_toks")
+    if quota_frac is not None:
+        total = scored.agg(F.sum("_nt").alias("_total"))
+        scored = scored.crossJoin(F.broadcast(total))
+        budget = F.col("_total") * quota_frac
+    else:
+        budget = F.lit(token_quota)
+    sel = budget_select(scored, band="_q",
+                        intra_order=[F.col(id_col).asc()],
+                        weight="_nt", budget=budget, cum_out="_cum")
+    (sel.drop("_cum", "_total")
+        .withColumnRenamed("_q", "quality_score")
+        .withColumnRenamed("_nt", "n_tokens")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append").parquet(out_dir))
+    commit()
+
+
+def budget_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
+                         checkpoint: str, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         token_quota: int | None = None,
+                         quota_frac: float | None = None):
+    """Streaming token-budget admission: every micro-batch lands its
+    best-quality documents up to the quota (land_budget_batch). Same
+    foreachBatch + marker delivery contract as the dedup gates."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        land_budget_batch(batch_df, batch_id, store_dir, out_dir,
+                          id_col=id_col, text_col=text_col,
+                          token_quota=token_quota, quota_frac=quota_frac)
+
+    q = (docs.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update")
          .trigger(availableNow=True)

@@ -773,3 +773,68 @@ def test_full_clean_ingest_stream(spark, tmp_path):
     assert fold == got
     landed.unpersist()
     docs.unpersist()
+
+
+def test_budget_ingest_stream_matches_fold(spark, tmp_path):
+    """Streaming token-budget admission gate: the landed set equals the
+    sequential land_budget_batch fold over the same batches, keeps the
+    best-quality half of each batch's token mass (boundary doc
+    included), never lands a worse document over a better one, and a
+    replay of an applied batch is a no-op."""
+    from etl_tool_spark.streaming.dedup import (budget_ingest_stream,
+                                                land_budget_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                 .limit(300).select("doc_id", "text").cache())
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 != 0)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1)
+                   .parquet(str(src / "*")))
+    budget_ingest_stream(stream, str(tmp_path / "store"),
+                         str(tmp_path / "landed"),
+                         str(tmp_path / "ckpt"), quota_frac=0.5)
+    landed = spark.read.parquet(str(tmp_path / "landed")).cache()
+    got = {r["doc_id"] for r in landed.collect()}
+    assert got, "gate landed nothing"
+
+    # fold equivalence (admission is a pure function of batch content,
+    # so it holds whichever order the two files triggered in)
+    land_budget_batch(b1, 0, str(tmp_path / "fs"), str(tmp_path / "fl"),
+                      quota_frac=0.5)
+    land_budget_batch(b2, 1, str(tmp_path / "fs"), str(tmp_path / "fl"),
+                      quota_frac=0.5)
+    fold = spark.read.parquet(str(tmp_path / "fl")).cache()
+    assert {r["doc_id"] for r in fold.collect()} == got
+
+    # per-batch: landed mass crosses the quota iff anything was dropped,
+    # and no dropped doc outranks a landed one on quality
+    for b, src_df in ((0, b1), (1, b2)):
+        rows = fold.filter(F.col("batch_id") == b).collect()
+        mass = sum(r["n_tokens"] for r in rows)
+        batch_ids = {r["doc_id"] for r in src_df.collect()}
+        dropped = batch_ids - {r["doc_id"] for r in rows}
+        if dropped:
+            from etl_tool_spark.llm.text import (quality_features,
+                                                 token_count, tokens)
+            base = src_df.select("*", tokens(F.col("text")).alias("_toks"))
+            feats = quality_features(F.col("text"), toks=F.col("_toks"))
+            scored = {r["doc_id"]: (r["q"], r["nt"]) for r in base.select(
+                "doc_id", feats["quality_score"].alias("q"),
+                token_count(F.col("text")).alias("nt")).collect()}
+            total = sum(nt for _, nt in scored.values())
+            assert mass >= 0.5 * total  # boundary doc crossed the line
+            max_dropped_q = max(scored[i][0] for i in dropped)
+            min_landed_q = min(r["quality_score"] for r in rows)
+            assert max_dropped_q <= min_landed_q
+
+    # replay of an applied batch is a no-op (marker)
+    n_before = fold.count()
+    land_budget_batch(b1, 0, str(tmp_path / "fs"), str(tmp_path / "fl"),
+                      quota_frac=0.5)
+    assert spark.read.parquet(str(tmp_path / "fl")).count() == n_before
+    landed.unpersist(); fold.unpersist(); docs.unpersist()
