@@ -5451,3 +5451,37 @@ def llm_budget_gate_fold(spark, sf_dir):
                       quota_frac=0.5)
     return (spark.read.parquet(out)
             .select("doc_id", "quality_score", "n_tokens", "batch_id"))
+
+
+@query("events_markov_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+ c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+""")
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and conditional probabilities of next_type given
+    prev_type — the sequence-mining summary behind next-action
+    prediction and anomalous-flow detection. One shuffle on user_id for
+    the lag, one partial-agg'd shuffle for the counts; the row-level
+    probability normalizer is a window over the transition MATRIX
+    (|event types|² rows, bounded by the type vocabulary, not the event
+    volume). Probability = ratio of two exact counts, so the only float
+    op is one division — identical on both engines."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+    c = (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("prev_type")
+    return c.select("prev_type", "next_type", "n",
+                    F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"))

@@ -5,6 +5,8 @@ the boundary semantics of budget_select must match the greedy-fill
 contract (the row that crosses the budget is kept)."""
 
 import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Window
 
 from etl_tool_spark.operators.globalorder import (banded_cumsum,
@@ -66,3 +68,25 @@ def test_budget_select_keeps_boundary_row(spark):
                          budget=F.lit(25))
     assert {r["id"]: r["cum"] for r in kept.collect()} == \
         {1: 10, 2: 20, 3: 30}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 6),          # band (few → heavy collisions)
+              st.integers(0, 50)),        # weight (duplicates, zeros)
+    min_size=1, max_size=60))
+def test_banded_cumsum_property_equals_global_window(spark, rows):
+    """For ANY band/weight multiset the banded decomposition equals the
+    single-partition global window — including all-one-band, all-zero
+    weights, and maximal band collisions the example tests don't hit."""
+    data = [(i, b, w) for i, (b, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, band long, w long")
+    got = {r["id"]: r["cum"]
+           for r in banded_cumsum(df, "band", [F.col("id").asc()],
+                                  "w").collect()}
+    w = (Window.orderBy(F.col("band").asc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("w").over(w)).collect()}
+    assert got == want
