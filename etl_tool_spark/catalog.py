@@ -5485,3 +5485,60 @@ def events_markov_transitions(spark, sf_dir):
     wp = Window.partitionBy("prev_type")
     return c.select("prev_type", "next_type", "n",
                     F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"))
+
+
+@query("etl_incremental_mv_fold", """
+WITH ch AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type,
+         CAST(round(round(value, 2) * 100) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+              THEN 1 ELSE 0 END AS b
+  FROM events),
+ folded AS (
+  SELECT user_id, event_type, cents
+  FROM (SELECT user_id, event_type, cents, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY b DESC, seq DESC) AS rn
+        FROM ch)
+  WHERE rn = 1 AND op <> 'D')
+SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_rows
+FROM folded GROUP BY event_type
+""")
+def etl_incremental_mv_fold(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/mv.py): the
+    same two-batch CDC fold as etl_cdc_merge_fold, but alongside the
+    base-snapshot merge a grouped-sum MV (event_type → Σcents, rows) is
+    updated from SIGNED DELTAS of only the touched keys — never
+    re-aggregated from the base table. The oracle recomputes the
+    aggregate from the fully-folded final state in one shot; the hash
+    match proves two batches of delta folding land on exactly the
+    recompute, deletes and cross-batch overrides included. Money in
+    integer cents so delta accumulation is exact by construction."""
+    import tempfile
+
+    from etl_tool_spark.operators.mv import update_agg_mv
+
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        ch = _stamp(e.select(
+            "user_id", F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U")
+             .alias("op"),
+            "event_type",
+            F.round(F.round("value", 2) * 100, 0).cast("long")
+             .alias("cents"),
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .alias("_b")))
+    base = tempfile.mkdtemp(prefix="etl_mv_fold_")
+    snap, mv = f"{base}/snap", f"{base}/mv"
+    update_agg_mv(spark, snap, mv, ch.filter(~F.col("_b")).drop("_b"),
+                  keys=["user_id"], group_col="event_type",
+                  value_col="cents", batch_id=0)
+    final = update_agg_mv(spark, snap, mv, ch.filter(F.col("_b")).drop("_b"),
+                          keys=["user_id"], group_col="event_type",
+                          value_col="cents", batch_id=1)
+    return final.select("event_type", F.col("mv_sum").alias("sum_cents"),
+                        F.col("mv_n").alias("n_rows"))

@@ -838,3 +838,45 @@ def test_budget_ingest_stream_matches_fold(spark, tmp_path):
                       quota_frac=0.5)
     assert spark.read.parquet(str(tmp_path / "fl")).count() == n_before
     landed.unpersist(); fold.unpersist(); docs.unpersist()
+
+
+def test_incremental_mv_deltas_match_recompute(spark, tmp_path):
+    """operators/mv.py:update_agg_mv across three batches with the hard
+    cases: a key UPDATED into a different group (mass must migrate), a
+    group deleted down to zero members (must leave the MV), and a
+    re-upsert of a deleted key. After every batch the MV must equal a
+    full recompute of the snapshot — while having been built from
+    deltas only."""
+    from etl_tool_spark.operators.mv import update_agg_mv
+    from etl_tool_spark.streaming.cdc import read_snapshot
+
+    snap, mv = str(tmp_path / "snap"), str(tmp_path / "mv")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, seq long, op string, grp string, v long")
+
+    batches = [
+        batch([(1, 1, "U", "a", 10), (2, 2, "U", "a", 20),
+               (3, 3, "U", "b", 5)]),
+        # k=2 migrates a→b with a new value; k=3 deleted (b would be
+        # empty but k=2 just arrived); k=4 joins a
+        batch([(2, 4, "U", "b", 7), (3, 5, "D", None, None),
+               (4, 6, "U", "a", 1)]),
+        # delete k=2 (group b now empty → must drop out of the MV);
+        # re-upsert k=3 into c
+        batch([(2, 7, "D", None, None), (3, 8, "U", "c", 9)]),
+    ]
+    for i, b in enumerate(batches):
+        got = {(r["grp"], r["mv_sum"], r["mv_n"])
+               for r in update_agg_mv(spark, snap, mv, b, keys=["k"],
+                                      group_col="grp", value_col="v",
+                                      batch_id=i).collect()}
+        want = {(r["grp"], r["s"], r["n"])
+                for r in read_snapshot(spark, snap)
+                .groupBy("grp")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()}
+        assert got == want, f"batch {i}: {got} != {want}"
+    assert {r["grp"] for r in spark.read.parquet(f"{mv}/v2").collect()} \
+        == {"a", "c"}  # b emptied out, c re-created
