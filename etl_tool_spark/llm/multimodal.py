@@ -444,3 +444,144 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                                              PROBE_SCHEMA.fields])
 
     return df.select("media_id", payload_col).mapInPandas(run, PROBE_SCHEMA)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected: int):
+    """GIF-variant LZW: LSB-first variable-width codes, CLEAR resets the
+    table, width grows at table size 2^width (cap 12 bits). Returns the
+    index stream (length ``expected``) or None on corrupt input."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i, bit_o = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte_i:byte_i + 8], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]   # the KwKwK case
+            else:
+                return None
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _gif_decode(b: bytes):
+    """(width, height, n_colors, mean_pixel) for the FIRST frame of a
+    GIF87a/89a, or None if not a GIF. Pure stdlib: logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    and the full LZW index-stream decode; mean_pixel averages the
+    palette RGB of every pixel (interlace permutes rows only, so the
+    mean is unaffected and interlaced GIFs decode too). Missing color
+    table or corrupt LZW → header-only (dims, null mean)."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    header_only = (w, h, int(gct.shape[0]) if gct is not None else 0, None)
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:                 # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:               # image descriptor
+            if pos + 10 > len(b):
+                return header_only
+            _l, _t, fw, fh, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:             # local color table wins
+                n = 2 ** ((iflags & 0x07) + 1)
+                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pos >= len(b):
+                return header_only
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            if pal is None:
+                return header_only
+            idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+            if idx is None:
+                return header_only
+            px = pal[np.frombuffer(idx, np.uint8)]
+            return (w, h, int(pal.shape[0]),
+                    round(float(px.astype(np.float64).mean()), 6))
+        else:                             # trailer (0x3B) or junk
+            break
+        continue
+    return header_only
+
+
+GIF_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_colors", T.IntegerType(), True),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+])
+
+
+def decode_gif_features(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for GIF87a/89a — stdlib LZW, no codec library:
+    dimensions, palette size, and mean palette-RGB intensity of the
+    first frame (interlaced files included — row permutation does not
+    change the mean). Non-GIF payloads yield null features; a missing
+    color table or corrupt LZW stream degrades to header-only. Same
+    Arrow mapInPandas shape as the WAV/BMP/PNG decoders: CPU-bound
+    map-side work, scales with executors, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                feat = None
+                if payload is not None:
+                    try:
+                        feat = _gif_decode(bytes(payload))
+                    except Exception:
+                        feat = None
+                out.append((media_id, *(feat if feat else (None,) * 4)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             GIF_FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, GIF_FEATURE_SCHEMA)

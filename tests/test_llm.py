@@ -881,3 +881,89 @@ def test_pagerank_integer_exact_vs_reference_loop(spark):
     assert got == rank
     # teleport floor: every node retains at least the teleport mass
     assert min(got.values()) >= 15 * 10**9 // 100
+
+
+def _gif_bytes(w, h, palette, indices, interlace=False):
+    """Minimal valid GIF89a encoder for tests: global color table sized
+    to the palette, one image, LZW at min_code_size=7 so the code width
+    never grows for <126 distinct additions (keeps the encoder trivial
+    while still exercising CLEAR/END handling and the KwKwK decode path
+    for repeated runs)."""
+    import struct
+
+    assert len(palette) <= 128
+    pal = list(palette) + [(0, 0, 0)] * (128 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x06, 0, 0)  # GCT, 128 entries
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    min_code = 7
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    # LZW encode (no width growth below 126 additions at width 8)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    cur = b""
+    for ch in indices:
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+        else:
+            codes.append(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            assert next_code < 256, "test encoder: image too complex"
+            cur = bytes([ch])
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+    bits = bitpos = 0
+    data = bytearray()
+    for c in codes:
+        bits |= c << bitpos
+        bitpos += 8  # code width fixed at min_code+1
+        while bitpos >= 8:
+            data.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+    if bitpos:
+        data.append(bits & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_real_pixels(spark):
+    """The stdlib GIF LZW decoder reconstructs the exact index stream:
+    mean palette-RGB intensity must equal the source exactly, repeated
+    runs exercise the KwKwK special case, and interlace must not change
+    the mean (row permutation). Non-GIF and truncated payloads yield
+    null features."""
+    import numpy as np
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3, 3, 3, 3, 0, 1, 1, 1, 2]   # runs → KwKwK path
+    w, h = 4, 3
+    want = round(float(np.array([pal[i] for i in idx],
+                                dtype=np.float64).mean()), 6)
+    payloads = [
+        (1, bytearray(_gif_bytes(w, h, pal, idx))),
+        (2, bytearray(_gif_bytes(w, h, pal, idx, interlace=True))),
+        (3, bytearray(b"GIF89a truncated")),
+        (4, bytearray(b"not a gif")),
+        (5, None),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in M.decode_gif_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (w, h)
+    assert rows[1]["n_colors"] == 128
+    assert rows[1]["mean_pixel"] == want
+    assert rows[2]["mean_pixel"] == want        # interlace: same mean
+    assert rows[3]["width"] is None or rows[3]["mean_pixel"] is None
+    assert rows[4]["width"] is None
+    assert rows[5]["width"] is None
