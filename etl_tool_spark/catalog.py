@@ -5542,3 +5542,62 @@ def etl_incremental_mv_fold(spark, sf_dir):
                           value_col="cents", batch_id=1)
     return final.select("event_type", F.col("mv_sum").alias("sum_cents"),
                         F.col("mv_n").alias("n_rows"))
+
+
+@query("etl_incremental_mv_minmax_fold", """
+WITH ch AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type,
+         CAST(round(round(value, 2) * 100) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+              THEN 1 ELSE 0 END AS b
+  FROM events),
+ folded AS (
+  SELECT user_id, event_type, cents
+  FROM (SELECT user_id, event_type, cents, op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY b DESC, seq DESC) AS rn
+        FROM ch)
+  WHERE rn = 1 AND op <> 'D')
+SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_rows,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM folded GROUP BY event_type
+""")
+def etl_incremental_mv_minmax_fold(spark, sf_dir):
+    """The non-distributive IVM case: the same two-batch CDC fold, with
+    MIN/MAX tracked alongside the delta-folded sum/count. Inserts fold
+    with least/greatest against the stored extremes; a group whose
+    removed value tied or beat its extreme re-aggregates from ONLY its
+    own rows (operators/mv.py lossy-group refinement). The oracle's
+    one-shot recompute over the folded final state must hash-match —
+    deletes of per-group extremes included (the 'error'-typed rows the
+    log deletes are exactly one of the groups)."""
+    import tempfile
+
+    from etl_tool_spark.operators.mv import update_agg_mv
+
+    e = _events(spark, sf_dir)
+    with _utc(spark):
+        ch = _stamp(e.select(
+            "user_id", F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U")
+             .alias("op"),
+            "event_type",
+            F.round(F.round("value", 2) * 100, 0).cast("long")
+             .alias("cents"),
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .alias("_b")))
+    base = tempfile.mkdtemp(prefix="etl_mv_minmax_fold_")
+    snap, mv = f"{base}/snap", f"{base}/mv"
+    update_agg_mv(spark, snap, mv, ch.filter(~F.col("_b")).drop("_b"),
+                  keys=["user_id"], group_col="event_type",
+                  value_col="cents", batch_id=0, track_minmax=True)
+    final = update_agg_mv(spark, snap, mv, ch.filter(F.col("_b")).drop("_b"),
+                          keys=["user_id"], group_col="event_type",
+                          value_col="cents", batch_id=1, track_minmax=True)
+    return final.select("event_type", F.col("mv_sum").alias("sum_cents"),
+                        F.col("mv_n").alias("n_rows"),
+                        F.col("mv_min").alias("min_cents"),
+                        F.col("mv_max").alias("max_cents"))

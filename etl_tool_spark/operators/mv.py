@@ -1,10 +1,11 @@
 """Incremental materialized-view maintenance over the CDC snapshot store.
 
-A grouped-aggregate MV (group → sum + row count) stays correct under a
-stream of upserts/deletes WITHOUT recomputing from the base table: each
-change batch contributes signed deltas — minus the OLD payload of every
-touched key, plus the NEW payload — and sums/counts are abelian, so
-folding the deltas into the MV is exact. Cost per batch:
+A grouped-aggregate MV (group → sum + row count, optionally min/max)
+stays correct under a stream of upserts/deletes WITHOUT recomputing
+from the base table: each change batch contributes signed deltas —
+minus the OLD payload of every touched key, plus the NEW payload — and
+sums/counts are abelian, so folding the deltas into the MV is exact.
+Cost per batch:
 
   * base-table side: whatever ``merge_cdc_batch`` costs (bucketed
     rewrite ∝ change volume — streaming/cdc.py);
@@ -14,10 +15,21 @@ folding the deltas into the MV is exact. Cost per batch:
   * MV fold: one outer join on a frame whose size is the number of
     TOUCHED groups, rewritten into a GROUP-CARDINALITY-sized table.
 
+MIN/MAX are not delta-foldable (a delete can remove the extreme, and
+the second-best is not in the MV) — the textbook non-distributive IVM
+case. ``track_minmax=True`` handles it with the standard refinement:
+inserts fold for free (``least``/``greatest`` against the stored
+extreme); a group re-aggregates ONLY when a removed old value tied or
+beat its stored extreme (``lossy`` groups), and that recompute reads
+just those groups' rows back from the snapshot (a group-keyed
+semi-join — with a group-clustered layout this is a pruned scan; worst
+case it is ∝ the affected groups' row counts, never the table).
+
 Nothing scales with the base-table size — that is the entire point of
 an incremental MV at 100 TB, where "just re-aggregate" is a full scan
-per refresh. The catalog's ``etl_incremental_mv_fold`` proves the fold
-exact against a DuckDB full recompute of the final state.
+per refresh. The catalog's ``etl_incremental_mv_fold`` /
+``etl_incremental_mv_minmax_fold`` prove both folds exact against a
+DuckDB full recompute of the final state.
 
 Deletes shrink groups to zero membership; such groups leave the MV
 (n > 0 filter), matching what a recompute would produce. The MV is
@@ -38,15 +50,11 @@ from pyspark.sql import functions as F
 __all__ = ["update_agg_mv"]
 
 
-def _touched(snapshot: DataFrame, keys: list[str],
-             touched_keys: DataFrame) -> DataFrame:
-    return snapshot.join(touched_keys, keys, "semi")
-
-
 def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                   changes: DataFrame, keys: list[str], group_col: str,
                   value_col: str, batch_id: int,
-                  seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+                  seq_col: str = "seq", op_col: str = "op",
+                  track_minmax: bool = False) -> DataFrame:
     """Apply one CDC batch to the base snapshot AND its grouped-sum MV.
 
     ``changes``: keys + seq_col + op_col + payload (must include
@@ -55,7 +63,7 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
     a production deployment would commit MV versions through the same
     manifest protocol as the snapshot store — the plain versioned dir
     keeps this operator focused on the delta algebra). Returns the new
-    MV frame: (group_col, mv_sum, mv_n).
+    MV frame: (group_col, mv_sum, mv_n[, mv_min, mv_max]).
     """
     from etl_tool_spark.streaming.cdc import (list_versions,
                                               merge_cdc_batch,
@@ -63,41 +71,77 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
 
     tk = changes.select(*keys).distinct()
 
-    def grouped(df: DataFrame, sign: int) -> DataFrame:
-        return df.select(F.col(group_col).alias("_g"),
-                         (F.col(value_col).cast("long")
-                          * F.lit(sign)).alias("_v"),
-                         F.lit(sign).cast("long").alias("_s"))
+    def touched(snapshot: DataFrame) -> DataFrame:
+        return (snapshot.join(tk, keys, "semi")
+                .select(F.col(group_col).alias("_g"),
+                        F.col(value_col).cast("long").alias("_val")))
 
     if list_versions(spark, snapshot_dir):
-        old_touched = grouped(_touched(read_snapshot(spark, snapshot_dir),
-                                       keys, tk), -1)
+        old_t = touched(read_snapshot(spark, snapshot_dir))
     else:
-        old_touched = grouped(changes.limit(0), -1)
+        old_t = touched(changes.limit(0))
 
     merge_cdc_batch(changes, snapshot_dir, keys=keys,
                     seq_col=seq_col, op_col=op_col, batch_id=batch_id)
+    snap = read_snapshot(spark, snapshot_dir)
+    new_t = touched(snap)
 
-    new_touched = grouped(_touched(read_snapshot(spark, snapshot_dir),
-                                   keys, tk), 1)
-    delta = (new_touched.unionByName(old_touched)
+    def signed(df: DataFrame, sign: int) -> DataFrame:
+        return df.select("_g", (F.col("_val") * sign).alias("_v"),
+                         F.lit(sign).cast("long").alias("_s"))
+
+    delta = (signed(new_t, 1).unionByName(signed(old_t, -1))
              .groupBy("_g")
              .agg(F.sum("_v").alias("_dv"), F.sum("_s").alias("_dn")))
+    if track_minmax:
+        ext = (new_t.groupBy("_g").agg(F.min("_val").alias("_nmin"),
+                                       F.max("_val").alias("_nmax"))
+               .join(old_t.groupBy("_g").agg(F.min("_val").alias("_omin"),
+                                             F.max("_val").alias("_omax")),
+                     "_g", "full_outer"))
+        delta = delta.join(ext, "_g", "left")
 
+    mv_cols = ["mv_sum", "mv_n"] + (["mv_min", "mv_max"]
+                                    if track_minmax else [])
     if batch_id > 0:
         prev = spark.read.parquet(f"{mv_dir}/v{batch_id - 1}")
     else:  # typed empty MV derived from the delta frame (any group type)
         prev = delta.limit(0).select(
             F.col("_g").alias(group_col),
-            F.lit(0).cast("long").alias("mv_sum"),
-            F.lit(0).cast("long").alias("mv_n"))
+            *[F.lit(0).cast("long").alias(c) for c in mv_cols])
+
     merged = (prev.withColumnRenamed(group_col, "_g")
               .join(delta, "_g", "full_outer")
-              .select(F.col("_g").alias(group_col),
-                      (F.coalesce("mv_sum", F.lit(0))
-                       + F.coalesce("_dv", F.lit(0))).alias("mv_sum"),
-                      (F.coalesce("mv_n", F.lit(0))
-                       + F.coalesce("_dn", F.lit(0))).alias("mv_n"))
+              .withColumn("mv_sum", F.coalesce("mv_sum", F.lit(0))
+                          + F.coalesce("_dv", F.lit(0)))
+              .withColumn("mv_n", F.coalesce("mv_n", F.lit(0))
+                          + F.coalesce("_dn", F.lit(0)))
               .filter(F.col("mv_n") > 0))
-    merged.write.parquet(f"{mv_dir}/v{batch_id}")
+
+    if track_minmax:
+        # a removed value that tied/beat the stored extreme may expose a
+        # second-best the MV never kept → that group re-aggregates from
+        # the snapshot; every other group folds with least/greatest
+        lossy = ((F.col("_omin").isNotNull() & F.col("mv_min").isNotNull()
+                  & ((F.col("_omin") <= F.col("mv_min"))
+                     | (F.col("_omax") >= F.col("mv_max")))))
+        merged = merged.withColumn("_lossy", F.coalesce(lossy, F.lit(False)))
+        redo = (snap.join(merged.filter("_lossy")
+                          .select(F.col("_g").alias(group_col)).distinct(),
+                          group_col, "semi")
+                .groupBy(F.col(group_col).alias("_g"))
+                .agg(F.min(F.col(value_col).cast("long")).alias("_rmin"),
+                     F.max(F.col(value_col).cast("long")).alias("_rmax")))
+        merged = (merged.join(redo, "_g", "left")
+                  .withColumn("mv_min", F.when(F.col("_lossy"), F.col("_rmin"))
+                              .otherwise(F.least(
+                                  F.coalesce("mv_min", F.col("_nmin")),
+                                  F.coalesce("_nmin", F.col("mv_min")))))
+                  .withColumn("mv_max", F.when(F.col("_lossy"), F.col("_rmax"))
+                              .otherwise(F.greatest(
+                                  F.coalesce("mv_max", F.col("_nmax")),
+                                  F.coalesce("_nmax", F.col("mv_max"))))))
+
+    out = merged.select(F.col("_g").alias(group_col), *mv_cols)
+    out.write.parquet(f"{mv_dir}/v{batch_id}")
     return spark.read.parquet(f"{mv_dir}/v{batch_id}")

@@ -880,3 +880,40 @@ def test_incremental_mv_deltas_match_recompute(spark, tmp_path):
         assert got == want, f"batch {i}: {got} != {want}"
     assert {r["grp"] for r in spark.read.parquet(f"{mv}/v2").collect()} \
         == {"a", "c"}  # b emptied out, c re-created
+
+
+def test_incremental_mv_minmax_lossy_recompute(spark, tmp_path):
+    """min/max IVM: deleting a group's stored extreme must expose the
+    second-best (the lossy recompute path), while pure inserts fold via
+    least/greatest without touching the snapshot twice. Every batch's
+    MV must equal the full recompute."""
+    from etl_tool_spark.operators.mv import update_agg_mv
+    from etl_tool_spark.streaming.cdc import read_snapshot
+
+    snap, mv = str(tmp_path / "snap"), str(tmp_path / "mv")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, seq long, op string, grp string, v long")
+
+    batches = [
+        batch([(1, 1, "U", "a", 10), (2, 2, "U", "a", 99),
+               (3, 3, "U", "a", 50)]),
+        batch([(2, 4, "D", None, None)]),       # delete a's max → 50
+        batch([(1, 5, "U", "a", 7), (4, 6, "U", "a", 60)]),
+        # update k=1 10→7 (old 10 > stored min? no: 10 was the min →
+        # lossy) and insert a new non-extreme; min must become 7
+    ]
+    for i, b in enumerate(batches):
+        got = {(r["grp"], r["mv_sum"], r["mv_n"], r["mv_min"], r["mv_max"])
+               for r in update_agg_mv(spark, snap, mv, b, keys=["k"],
+                                      group_col="grp", value_col="v",
+                                      batch_id=i,
+                                      track_minmax=True).collect()}
+        want = {(r["grp"], r["s"], r["n"], r["mn"], r["mx"])
+                for r in read_snapshot(spark, snap).groupBy("grp")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"),
+                     F.min("v").alias("mn"), F.max("v").alias("mx"))
+                .collect()}
+        assert got == want, f"batch {i}: {got} != {want}"
+    assert got == {("a", 117, 3, 7, 60)}
