@@ -49,31 +49,57 @@ _SENTINELS = [
 ]
 
 
-def _driver_checked() -> set[str]:
-    """Query names that already have a row in any past driver
-    CORRECTNESS report (the files live next to this module)."""
-    seen: set[str] = set()
+def _row_passed(row: object, has_oracle: bool) -> bool:
+    """A report row counts as a PASS only if every check matched with no
+    error — or, for a query that (still) ships no oracle SQL, if the
+    driver recorded its rows-only result (``err == 'no_oracle'``). A
+    query that has since GAINED an oracle must re-earn its green row, so
+    'no_oracle' stops counting the moment ORACLE grows an entry."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") == "no_oracle":
+        return not has_oracle
+    return (row.get("err") in (None, "")
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") is True)
+
+
+def _driver_status() -> tuple[set[str], set[str]]:
+    """(green, failed): queries with at least one PASSING row in any past
+    driver CORRECTNESS report, and queries that were checked but never
+    passed. Round 3 taught the distinction the hard way: treating mere
+    PRESENCE in a report as 'seen' rotated 8 hash-mismatched queries out
+    of the window forever, so their fixes could never earn a green row."""
+    green: set[str] = set()
+    checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
                 report = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(report, dict):
-            seen.update(report)
-    return seen
+        if not isinstance(report, dict):
+            continue
+        for name, row in report.items():
+            checked.add(name)
+            if _row_passed(row, has_oracle=name in ORACLE):
+                green.add(name)
+    return green, checked - green
 
 
 def _rotation(names: list[str]) -> list[str]:
-    """Sentinels first, then never-driver-checked queries in registration
-    order, then already-green queries — deterministic given the set of
-    CORRECTNESS reports on disk."""
-    seen = _driver_checked()
+    """Sentinels first, then previously-FAILED queries (a red row means a
+    fix is waiting to be proven), then never-driver-checked queries in
+    registration order, then already-green queries — deterministic given
+    the set of CORRECTNESS reports on disk."""
+    green, failed = _driver_status()
     sentinels = [n for n in _SENTINELS if n in names]
     rest = [n for n in names if n not in sentinels]
-    fresh = [n for n in rest if n not in seen]
-    green = [n for n in rest if n in seen]
-    return sentinels + fresh + green
+    retry = [n for n in rest if n in failed]
+    fresh = [n for n in rest if n not in failed and n not in green]
+    done = [n for n in rest if n in green and n not in failed]
+    return sentinels + retry + fresh + done
 
 
 def entry(spark: SparkSession) -> DataFrame:

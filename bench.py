@@ -221,16 +221,32 @@ def main() -> None:
     except Exception as e:  # recall is diagnostics; never sink the bench
         print(f"# recall computation failed: {e}", file=sys.stderr)
 
+    # full per-query timings go to a sidecar file + stderr; the final
+    # stdout line must stay COMPACT — round 3's 91-entry "queries" dict
+    # outgrew the driver's tail-capture window and the whole line was
+    # recorded as unparseable ("parsed": null), losing the round's perf
+    # record. Only the slowest 10 ride the machine-readable line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w", encoding="utf-8") as f:
+            json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "catalog_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
         "recall_vs_exact": recall,
         "plan_stats": {"queries": len(BENCH_QUERIES),
                        "cartesian_products": cartesians,
                        "total_exchanges": exchanges},
+        "detail_file": "bench_detail.json",
     }))
 
 

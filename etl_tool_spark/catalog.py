@@ -1302,17 +1302,22 @@ def llm_embedding_dup_pairs(spark, sf_dir):
 
 @query("agg_collect_sorted", """
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_ids,
        count(*) AS n
 FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey
 """)
 def agg_collect_sorted(spark, sf_dir):
     """Array aggregation: collect_list has nondeterministic order, so the
-    contract (and the oracle) sorts — the only safe way to expose grouped
-    arrays from a distributed engine."""
+    contract (and the oracle) sorts. The sorted array is exposed joined
+    into one string cell — the driver's pandas canonicalizer cannot hash
+    array-typed cells (round-3 red row), so no gate query may return a
+    complex-typed column; the string form carries identical information."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    ids = F.sort_array(F.collect_list("o_orderkey"))
     return (o.groupBy("o_custkey")
-             .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_ids"),
+             .agg(F.array_join(
+                      F.transform(ids, lambda x: x.cast("string")),
+                      ",").alias("order_ids"),
                   F.count(F.lit(1)).alias("n")))
 
 
@@ -1529,7 +1534,7 @@ WITH a AS (
          {_H64.format(x="doc_id::VARCHAR")} AS h
   FROM documents)
 SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split,
-       shard, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+       shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
        bit_xor(h) AS member_sig
 FROM a GROUP BY 1, 2
 """)
@@ -1569,9 +1574,9 @@ WITH p AS (
              '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}-?\\d{{0,4}}', '<PHONE>', 'g') AS red
   FROM p)
 SELECT source, count(*) AS n_docs,
-       sum(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS n_emails,
-       sum(len(regexp_extract_all(pt, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) AS n_ips,
-       sum(len(regexp_extract_all(pt, '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}-?\\d{{0,4}}'))) AS n_phones,
+       sum(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')))::BIGINT AS n_emails,
+       sum(len(regexp_extract_all(pt, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')))::BIGINT AS n_ips,
+       sum(len(regexp_extract_all(pt, '\\+\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}-?\\d{{0,4}}')))::BIGINT AS n_phones,
        bit_xor({_H64.format(x='red')}) AS redact_sig
 FROM r GROUP BY source
 """)
@@ -1808,9 +1813,9 @@ def q4_order_priority(spark, sf_dir):
 @query("q12_priority_shipping", """
 SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag
@@ -2234,11 +2239,11 @@ WITH s AS (
          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
   FROM events GROUP BY user_id)
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup,
        sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                THEN 1 ELSE 0 END) AS n_signup_view,
+                THEN 1 ELSE 0 END)::BIGINT AS n_signup_view,
        sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                 AND t_purchase > t_view THEN 1 ELSE 0 END)
+                 AND t_purchase > t_view THEN 1 ELSE 0 END)::BIGINT
          AS n_signup_view_purchase
 FROM s
 """)
@@ -2378,7 +2383,7 @@ WITH RECURSIVE chain AS (
   FROM supplier s JOIN chain c
     ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.s_suppkey
   WHERE s.s_suppkey > 1)
-SELECT depth, count(*) AS n, sum(s_suppkey) AS key_sum
+SELECT depth, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum
 FROM chain GROUP BY depth
 """
 
@@ -2423,8 +2428,8 @@ WITH co AS (
   SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       coalesce(sum(n_orders), 0) AS n_orders,
-       coalesce(max(n_orders), 0) AS max_orders
+       CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(max(n_orders), 0) AS BIGINT) AS max_orders
 FROM customer LEFT JOIN co ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
@@ -2568,7 +2573,7 @@ def events_gap_fill(spark, sf_dir):
 @query("events_props_kv", """
 WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
 SELECT key, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_v
+       sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))::BIGINT AS sum_v
 FROM kv GROUP BY key
 """)
 def events_props_kv(spark, sf_dir):
@@ -2636,7 +2641,7 @@ bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg FROM bgi),
 bgc AS (
   SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg
   FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
-SELECT tc.doc_id, n_tokens,
+SELECT tc.doc_id, n_tokens::BIGINT AS n_tokens,
        round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
        round(top_c / n_tokens::DOUBLE, 6) AS top_token_frac,
        round(coalesce(top_bg / n_bg::DOUBLE, 0), 6) AS top_bigram_frac
@@ -3345,24 +3350,24 @@ def events_ohlc_bars(spark, sf_dir):
 WITH t AS (SELECT count(*) AS total FROM orders)
 SELECT * FROM (
   SELECT 'not_null(o_custkey)' AS check,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS failures,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS failures,
          (SELECT total FROM t) AS total FROM orders
   UNION ALL
   SELECT 'accepted_values(o_orderstatus)',
          sum(CASE WHEN o_orderstatus IS NOT NULL
-                   AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END),
+                   AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END)::BIGINT,
          (SELECT total FROM t) FROM orders
   UNION ALL
   SELECT 'range(o_totalprice)',
          sum(CASE WHEN o_totalprice IS NOT NULL
                    AND (o_totalprice < 0 OR o_totalprice > 300000)
-                  THEN 1 ELSE 0 END),
+                  THEN 1 ELSE 0 END)::BIGINT,
          (SELECT total FROM t) FROM orders
   UNION ALL
   SELECT 'unique(o_orderkey)',
          coalesce((SELECT sum(n) FROM (
             SELECT count(*) AS n FROM orders GROUP BY o_orderkey
-            HAVING count(*) > 1)), 0),
+            HAVING count(*) > 1)), 0)::BIGINT,
          (SELECT total FROM t)
   UNION ALL
   SELECT 'relationship(o_custkey)',
@@ -3522,8 +3527,8 @@ WITH sides AS (
  counts AS (SELECT lang, side, count(*) AS n FROM sides GROUP BY lang, side),
  tot AS (SELECT side, sum(n) AS total FROM counts GROUP BY side),
  piv AS (SELECT lang,
-                coalesce(sum(CASE WHEN side = 'a' THEN n END), 0) AS n_a,
-                coalesce(sum(CASE WHEN side = 'b' THEN n END), 0) AS n_b
+                coalesce(sum(CASE WHEN side = 'a' THEN n END), 0)::BIGINT AS n_a,
+                coalesce(sum(CASE WHEN side = 'b' THEN n END), 0)::BIGINT AS n_b
          FROM counts GROUP BY lang)
 SELECT lang, n_a, n_b,
        round(n_a / (SELECT total FROM tot WHERE side = 'a')::DOUBLE, 6)
@@ -3585,8 +3590,8 @@ WITH tok AS (
       ::DECIMAL(28,15) AS contrib
     FROM p)
 SELECT round((sum(contrib) / 2)::DOUBLE, 8) AS js_divergence,
-       sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS terms_only_a,
-       sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS terms_only_b,
+       sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS terms_only_a,
+       sum(CASE WHEN p = 0 THEN 1 ELSE 0 END)::BIGINT AS terms_only_b,
        count(*) AS vocab
 FROM terms
 """)
@@ -3828,7 +3833,7 @@ SELECT o.o_orderpriority AS priority,
        round(min(mad.m), 2) AS med_price,
        round(min(mad.d), 2) AS mad_price,
        sum(CASE WHEN o_totalprice > mad.m + 3 * mad.d
-                THEN 1 ELSE 0 END) AS n_outliers
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
 FROM orders o JOIN mad USING (o_orderpriority)
 GROUP BY 1
 """)
@@ -4056,7 +4061,7 @@ WITH u AS (
   FROM documents)
 SELECT domain, count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(CASE WHEN tt = '' THEN 0 ELSE len(toks) END) AS sum_tokens
+       sum(CASE WHEN tt = '' THEN 0 ELSE len(toks) END)::BIGINT AS sum_tokens
 FROM u JOIN t USING (doc_id)
 GROUP BY domain
 """)
@@ -4456,7 +4461,7 @@ def llm_dedup_cluster_stats(spark, sf_dir):
 WITH w AS (
   SELECT source,
          sum(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
            AS tokens
   FROM documents GROUP BY source),
  s AS (SELECT sum(tokens) AS total,
@@ -5026,7 +5031,7 @@ WITH m AS (
          length(regexp_extract_all(text,
                 '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe
   FROM documents)
-SELECT lang, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+SELECT lang, sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
        round(sum(bpe) / greatest(sum(ws), 1), 6) AS fertility
 FROM m GROUP BY lang
 """)

@@ -125,28 +125,37 @@ def trigram_join(left: DataFrame, right: DataFrame,
     ≤ 2), trigram Jaccard tolerates proportionally more divergence in
     longer strings (word swaps, multi-char typos).
 
-    Shape: distinct n-grams build map-side on each row; the inverted-
-    index equi-join on the gram counts |A∩B| directly (one partial-
-    agg'd shuffle on the gram); set sizes join back and the Jaccard
-    |A∩B| / (|A|+|B|-|A∩B|) filters. Nothing is quadratic in either
-    table — cost scales with gram co-occurrence, not |L|×|R|.
+    Shape: candidate generation runs over the DISTINCT join-key strings
+    only — the gram shuffle carries (key, set-size, gram), never the
+    payload columns (wide rows riding the gram fan-out would multiply
+    shuffle bytes by gram count), and identical keys hash once however
+    many rows carry them. The inverted-index equi-join on the gram
+    counts |A∩B| directly (one partial-agg'd shuffle on the gram), the
+    Jaccard |A∩B| / (|A|+|B|-|A∩B|) filters, and the surviving
+    (left_key, right_key, similarity) pairs — a result-sized frame —
+    join the payload columns back at the end. Nothing is quadratic in
+    either table — cost scales with gram co-occurrence, not |L|×|R|.
 
-    ``max_df``: drop grams indexed by more than ``max_df`` rows per
-    side from CANDIDATE GENERATION (the pg_trgm common-gram problem:
-    'the' pairs everything). Exactness caveat — a true pair sharing
-    ONLY dropped grams is missed, so the default None keeps the exact
-    contract the oracle checks; set it at scale where hot grams would
-    otherwise dominate the shuffle. Returns left + right columns +
+    ``max_df``: drop grams indexed by more than ``max_df`` distinct key
+    values per side from CANDIDATE GENERATION (the pg_trgm common-gram
+    problem: 'the' pairs everything). Exactness caveat — a true pair
+    sharing ONLY dropped grams is missed, so the default None keeps the
+    exact contract the oracle checks; set it at scale where hot grams
+    would otherwise dominate the shuffle. Returns left + right columns +
     ``similarity``; column names must not overlap."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
             f"trigram_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
-    lg = left.select(*left.columns,
-                     F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
-    rg = right.select(*right.columns,
-                      F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
+    lk = left.select(left_on).distinct().withColumn(
+        "_lsz", F.size(char_ngrams(F.col(left_on), n)))
+    rk = right.select(right_on).distinct().withColumn(
+        "_rsz", F.size(char_ngrams(F.col(right_on), n)))
+    lg = lk.select(left_on, "_lsz",
+                   F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
+    rg = rk.select(right_on, "_rsz",
+                   F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
     if max_df is not None:
         l_hot = (lg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                    .filter(F.col("_n") > max_df).select("_g"))
@@ -155,11 +164,12 @@ def trigram_join(left: DataFrame, right: DataFrame,
         lg = lg.join(l_hot, "_g", "left_anti")
         rg = rg.join(r_hot, "_g", "left_anti")
     inter = (lg.join(rg, "_g")
-               .groupBy(*left.columns, *right.columns)
+               .groupBy(left_on, right_on, "_lsz", "_rsz")
                .agg(F.count(F.lit(1)).alias("_i")))
-    sim = F.col("_i") / (F.size(char_ngrams(F.col(left_on), n))
-                         + F.size(char_ngrams(F.col(right_on), n))
-                         - F.col("_i"))
-    return (inter.filter(sim >= threshold)
-                 .select(*left.columns, *right.columns,
-                         F.round(sim, 6).alias("similarity")))
+    sim = F.col("_i") / (F.col("_lsz") + F.col("_rsz") - F.col("_i"))
+    pairs = (inter.filter(sim >= threshold)
+                  .select(left_on, right_on,
+                          F.round(sim, 6).alias("similarity")))
+    return (left.join(pairs, left_on)
+                .join(right, right_on)
+                .select(*left.columns, *right.columns, "similarity"))

@@ -17,6 +17,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def split_knobs(effective_master: str) -> dict[str, str]:
+    """File-split conf appropriate for the master. local[N] gets small
+    split sizes so sf0.1-scale single-file parquet tables fan out across
+    every core; any non-local master gets NOTHING — 4 MiB splits on a
+    100 TB cluster scan would schedule 25M+ tasks, so cluster runs keep
+    Spark's 128 MiB defaults (or the site config)."""
+    if effective_master.startswith("local"):
+        return {
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
+        }
+    return {}
+
+
 def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
@@ -25,6 +39,8 @@ def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
     cluster the caller passes its own master / relies on spark-submit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    effective_master = master if master is not None \
+        else os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
@@ -40,14 +56,12 @@ def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
         # the scale format (parquet pruning is unaffected).
         .config("spark.sql.csv.parser.columnPruning.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # split small single-file tables across cores; at cluster scale this
-        # is tuned to keep ~2-4 tasks per core per scan
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
+    for k, v in split_knobs(effective_master).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
