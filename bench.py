@@ -204,20 +204,31 @@ def main() -> None:
             pass
 
     # approximation-quality floor: recall of the banded/trained ANN paths
-    # vs the exact brute-force twin, so quality can't silently regress
-    # while the rows-only correctness check stays green
-    def _topk_pairs(name: str) -> set:
-        df = SPARK[name](spark, sf_dir)
-        return {(r["query_id"], r["vec_id"])
-                for r in df.select("query_id", "vec_id").collect()}
-
+    # vs the exact brute-force twin (the catalog entries now return the
+    # thresholded contract row, so the raw pair sets are built here)
     recall: dict[str, float] = {}
     try:
-        exact = _topk_pairs("llm_embedding_topk")
-        for name, key in (("llm_embedding_lsh_topk", "lsh_topk"),
-                          ("llm_embedding_ivf_topk", "ivf_topk")):
-            got = _topk_pairs(name)
-            recall[key] = round(len(got & exact) / max(len(exact), 1), 4)
+        from pyspark.sql import functions as F
+
+        from etl_tool_spark.llm import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.filter(F.col("vec_id") < 10) \
+                .select(F.col("vec_id").alias("query_id"), "embedding")
+
+        def _pairs(df) -> set:
+            return {(r["query_id"], r["vec_id"])
+                    for r in df.select("query_id", "vec_id").collect()}
+
+        exact = _pairs(S.brute_force_topk(emb, qs, k=5))
+        approx = {
+            "lsh_topk": S.lsh_topk(emb, qs, k=5, dim=64, bands=4,
+                                   rows_per_band=2),
+            "ivf_topk": S.ivf_topk(emb, qs, k=5, nlist=32, nprobe=16),
+        }
+        for key, df in approx.items():
+            recall[key] = round(len(_pairs(df) & exact)
+                                / max(len(exact), 1), 4)
     except Exception as e:  # recall is diagnostics; never sink the bench
         print(f"# recall computation failed: {e}", file=sys.stderr)
 

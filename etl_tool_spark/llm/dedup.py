@@ -80,6 +80,9 @@ def incremental_exact_dedup(new_df: DataFrame, store_dir: str,
     import glob as _glob
     import os as _os
 
+    from etl_tool_spark.util import require_local_store
+
+    require_local_store(store_dir, "exact-dedup fingerprint store")
     part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
     if part_files:
         seen = spark.read.parquet(*part_files)
@@ -406,6 +409,40 @@ def _jaccard_verify(hs_frame: DataFrame, cands: DataFrame, id_col: str,
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
 
 
+def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
+                               num_hashes: int, bands: int) -> None:
+    """Migrate a store written by the pre-two-table revision (signature
+    part files directly under ``store_dir``) into the sig/ + bands/
+    layout. Without this, a legacy store was silently read as EMPTY
+    (first_batch=True) — duplicates against the previously ingested
+    corpus went undetected with no error. Migration rebuilds bands/ from
+    the legacy signatures with the CALLER's (num_hashes, bands), which
+    must match the parameters the legacy store was written with — the
+    same same-hash-family contract appends already require."""
+    import glob as _glob
+    import os as _os
+
+    from etl_tool_spark.util import require_local_store
+
+    require_local_store(store_dir, "minhash signature store")
+    legacy = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
+    if not legacy:
+        return
+    sig_dir = _os.path.join(store_dir, "sig")
+    hs = spark.read.parquet(*legacy)
+    if set(hs.columns) != {id_col, "_hs"}:
+        raise ValueError(
+            f"incremental minhash store layout changed: {store_dir} holds "
+            f"flat part files with columns {sorted(hs.columns)} that are "
+            f"not a legacy ({id_col}, _hs) signature table — refusing to "
+            "guess; rebuild the store or migrate it manually")
+    hs.write.mode("append").parquet(sig_dir)
+    _band_frame(spark.read.parquet(sig_dir), id_col, num_hashes, bands) \
+        .write.mode("append").parquet(_os.path.join(store_dir, "bands"))
+    for f in legacy:
+        _os.remove(f)
+
+
 def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
                     num_hashes: int, bands: int):
     """Append a signature frame to the two-table store (sig/ + bands/)
@@ -441,6 +478,8 @@ def append_signatures(df: DataFrame, store_dir: str,
     the SURVIVORS of a batch — dropped duplicates must not pollute the
     store, or later docs would be compared against text the corpus never
     kept. Parameters must match the store's (same hash family)."""
+    _migrate_legacy_flat_store(df.sparkSession, store_dir, id_col,
+                               num_hashes, bands)
     hs = df.select(F.col(id_col),
                    shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
     _append_and_pin(hs, store_dir, id_col, num_hashes, bands)
@@ -498,6 +537,7 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
     import glob as _glob
     import os as _os
 
+    _migrate_legacy_flat_store(spark, store_dir, id_col, num_hashes, bands)
     sig_dir = _os.path.join(store_dir, "sig")
     bands_dir = _os.path.join(store_dir, "bands")
     sig_files = sorted(_glob.glob(_os.path.join(sig_dir, "*.parquet")))

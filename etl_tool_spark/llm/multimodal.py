@@ -3,14 +3,15 @@ columns + typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing) is
 real and tested. Decode is REAL where stdlib+numpy can do it —
-WAV/PCM via the wave module, uncompressed BMP via struct+numpy, and
-8-bit non-interlaced PNG via zlib + a full scanline-unfilter
-implementation (decode_wav_features / decode_bmp_features /
-decode_png_features extract actual signal/pixel features) — and
-STUBBED for codecs that genuinely need external libraries (JPEG's DCT
-entropy coding, video demux → PIL/av, absent here): those stubs either
-raise NotImplementedError (strict mode) or produce a deterministic
-fake so pipelines exercise the full dataflow.
+WAV/PCM via the wave module, uncompressed BMP via struct+numpy, 8-bit
+non-interlaced PNG via zlib + a full scanline-unfilter implementation,
+GIF via a from-scratch LZW, and baseline sequential-DCT JPEG via a
+from-scratch Huffman + IDCT pipeline against the public ITU-T T.81
+spec (decode_wav/bmp/png/gif/jpeg_features extract actual signal/pixel
+features) — and STUBBED for codecs that genuinely need external
+libraries (video demux → PIL/av, MP3 — absent here): those stubs
+either raise NotImplementedError (strict mode) or produce a
+deterministic fake so pipelines exercise the full dataflow.
 
 Scale notes: binary payloads dominate row size, so these operators
 repartition by bytes not rows (``target_partition_mb``) before the UDF,
@@ -29,7 +30,8 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
-           "decode_bmp_features", "decode_png_features", "probe_media"]
+           "decode_bmp_features", "decode_png_features",
+           "decode_gif_features", "decode_jpeg_features", "probe_media"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -585,3 +587,315 @@ def decode_gif_features(df: DataFrame,
 
     return df.select("media_id", payload_col).mapInPandas(
         run, GIF_FEATURE_SCHEMA)
+
+
+# --- baseline JPEG (ITU-T T.81 / JFIF), pure stdlib + numpy ------------
+
+# zigzag order: index i of the entropy stream -> position in the 8x8 block
+_JPEG_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    """Orthonormal 8-point DCT-II basis: spatial = A.T @ coef @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _jpeg_huff(bits, values):
+    """Canonical Huffman decode map from a DHT segment: the 16 per-length
+    counts + value list become {(code_length, code): value} exactly as
+    T.81 Annex C generates the codes."""
+    table = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: un-stuffs FF00, surfaces RSTn
+    (resetting its own state), stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p = data, pos
+        self.acc, self.n = 0, 0
+        self.done = False
+
+    def _fill(self):
+        while self.n < 25 and not self.done:
+            if self.p >= len(self.d):
+                self.done = True
+                break
+            byte = self.d[self.p]
+            if byte == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
+                if nxt != 0x00:              # RSTn (caller's job) or a
+                    self.done = True         # real marker: end of segment
+                    break
+                self.p += 2                  # stuffed FF00 → literal FF
+            else:
+                self.p += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def take(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.n < k:       # truncated stream: pad with zeros (T.81 F.18)
+            self.acc <<= (k - self.n)
+            self.n = k
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def restart(self):
+        """Consume an RSTn marker and realign to the next byte."""
+        self.acc, self.n, self.done = 0, 0, False
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and 0xD0 <= self.d[self.p + 1] <= 0xD7:
+                self.p += 2
+                return True
+            self.p += 1
+        return False
+
+
+def _jpeg_decode_huff(bits: "_JpegBits", table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.take(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(b: bytes):
+    """(width, height, n_components, mean_pixel) for a baseline
+    sequential-DCT JFIF payload, or None if not a JPEG. Dimensions parse
+    from any SOF; mean_pixel is None for the modes a from-scratch
+    decoder doesn't cover (progressive SOF2, arithmetic coding, 12-bit,
+    4-component CMYK) — dims still report, matching the other decoders'
+    header-only degradation. Pure stdlib + numpy against the public
+    ITU-T T.81 spec: marker walk, canonical Huffman, DC-diff + AC
+    run-length entropy decode, dequantize, dezigzag, orthonormal IDCT,
+    chroma upsampling, JFIF YCbCr→RGB."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    baseline = False
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9 or pos + 2 > len(b):
+            break
+        ln = struct.unpack_from(">H", b, pos)[0]
+        seg = b[pos + 2:pos + ln]
+        if marker == 0xDB:                       # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, i) \
+                        .astype(np.int32)
+                    i += 64
+                else:                            # 16-bit tables: rare
+                    qt[tq] = np.array(struct.unpack_from(f">{64}H", seg, i),
+                                      dtype=np.int32)
+                    i += 128
+        elif marker == 0xC4:                     # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                n = sum(counts)
+                vals = list(seg[i + 17:i + 17 + n])
+                huff[(tc, th)] = _jpeg_huff(counts, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):  # SOFn
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = (w, h, nc, prec, comps)
+            baseline = marker in (0xC0, 0xC1)    # sequential DCT, Huffman
+        elif marker == 0xDD:                     # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                     # SOS
+            ns = seg[0]
+            sel = []
+            for si in range(ns):
+                cs, tt = struct.unpack_from(">BB", seg, 1 + 2 * si)
+                sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+            scan = (sel, pos + ln)               # entropy data start
+            break
+        pos += ln
+
+    if frame is None:
+        return None
+    w, h, nc, prec, comps = frame
+    header_only = (w, h, nc, None)
+    if (not baseline or scan is None or prec != 8 or nc not in (1, 3)
+            or any(c["tq"] not in qt for c in comps)):
+        return header_only
+
+    sel, data_pos = scan
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for s in sel:
+        c = by_id.get(s["cs"])
+        if c is None or (0, s["td"]) not in huff or (1, s["ta"]) not in huff:
+            return header_only
+        order.append((c, huff[(0, s["td"])], huff[(1, s["ta"])]))
+    if len(order) != nc:                         # multi-scan: not baseline
+        return header_only
+
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return header_only
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _jpeg_idct_matrix()
+    planes = {c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                                dtype=np.float64) for c in comps}
+    preds = {c["id"]: 0 for c in comps}
+    bits = _JpegBits(b, data_pos)
+    zz = _JPEG_ZIGZAG
+    try:
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                if not bits.restart():
+                    break                        # truncated: keep partial
+                preds = {c["id"]: 0 for c in comps}
+            my, mx = divmod(m, mcux)
+            for c, dct, act in order:
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = _jpeg_decode_huff(bits, dct)
+                        diff = _jpeg_extend(bits.take(s), s)
+                        preds[c["id"]] += diff
+                        coef[0] = preds[c["id"]] * int(q[0])
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(bits, act)
+                            r, ssz = rs >> 4, rs & 15
+                            if ssz == 0:
+                                if r != 15:
+                                    break        # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                break
+                            coef[zz[k]] = _jpeg_extend(bits.take(ssz),
+                                                       ssz) * int(q[k])
+                            k += 1
+                        blk = A.T @ coef.reshape(8, 8) @ A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
+    except (ValueError, IndexError):
+        return header_only
+
+    full = {}
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:                     # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full[c["id"]] = p[:h, :w]
+    if nc == 1:
+        px = np.clip(full[comps[0]["id"]], 0, 255)
+    else:
+        y, cb, cr = (full[c["id"]] for c in comps)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bch = y + 1.772 * (cb - 128.0)
+        px = np.clip(np.stack([r, g, bch]), 0, 255)
+    return (w, h, nc, round(float(px.mean()), 6))
+
+
+JPEG_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_components", T.IntegerType(), True),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+])
+
+
+def decode_jpeg_features(df: DataFrame,
+                         payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for baseline sequential-DCT JPEG (JFIF) — no
+    codec library: marker walk, canonical Huffman entropy decode,
+    dequantize + IDCT, chroma upsampling, YCbCr→RGB, mean pixel
+    intensity. Progressive / arithmetic / 12-bit / CMYK variants decode
+    header-only (dims, null mean); non-JPEG payloads yield null
+    features. Same Arrow mapInPandas shape as the WAV/BMP/PNG/GIF
+    decoders: CPU-bound map-side work, scales with executors, no
+    shuffle. Completes the no-external-codec image family — the
+    remaining stubs (video demux, MP3) genuinely need ffmpeg-class
+    dependencies."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                feat = None
+                if payload is not None:
+                    try:
+                        feat = _jpeg_decode(bytes(payload))
+                    except Exception:
+                        feat = None
+                out.append((media_id, *(feat if feat else (None,) * 4)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             JPEG_FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, JPEG_FEATURE_SCHEMA)

@@ -508,6 +508,10 @@ def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,
     import glob as _glob
     import os as _os
 
+    from etl_tool_spark.util import require_local_store
+
+    require_local_store(store_dir, "embedding signature store")
+
     spark = vf.sparkSession
     vec_dir = _os.path.join(store_dir, "vec")
     bands_dir = _os.path.join(store_dir, "bands")
@@ -548,6 +552,7 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
                                 vec_col: str = "embedding",
                                 dim: int = 64, bands: int = 64,
                                 rows_per_band: int = 6,
+                                max_bucket: int | None = None,
                                 update_store: bool = True) -> DataFrame:
     """Embedding-cosine near-dup pairs for a NEW batch against a growing
     corpus, never re-projecting old vectors — the semantic twin of
@@ -561,10 +566,24 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     must be globally unique; old-side reads are pinned to pre-append
     part files so the lazy result survives the append.
 
+    ``max_bucket`` is the hot-bucket guard (embedding_dup_pairs /
+    incremental_minhash_pairs parity): without it, one degenerate LSH
+    bucket in the STORE — a boilerplate-embedding cluster — makes every
+    subsequent batch's new×old candidate fan-out quadratic. Population
+    is counted over the COMBINED store+batch band rows before any pair
+    generation (one count shuffle, never a fan-out); buckets over the
+    cap are dropped whole this batch. As with the minhash store, the
+    cap is time-dependent: pairs emitted while a bucket was small are
+    never retracted, so the capped incremental union is a superset of
+    the capped one-shot; exact equality holds only uncapped.
+
     Returns (a, b, cosine_sim) with a < b, cosine ≥ threshold."""
     import glob as _glob
     import os as _os
 
+    from etl_tool_spark.util import require_local_store
+
+    require_local_store(store_dir, "embedding signature store")
     spark = new_df.sparkSession
     vf_new = _norm_frame(new_df, id_col, vec_col)
 
@@ -583,17 +602,29 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
                                   rows_per_band)
 
+    banded_old = None
+    if not first_batch:
+        banded_old = (spark.read.parquet(*band_files) if band_files
+                      else _banded_keys(vf_old, id_col, vec_col, dim,
+                                        bands, rows_per_band))
+    if max_bucket is not None:
+        pop = (banded_new.select("_bkt") if banded_old is None
+               else banded_new.select("_bkt")
+                              .unionByName(banded_old.select("_bkt")))
+        hot = (pop.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+                  .filter(F.col("_n") > max_bucket).select("_bkt"))
+        banded_new = banded_new.join(hot, "_bkt", "left_anti")
+        if banded_old is not None:
+            banded_old = banded_old.join(hot, "_bkt", "left_anti")
+
     l, r = banded_new.alias("l"), banded_new.alias("r")
     new_new = (l.join(r, [F.col("l._bkt") == F.col("r._bkt"),
                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
                 .select(F.col(f"l.{id_col}").alias("a"),
                         F.col(f"r.{id_col}").alias("b")))
-    if first_batch:
+    if banded_old is None:
         cands = new_new.distinct()
     else:
-        banded_old = (spark.read.parquet(*band_files) if band_files
-                      else _banded_keys(vf_old, id_col, vec_col, dim,
-                                        bands, rows_per_band))
         new_old = (banded_old
                    .join(banded_new.withColumnRenamed(id_col, "_nid"),
                          "_bkt")

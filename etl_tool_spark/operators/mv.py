@@ -64,10 +64,54 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
     manifest protocol as the snapshot store — the plain versioned dir
     keeps this operator focused on the delta algebra). Returns the new
     MV frame: (group_col, mv_sum, mv_n[, mv_min, mv_max]).
+
+    Retry contract (the snapshot merge and the MV write cannot be one
+    atomic commit across two stores): the old-side read is pinned to
+    the snapshot VERSION PRECEDING the batch's merge, located through
+    the manifests' batch_id — never to "current". So a re-run after a
+    crash between the merge and the MV write recomputes the SAME delta
+    (a current-snapshot read would see the batch already applied, fold
+    a zero delta, and silently lose the batch from the MV forever). A
+    fully-written MV version (_SUCCESS present) short-circuits the
+    replay; a partial one is overwritten.
     """
-    from etl_tool_spark.streaming.cdc import (list_versions,
+    from etl_tool_spark.streaming.cdc import (_fs, _load_manifest,
+                                              list_versions,
                                               merge_cdc_batch,
                                               read_snapshot)
+
+    mv_path = f"{mv_dir}/v{batch_id}"
+    fs, marker, _ = _fs(spark, f"{mv_path}/_SUCCESS")
+    if fs.exists(marker):  # replay of a fully-applied batch: no-op
+        return spark.read.parquet(mv_path)
+
+    def batch_version() -> int | None:
+        for n in reversed(list_versions(spark, snapshot_dir)):
+            m = _load_manifest(spark, snapshot_dir, n)
+            if m.get("batch_id") == batch_id:
+                return n
+        return None
+
+    applied_at = batch_version()
+    if applied_at is None:
+        merge_cdc_batch(changes, snapshot_dir, keys=keys,
+                        seq_col=seq_col, op_col=op_col, batch_id=batch_id)
+        applied_at = batch_version()
+    if applied_at is None:
+        # batch touched no buckets → no version committed → zero delta:
+        # pin old and new to the SAME (current) version so differences
+        # from other batches can never leak into this fold
+        vs = list_versions(spark, snapshot_dir)
+        applied_at = vs[-1] if vs else None
+        pre_versions = [applied_at] if applied_at is not None else []
+    else:
+        pre_versions = [n for n in list_versions(spark, snapshot_dir)
+                        if n < applied_at]
+        if applied_at > 1 and not pre_versions:
+            raise RuntimeError(
+                f"cannot refresh MV for batch {batch_id}: snapshot version "
+                f"{applied_at - 1} (the pre-batch state) was vacuumed; keep "
+                "at least 2 versions while MV refreshes can still be retried")
 
     tk = changes.select(*keys).distinct()
 
@@ -76,14 +120,11 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                 .select(F.col(group_col).alias("_g"),
                         F.col(value_col).cast("long").alias("_val")))
 
-    if list_versions(spark, snapshot_dir):
-        old_t = touched(read_snapshot(spark, snapshot_dir))
-    else:
-        old_t = touched(changes.limit(0))
-
-    merge_cdc_batch(changes, snapshot_dir, keys=keys,
-                    seq_col=seq_col, op_col=op_col, batch_id=batch_id)
-    snap = read_snapshot(spark, snapshot_dir)
+    old_t = (touched(read_snapshot(spark, snapshot_dir,
+                                   version=pre_versions[-1]))
+             if pre_versions else touched(changes.limit(0)))
+    snap = (read_snapshot(spark, snapshot_dir, version=applied_at)
+            if applied_at is not None else changes.limit(0))
     new_t = touched(snap)
 
     def signed(df: DataFrame, sign: int) -> DataFrame:
@@ -143,5 +184,8 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                                   F.coalesce("_nmax", F.col("mv_max"))))))
 
     out = merged.select(F.col("_g").alias(group_col), *mv_cols)
-    out.write.parquet(f"{mv_dir}/v{batch_id}")
-    return spark.read.parquet(f"{mv_dir}/v{batch_id}")
+    # overwrite, not error-if-exists: a crashed earlier attempt may have
+    # left a partial v{batch_id} dir (no _SUCCESS — the short-circuit at
+    # the top only accepts complete writes)
+    out.write.mode("overwrite").parquet(mv_path)
+    return spark.read.parquet(mv_path)

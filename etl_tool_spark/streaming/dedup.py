@@ -49,6 +49,12 @@ def _batch_marker(store_dir: str, batch_id: int):
     never a scan of the growing store."""
     import os
 
+    from etl_tool_spark.util import require_local_store
+
+    # loud failure on object-store URIs: os.path.exists on "s3a://…" is
+    # always False, so the replay guard would silently never engage
+    # (every replay re-lands — at-least-once instead of effectively-once)
+    require_local_store(store_dir, "streaming gate store")
     marker_dir = os.path.join(store_dir, "_applied")
     marker = os.path.join(marker_dir, str(batch_id))
 
@@ -178,14 +184,20 @@ def _gate_survivors(batch_df: DataFrame, pairs: DataFrame,
     ingest gates: given near-dup ``pairs`` (a < b, each touching ≥1
     batch row), drop the batch member of any batch×stored pair (the
     stored side landed first) and the larger id of any in-batch pair.
-    Returns the surviving batch rows."""
+    Returns the surviving batch rows.
+
+    No broadcast hints here: these frames scale with the micro-batch,
+    and an availableNow backfill batch can be arbitrarily large — a
+    hinted broadcast bypasses autoBroadcastJoinThreshold and OOMs
+    exactly where the batch is biggest. AQE broadcasts small sides from
+    runtime stats anyway, which is the right call per batch."""
     ids = batch_df.select(F.col(id_col)).distinct()
     flagged = (pairs
-               .join(F.broadcast(ids.select(F.col(id_col).alias("a"),
-                                            F.lit(True).alias("_a_new"))),
+               .join(ids.select(F.col(id_col).alias("a"),
+                                F.lit(True).alias("_a_new")),
                      "a", "left")
-               .join(F.broadcast(ids.select(F.col(id_col).alias("b"),
-                                            F.lit(True).alias("_b_new"))),
+               .join(ids.select(F.col(id_col).alias("b"),
+                                F.lit(True).alias("_b_new")),
                      "b", "left"))
     a_new = F.coalesce(F.col("_a_new"), F.lit(False))
     b_new = F.coalesce(F.col("_b_new"), F.lit(False))
@@ -194,7 +206,7 @@ def _gate_survivors(batch_df: DataFrame, pairs: DataFrame,
              .when(a_new & ~b_new, F.col("a"))      # partner stored
              .otherwise(F.col("b")))                # partner stored
     drops = flagged.select(drop.alias(id_col)).distinct()
-    return batch_df.join(F.broadcast(drops), id_col, "left_anti")
+    return batch_df.join(drops, id_col, "left_anti")
 
 
 def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,

@@ -735,23 +735,34 @@ def test_repeated_spans_merges_maximal_runs(spark):
 
 
 def test_ann_recall_floors_vs_exact(spark):
-    """Approximation-quality floor (the rows-only driver check can't see
-    this): at the catalog's default settings on the sf0.01 gate data,
-    sign-LSH top-k must keep recall >= 0.8 and IVF >= 0.9 against the
-    exact brute-force twin. bench.py reports the same ratio per run as
-    recall_vs_exact."""
-    from etl_tool_spark.catalog import SPARK
-
+    """Approximation-quality floors at the catalog's default settings on
+    the sf0.01 gate data: sign-LSH top-k must keep recall >= 0.8 and IVF
+    >= 0.9 against the exact brute-force twin (tighter than the 0.70
+    floor the catalog queries bind into their oracle-checked recall_ok
+    column, which also needs headroom for sf0.1's IVF 0.84). bench.py
+    reports the same ratio per run as recall_vs_exact."""
     sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
 
-    def pairs(name):
+    def pairs(df):
         return {(r["query_id"], r["vec_id"])
-                for r in SPARK[name](spark, sf)
-                .select("query_id", "vec_id").collect()}
+                for r in df.select("query_id", "vec_id").collect()}
 
-    exact = pairs("llm_embedding_topk")
-    assert len(pairs("llm_embedding_lsh_topk") & exact) / len(exact) >= 0.8
-    assert len(pairs("llm_embedding_ivf_topk") & exact) / len(exact) >= 0.9
+    exact = pairs(S.brute_force_topk(emb, qs, k=5))
+    lsh = pairs(S.lsh_topk(emb, qs, k=5, dim=64, bands=4, rows_per_band=2))
+    ivf = pairs(S.ivf_topk(emb, qs, k=5, nlist=32, nprobe=16))
+    assert len(lsh & exact) / len(exact) >= 0.8
+    assert len(ivf & exact) / len(exact) >= 0.9
+
+    # the catalog entries return the one-row thresholded contract the
+    # driver hash-checks; both must assert recall_ok at the gate SF
+    from etl_tool_spark.catalog import SPARK
+    for name in ("llm_embedding_lsh_topk", "llm_embedding_ivf_topk"):
+        row = SPARK[name](spark, sf).collect()[0]
+        assert (row["n_queries"], row["n_pairs_exact"],
+                row["recall_ok"]) == (10, 50, True), name
 
 
 def test_incremental_embedding_equals_one_shot(spark, tmp_path):
@@ -967,3 +978,207 @@ def test_gif_decode_real_pixels(spark):
     assert rows[3]["width"] is None or rows[3]["mean_pixel"] is None
     assert rows[4]["width"] is None
     assert rows[5]["width"] is None
+
+
+def test_incremental_minhash_migrates_legacy_flat_store(spark, tmp_path):
+    """A store written by the pre-two-table revision (signature parts
+    directly under store_dir) must be migrated into sig/ + bands/, not
+    silently read as empty — duplicates against the previously ingested
+    corpus would otherwise go undetected with no error."""
+    import glob
+
+    store = str(tmp_path / "legacy_store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    b1 = spark.createDataFrame([(1, base + " omega")],
+                               "doc_id long, text string")
+    # batch-1 signatures in the LEGACY layout: flat parquet parts
+    b1.select(F.col("doc_id"),
+              D.shingle_hashes(F.col("text"), 3).alias("_hs")) \
+      .write.parquet(store)
+    assert glob.glob(store + "/*.parquet")
+
+    b2 = spark.createDataFrame([(2, base + " sigma")],
+                               "doc_id long, text string")
+    pairs = D.incremental_minhash_pairs(b2, store)
+    assert [(r["a"], r["b"]) for r in pairs.collect()] == [(1, 2)]
+    # migrated: no flat parts remain; sig/ + bands/ hold both docs
+    assert not glob.glob(store + "/*.parquet")
+    assert spark.read.parquet(store + "/sig").count() == 2
+    assert spark.read.parquet(store + "/bands").count() == 8 * 2
+
+
+def test_legacy_flat_store_with_foreign_schema_rejected(spark, tmp_path):
+    """Flat part files that are NOT a legacy signature table must raise
+    a clear layout error, never be silently folded into the store."""
+    store = str(tmp_path / "foreign_store")
+    spark.range(5).write.parquet(store)
+    b = spark.createDataFrame([(1, "alpha beta gamma")],
+                              "doc_id long, text string")
+    with pytest.raises(ValueError, match="store layout"):
+        D.incremental_minhash_pairs(b, store)
+
+
+def test_embedding_incremental_hot_bucket_cap(spark, tmp_path):
+    """incremental_embedding_pairs(max_bucket=...) parity with the
+    minhash store: bucket population is counted over the COMBINED
+    store+batch band rows, so a stored boilerplate-embedding cluster
+    the batch pushes over the cap is dropped whole — without the cap
+    every later batch's new×old fan-out against that cluster is
+    quadratic."""
+    boiler = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    kw = dict(threshold=0.9, dim=8, bands=4, rows_per_band=2)
+    store = str(tmp_path / "emb_store")
+    b1 = spark.createDataFrame(
+        [(i, boiler) for i in range(30)] + [(100, other)],
+        "vec_id long, embedding array<float>")
+    S.incremental_embedding_pairs(b1, store, max_bucket=40, **kw).count()
+    b2 = spark.createDataFrame(
+        [(i, boiler) for i in range(200, 220)] + [(101, other)],
+        "vec_id long, embedding array<float>")
+    got = S.incremental_embedding_pairs(b2, store, max_bucket=40,
+                                        update_store=False, **kw).collect()
+    ids = {i for r in got for i in (r["a"], r["b"])}
+    # 30 stored + 20 new boilerplate = 50 > 40 ⇒ bucket dropped whole,
+    # across the store boundary; the small-cluster pair survives
+    assert (100, 101) in {(r["a"], r["b"]) for r in got}
+    assert ids == {100, 101}
+    uncapped = S.incremental_embedding_pairs(b2, store,
+                                             update_store=False, **kw).count()
+    assert uncapped == 30 * 20 + 20 * 19 // 2 + 1
+
+
+def test_stores_reject_object_store_uris(spark):
+    """glob/open-based stores silently see an empty store on object-store
+    URIs (dedup misses the prior corpus; replay markers never engage) —
+    they must fail loudly instead."""
+    from etl_tool_spark.streaming.dedup import land_batch
+    from etl_tool_spark.util import require_local_store
+
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    for uri in ("s3a://bucket/store", "hdfs://nn/store", "file:///tmp/x"):
+        with pytest.raises(NotImplementedError):
+            require_local_store(uri)
+    with pytest.raises(NotImplementedError):
+        D.incremental_exact_dedup(df, "s3a://bucket/store")
+    with pytest.raises(NotImplementedError):
+        D.incremental_minhash_pairs(df, "hdfs://nn/store")
+    with pytest.raises(NotImplementedError):
+        S.incremental_embedding_pairs(
+            spark.createDataFrame([(1, [1.0, 0.0])],
+                                  "vec_id long, embedding array<float>"),
+            "s3a://bucket/emb")
+    with pytest.raises(NotImplementedError):
+        land_batch(df, 0, "s3a://bucket/gate", "/tmp/out_never_written")
+    require_local_store("/tmp/plain/path")  # plain paths pass
+
+
+# --- baseline JPEG decode (multimodal.py _jpeg_decode) -------------------
+
+def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0):
+    """Minimal baseline-JPEG encoder for DC-only (solid per 8x8 block)
+    images: quant tables of all ones, one 12-category DC Huffman table
+    (all codes length 4) and an EOB-only AC table, 3-byte-spec SOS.
+    ``comps`` = list of (component_id, h_samp, v_samp, block_values)
+    where block_values lists each 8x8 block's solid pixel value in MCU
+    scan order. A solid block's only nonzero coefficient is
+    DC = 8*(value-128) under the orthonormal IDCT, so expected pixels
+    are closed-form — the test never mirrors the decoder's math."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, hs, vs, _ in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, 0)
+    out += bytes([0xFF, marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = [0, 0, 0, 12] + [0] * 12          # categories 0..11, len 4
+    ac_counts = [0, 1] + [0] * 14                 # EOB only, code '00'
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12) + b"\x00" \
+        + bytes(dc_counts) + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x10" \
+        + bytes(ac_counts) + b"\x00"
+    sos = bytes([nc]) + b"".join(struct.pack(">BB", cid, 0)
+                                 for cid, _, _, _ in comps) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    acc, nbits = 0, 0
+
+    def put(val, k):
+        nonlocal acc, nbits
+        for i in range(k - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)              # byte stuffing
+                acc, nbits = 0, 0
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcu = (-(-w // (8 * hmax))) * (-(-h // (8 * vmax)))
+    idx = {cid: 0 for cid, _, _, _ in comps}
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    for _ in range(n_mcu):
+        for cid, hs, vs, vals in comps:
+            for _ in range(hs * vs):
+                dc = 8 * (vals[idx[cid]] - 128)
+                idx[cid] += 1
+                diff = dc - pred[cid]
+                pred[cid] = dc
+                s = abs(diff).bit_length()
+                put(s, 4)                         # DC category code
+                if s:
+                    put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                put(0b00, 2)                      # EOB
+    if nbits:
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        out.append(acc)
+        if acc == 0xFF:
+            out.append(0x00)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_features(spark):
+    """Real baseline-JPEG decode: grayscale exactness, 4:4:4 YCbCr→RGB,
+    4:2:0 chroma upsampling with per-block DC-diff coding, progressive
+    header-only degradation, and garbage → null features."""
+    gray = _jpeg_fixture(8, 8, [(1, 1, 1, [200])])
+    # 16x8 4:4:4: two MCUs, Y 100/150, Cb 120, Cr 140 (all in gamut)
+    color = _jpeg_fixture(16, 8, [(1, 1, 1, [100, 150]),
+                                  (2, 1, 1, [120, 120]),
+                                  (3, 1, 1, [140, 140])])
+    y_mean = (100 + 150) / 2
+    want_color = round((3 * y_mean + 1.402 * (140 - 128)
+                        - 0.344136 * (120 - 128) - 0.714136 * (140 - 128)
+                        + 1.772 * (120 - 128)) / 3, 6)
+    # 16x16 4:2:0: one MCU, four Y blocks + one Cb + one Cr block
+    sub = _jpeg_fixture(16, 16, [(1, 2, 2, [96, 112, 144, 160]),
+                                 (2, 1, 1, [128]), (3, 1, 1, [128])])
+    progressive = _jpeg_fixture(8, 8, [(1, 1, 1, [200])], marker=0xC2)
+    payloads = [(1, bytearray(gray)), (2, bytearray(color)),
+                (3, bytearray(sub)), (4, bytearray(progressive)),
+                (5, bytearray(b"\xff\xd8 truncated")),
+                (6, bytearray(b"not a jpeg")), (7, None)]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in M.decode_jpeg_features(media).collect()}
+
+    assert (rows[1]["width"], rows[1]["height"],
+            rows[1]["n_components"]) == (8, 8, 1)
+    assert rows[1]["mean_pixel"] == 200.0
+    assert (rows[2]["width"], rows[2]["height"],
+            rows[2]["n_components"]) == (16, 8, 3)
+    assert abs(rows[2]["mean_pixel"] - want_color) < 1e-4
+    assert (rows[3]["width"], rows[3]["height"]) == (16, 16)
+    # Cb=Cr=128 → RGB == Y plane; mean = avg of the four Y blocks
+    assert abs(rows[3]["mean_pixel"] - 128.0) < 1e-6
+    # progressive: dims parse, pixels don't (honest header-only)
+    assert (rows[4]["width"], rows[4]["height"]) == (8, 8)
+    assert rows[4]["mean_pixel"] is None
+    assert rows[5]["mean_pixel"] is None
+    assert rows[6]["width"] is None
+    assert rows[7]["width"] is None

@@ -118,8 +118,18 @@ def test_quality_language_single_tokenization(spark):
 
 def test_ivf_topk_no_cartesian_broadcast_probe(spark, catalog):
     """IVF probes must be an equi-join on the cell id (broadcast of the
-    tiny exploded query set), never a per-query corpus scan."""
-    p = plan(catalog["llm_embedding_ivf_topk"](spark, SF_DIR))
+    tiny exploded query set), never a per-query corpus scan. Probed on
+    the raw operator — the catalog entry now unions in the brute-force
+    twin to compute its oracle-checked recall contract, and THAT side's
+    broadcast nested loop is by design."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.llm import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan(S.ivf_topk(emb, qs, k=5, nlist=32, nprobe=16))
     assert not nodes(p, "CartesianProduct")
     assert not nodes(p, "BroadcastNestedLoopJoin")
     assert nodes(p, "BroadcastHashJoin")

@@ -917,3 +917,46 @@ def test_incremental_mv_minmax_lossy_recompute(spark, tmp_path):
                 .collect()}
         assert got == want, f"batch {i}: {got} != {want}"
     assert got == {("a", 117, 3, 7, 60)}
+
+
+def test_incremental_mv_retry_after_partial_failure(spark, tmp_path):
+    """The snapshot merge and the MV write cannot be one atomic commit;
+    a crash between them must be recoverable. Simulates the crash by
+    merging a batch into the snapshot WITHOUT writing its MV, then
+    re-running update_agg_mv for the same batch_id: the old side must
+    pin to the pre-batch snapshot version (a current-snapshot read would
+    fold a zero delta and lose the batch from the MV forever). A replay
+    of a fully-applied batch is a no-op returning the stored MV."""
+    from etl_tool_spark.operators.mv import update_agg_mv
+    from etl_tool_spark.streaming.cdc import merge_cdc_batch, read_snapshot
+
+    snap, mv = str(tmp_path / "snap"), str(tmp_path / "mv")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, seq long, op string, grp string, v long")
+
+    b0 = batch([(1, 1, "U", "a", 10), (2, 2, "U", "b", 5)])
+    update_agg_mv(spark, snap, mv, b0, keys=["k"], group_col="grp",
+                  value_col="v", batch_id=0)
+
+    # crash simulation: batch 1's snapshot merge succeeded, MV write died
+    b1 = batch([(1, 3, "U", "a", 20), (3, 4, "U", "b", 7)])
+    merge_cdc_batch(b1, snap, keys=["k"], batch_id=1)
+
+    got = {(r["grp"], r["mv_sum"], r["mv_n"])
+           for r in update_agg_mv(spark, snap, mv, b1, keys=["k"],
+                                  group_col="grp", value_col="v",
+                                  batch_id=1).collect()}
+    want = {(r["grp"], r["s"], r["n"])
+            for r in read_snapshot(spark, snap).groupBy("grp")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()}
+    assert got == want == {("a", 20, 1), ("b", 12, 2)}
+
+    # replay of the fully-applied batch: same MV back, nothing rewritten
+    again = {(r["grp"], r["mv_sum"], r["mv_n"])
+             for r in update_agg_mv(spark, snap, mv, b1, keys=["k"],
+                                    group_col="grp", value_col="v",
+                                    batch_id=1).collect()}
+    assert again == got
