@@ -45,17 +45,23 @@ SMOKE = ["q1_pricing_summary", "join_semi", "window_topn_per_group",
 
 @pytest.mark.parametrize("name", SMOKE)
 def test_query_matches_oracle(spark, catalog, duck, name):
-    from scripts.check_oracle import frame_hash
+    # same driver-faithful canonicalization as scripts/check_oracle.py:
+    # Spark through toPandas(), the oracle through fetchdf(), so pandas
+    # dtype drift (HUGEINT sums, NULL-padded int columns) is visible
+    # here exactly as the driver sees it
+    from scripts.check_oracle import frame_hash, frame_lines
 
     SPARK, ORACLE = catalog
-    sdf = SPARK[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.sql(ORACLE[name])
-    orows = res.fetchall()
-    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in res.columns)
+    spdf = SPARK[name](spark, SF_DIR).toPandas()
+    scols = [c.lower() for c in spdf.columns]
+    srows = list(spdf.itertuples(index=False, name=None))
+    odf = duck.sql(ORACLE[name]).fetchdf()
+    ocols = [c.lower() for c in odf.columns]
+    orows = list(odf.itertuples(index=False, name=None))
+    assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
-    assert frame_hash([c.lower() for c in sdf.columns], srows) == \
-        frame_hash([c.lower() for c in res.columns], orows)
+    assert frame_hash(frame_lines(scols, srows)) == \
+        frame_hash(frame_lines(ocols, orows))
 
 
 def test_utc_query_no_session_tz_leak(spark, catalog):

@@ -1075,7 +1075,8 @@ def test_stores_reject_object_store_uris(spark):
 
 # --- baseline JPEG decode (multimodal.py _jpeg_decode) -------------------
 
-def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0):
+def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0,
+                  restart_interval=0):
     """Minimal baseline-JPEG encoder for DC-only (solid per 8x8 block)
     images: quant tables of all ones, one 12-category DC Huffman table
     (all codes length 4) and an EOB-only AC table, 3-byte-spec SOS.
@@ -1099,6 +1100,8 @@ def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0):
         + bytes(dc_counts) + bytes(range(12))
     out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + b"\x10" \
         + bytes(ac_counts) + b"\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc]) + b"".join(struct.pack(">BB", cid, 0)
                                  for cid, _, _, _ in comps) + b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -1116,12 +1119,27 @@ def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0):
                     out.append(0x00)              # byte stuffing
                 acc, nbits = 0, 0
 
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            pad = 8 - nbits
+            acc = (acc << pad) | ((1 << pad) - 1)
+            out.append(acc)
+            if acc == 0xFF:
+                out.append(0x00)
+            acc, nbits = 0, 0
+
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     n_mcu = (-(-w // (8 * hmax))) * (-(-h // (8 * vmax)))
     idx = {cid: 0 for cid, _, _, _ in comps}
     pred = {cid: 0 for cid, _, _, _ in comps}
-    for _ in range(n_mcu):
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            flush()                               # RSTn: byte-aligned,
+            out += bytes([0xFF,                   # DC predictors reset
+                          0xD0 + (m // restart_interval - 1) % 8])
+            pred = {cid: 0 for cid, _, _, _ in comps}
         for cid, hs, vs, vals in comps:
             for _ in range(hs * vs):
                 dc = 8 * (vals[idx[cid]] - 128)
@@ -1133,12 +1151,7 @@ def _jpeg_fixture(w, h, comps, unit_quant=True, marker=0xC0):
                 if s:
                     put(diff if diff >= 0 else diff + (1 << s) - 1, s)
                 put(0b00, 2)                      # EOB
-    if nbits:
-        pad = 8 - nbits
-        acc = (acc << pad) | ((1 << pad) - 1)
-        out.append(acc)
-        if acc == 0xFF:
-            out.append(0x00)
+    flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1182,3 +1195,39 @@ def test_jpeg_decode_features(spark):
     assert rows[5]["mean_pixel"] is None
     assert rows[6]["width"] is None
     assert rows[7]["width"] is None
+
+
+def test_jpeg_decode_restart_markers(spark):
+    """DRI/RSTn: the decoder must realign to byte boundaries at each
+    restart marker and reset DC predictors (block values after a
+    restart are encoded as absolute, not diff vs the previous MCU)."""
+    vals = [40, 90, 140, 190, 215, 65]            # 48x8: six MCUs
+    jpg = _jpeg_fixture(48, 8, [(1, 1, 1, vals)], restart_interval=2)
+    media = spark.createDataFrame([(1, bytearray(jpg))],
+                                  "media_id long, payload binary")
+    row = M.decode_jpeg_features(media).collect()[0]
+    assert (row["width"], row["height"]) == (48, 8)
+    assert abs(row["mean_pixel"] - sum(vals) / len(vals)) < 1e-6
+
+
+def test_jpeg_decode_random_roundtrip(spark):
+    """Seeded randomized round-trip: random grayscale and 4:4:4 block
+    grids (values spanning the full 0..255 DC category range, including
+    the byte-stuffing-prone extremes) must decode to exactly the mean
+    of their block values — DC-only blocks are closed-form."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(8):
+        bw, bh = rng.choice([1, 2, 3]), rng.choice([1, 2])
+        vals = [rng.randint(0, 255) for _ in range(bw * bh)]
+        cases.append((i, bw * 8, bh * 8, vals))
+    payloads = [(i, bytearray(_jpeg_fixture(w, h, [(1, 1, 1, vals)])))
+                for i, w, h, vals in cases]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in M.decode_jpeg_features(media).collect()}
+    for i, w, h, vals in cases:
+        assert (rows[i]["width"], rows[i]["height"]) == (w, h), i
+        assert abs(rows[i]["mean_pixel"] - sum(vals) / len(vals)) < 1e-6, \
+            (i, vals, rows[i]["mean_pixel"])
