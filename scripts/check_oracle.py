@@ -98,8 +98,12 @@ COMPLEX_TYPES = ("ArrayType", "MapType", "StructType")
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    window = "--window" in args
+    if window:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
 
     from etl_tool_spark.catalog import ORACLE, SPARK
     from etl_tool_spark.session import get_spark
@@ -109,7 +113,23 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    names = [n for n in SPARK if not filters or any(f in n for f in filters)]
+    if window:
+        # exactly what the driver will sample next round: the first 50
+        # entries of __spark_entry__.queries() under the current
+        # CORRECTNESS_r*.json reports on disk
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_for_window",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "__spark_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        names = list(mod.queries())[:50]
+        print(f"# driver window replay: {len(names)} queries")
+    else:
+        names = [n for n in SPARK if not filters or any(f in n for f in filters)]
     ok = bad = 0
     for name in names:
         t0 = time.time()

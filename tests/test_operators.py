@@ -586,3 +586,25 @@ def test_trigram_join_differential_bruteforce(spark):
            for r in trigram_join(left, right, "ltxt", "rtxt",
                                  threshold=0.5).collect()}
     assert got == want and want
+
+
+def test_trigram_join_collision_guard_falls_back(spark, monkeypatch):
+    """If the 64-bit key hash ever collides (detected by the one-pass
+    distinct-hash guard), trigram_join must aggregate on the key strings
+    and still produce the exact pair set. Forced here by patching the
+    hash to a constant — every key 'collides'."""
+    from etl_tool_spark.operators import linkage
+
+    left = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "qrstuvwx")], "lid long, ltxt string")
+    right = spark.createDataFrame(
+        [(10, "abcdefgX"), (20, "zzzzzzzz")], "rid long, rtxt string")
+    want = {(r["lid"], r["rid"]): r["similarity"]
+            for r in linkage.trigram_join(left, right, "ltxt", "rtxt",
+                                          threshold=0.3).collect()}
+    monkeypatch.setattr(linkage.F, "xxhash64",
+                        lambda *cols: linkage.F.lit(1))
+    got = {(r["lid"], r["rid"]): r["similarity"]
+           for r in linkage.trigram_join(left, right, "ltxt", "rtxt",
+                                         threshold=0.3).collect()}
+    assert got == want and (1, 10) in got
