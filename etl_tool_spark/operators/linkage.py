@@ -149,7 +149,18 @@ def trigram_join(left: DataFrame, right: DataFrame,
     sharing ONLY dropped grams is missed, so the default None keeps the
     exact contract the oracle checks; set it at scale where hot grams
     would otherwise dominate the shuffle. Returns left + right columns +
-    ``similarity``; column names must not overlap."""
+    ``similarity``; column names must not overlap.
+
+    Measured and rejected: AllPairs-style prefix filtering (Bayardo et
+    al., WWW'07 — candidates only from each key's rarest
+    |A|−⌈t·|A|⌉+1 grams, exact verify on candidates). On this
+    corpus's shared-vocabulary prose regime it produced identical pairs
+    but ran 2.3× SLOWER than the direct inverted index (77s → 175s at
+    sf0.1, t=0.6): prose prefixes still co-occur broadly, so the
+    candidate set stays near-quadratic and the per-candidate
+    verification join dominates. The direct count-then-filter form plus
+    ``max_df`` (when recall loss is acceptable) remains the shipped
+    answer."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
