@@ -707,3 +707,13 @@ def test_minhash_sweep_single_pair_pass(spark, catalog):
                [x for x in p.splitlines()
                 if "BroadcastHashJoin" in x and "bb" in x]
     assert len(bb_joins) <= 2  # tree line + details line of ONE join
+
+
+def test_trigram_join_hash_keyed_aggregation(spark, catalog):
+    """The trigram intersection count must aggregate on 64-bit key
+    hashes, not the key strings (measured 2x on the Σ df² shuffle), and
+    the plan stays cartesian-free; the gram-generation subtree runs over
+    DISTINCT keys so payload columns never ride the gram fan-out."""
+    p = plan(catalog["er_trigram_join"](spark, SF_DIR))
+    assert not nodes(p, "CartesianProduct")
+    assert "xxhash64" in p, "intersection aggregation lost its hash keys"
