@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "agg_pareto_frontier",
     "llm_minhash_threshold_sweep",
     "graph_pagerank",
+    # round 4: lexical retrieval + exact-substring surgery
+    "llm_bm25_topk",
+    "llm_substring_excise",
 ]
 
 
@@ -142,7 +145,8 @@ def main() -> None:
              "llm_clean_corpus", "llm_dedup_groups",
              "llm_incremental_dedup", "llm_semantic_dedup_groups",
              "llm_dedup_cluster_stats", "er_edit_distance_join_d2",
-             "er_trigram_join", "llm_minhash_threshold_sweep"}
+             "er_trigram_join", "llm_minhash_threshold_sweep",
+             "llm_substring_excise"}
 
     # compile + JIT every query's generated code on the tiny sf0.001
     # tables first: the plan SHAPE (and therefore the generated source,

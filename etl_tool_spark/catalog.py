@@ -4048,6 +4048,87 @@ def llm_repeated_spans(spark, sf_dir):
     return X.repeated_spans(_docs(spark, sf_dir))
 
 
+@query("llm_substring_excise", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+ rec AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram HAVING count(*) >= 2),
+ marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN rec USING (gram)
+  WHERE g.doc_id <> rec.keeper),
+ removed AS (
+  SELECT DISTINCT doc_id, pos + j AS tp
+  FROM marked, unnest(range(0, 8)) AS u(j)),
+ tpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS tp
+  FROM toks),
+ kept AS (
+  SELECT tpos.doc_id, tpos.tp, tpos.tok
+  FROM tpos ANTI JOIN removed r
+    ON tpos.doc_id = r.doc_id AND tpos.tp = r.tp),
+ ka AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY tp) AS text_dedup
+  FROM kept GROUP BY doc_id),
+ lens AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+SELECT l.doc_id, l.n_tokens,
+       (l.n_tokens - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(ka.text_dedup, '') AS text_dedup
+FROM lens l LEFT JOIN ka USING (doc_id)
+""")
+def llm_substring_excise(spark, sf_dir):
+    """Exact-substring dedup SURGERY (llm/text.py:excise_repeated_spans)
+    — the apply side of llm_repeated_spans: every cross-document
+    repeated 8-token span is removed from all but its keeper (min id)
+    document and the surviving tokens re-join into text_dedup. The
+    public dedup literature removes all-but-one occurrence of long
+    verbatim repeats rather than dropping whole documents; this is that
+    rewrite, reference-free and deterministic."""
+    return X.excise_repeated_spans(_docs(spark, sf_dir))
+
+
+@query("llm_bm25_topk", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ stats AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM toks),
+ tf AS (
+  SELECT doc_id, q.tok,
+         len(list_filter(t, x -> x = q.tok))::BIGINT AS tf,
+         len(t)::BIGINT AS dl
+  FROM toks CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('merge')) q(tok)),
+ hits AS (SELECT * FROM tf WHERE tf > 0),
+ dfq AS (SELECT tok, count(*)::BIGINT AS df FROM hits GROUP BY tok),
+ scored AS (
+  SELECT doc_id,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+  FROM hits JOIN dfq USING (tok) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS bm25 FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""")
+def llm_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 (llm/text.py:bm25_scores) for the fixed query
+    bag {spark, window, vector, merge} with k1=1.2, b=0.75 and the
+    Lucene +1 idf — the lexical retrieval complement to the embedding
+    ANN family. Ranking is on the ROUNDED score with a doc_id tiebreak
+    so float summation noise can't flip the cross-engine cutoff."""
+    scored = X.bm25_scores(_docs(spark, sf_dir),
+                           ["spark", "window", "vector", "merge"])
+    return (scored.select("doc_id",
+                          F.round("bm25_raw", 6).alias("bm25"))
+                  .orderBy(F.col("bm25").desc(), "doc_id")
+                  .limit(20))
+
+
 @query("llm_quality_percentile", """
 WITH t AS (
   SELECT doc_id, lang, trim(text) AS tt,

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "quality_features", "language_id", "fingerprint",
            "repetition_stats", "boilerplate_ngrams", "repeated_spans",
-           "STOPWORDS"]
+           "excise_repeated_spans", "bm25_scores", "STOPWORDS"]
 
 
 def hash64(col: Column) -> Column:
@@ -256,3 +256,124 @@ def repeated_spans(df: DataFrame, id_col: str = "doc_id",
                        (F.col("_s") + 1).cast("bigint").alias("start_pos"),
                        (F.col("_run") + (n - 1)).cast("bigint")
                        .alias("span_tokens")))
+
+
+def excise_repeated_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          min_docs: int = 2) -> DataFrame:
+    """Exact-substring dedup SURGERY — the apply side of
+    ``repeated_spans``. The public dedup literature removes all-but-one
+    occurrence of long verbatim cross-document repeats (spans, not whole
+    docs, are the removal unit); this operator performs that rewrite
+    with a deterministic keeper rule. A start position is marked when
+    its token n-gram recurs in ≥ ``min_docs`` DISTINCT documents and
+    this doc is not the gram's keeper (the min id among containing
+    docs); each marked start expands to its n covered token positions;
+    surviving tokens re-join in order into ``text_dedup``. Returns
+    (id_col, n_tokens, n_removed, text_dedup) for every non-empty doc —
+    a doc whose text is entirely repeated collapses to ''.
+
+    100 TB shape: positional grams build map-side from one shared token
+    array; the recurring-gram table reduces the corpus to
+    vocabulary-of-repeats size and joins back through the broadcast
+    size gate; removal positions come from a map-side sequence explode
+    (n rows per marked start, dedup'd before the anti-join); the final
+    per-doc reconstruction is one shuffle keyed on the doc id — never
+    skewed, never pairwise. The collect_list is per-document (bounded
+    by doc length), not per-corpus."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    t = F.trim(F.col(text_col))
+    base = (df.filter(t != "")
+              .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")))
+    gram_arr = _gram_array(F.col("_toks"), n)
+    pos = base.select(F.col(id_col),
+                      F.posexplode(gram_arr).alias("_p0", "gram"))
+    rec = (base.select(F.col(id_col),
+                       F.explode(F.array_distinct(gram_arr)).alias("gram"))
+               .groupBy("gram")
+               .agg(F.count(F.lit(1)).alias("_nd"),
+                    F.min(id_col).alias("_keeper"))
+               .filter(F.col("_nd") >= min_docs)
+               .select("gram", "_keeper"))
+    marked = (pos.join(gated_broadcast(rec), "gram")
+                 .filter(F.col(id_col) != F.col("_keeper"))
+                 .select(F.col(id_col), F.col("_p0")))
+    # 1-based token positions covered by any marked start: [p0+1, p0+n]
+    removed = (marked.select(F.col(id_col),
+                             F.explode(F.sequence(F.col("_p0") + 1,
+                                                  F.col("_p0") + n))
+                              .alias("_tp"))
+                     .distinct())
+    toks_pos = (base.select(F.col(id_col),
+                            F.posexplode("_toks").alias("_i", "tok"))
+                    .select(F.col(id_col),
+                            (F.col("_i") + 1).alias("_tp"), "tok"))
+    kept = toks_pos.join(removed, [id_col, "_tp"], "left_anti")
+    kept_agg = (kept.groupBy(id_col)
+                    .agg(F.count(F.lit(1)).alias("_n_kept"),
+                         F.array_join(
+                             F.transform(
+                                 F.array_sort(F.collect_list(
+                                     F.struct(F.col("_tp"), F.col("tok")))),
+                                 lambda s: s.getField("tok")),
+                             " ").alias("text_dedup")))
+    lens = base.select(F.col(id_col),
+                       F.size("_toks").cast("bigint").alias("n_tokens"))
+    return (lens.join(kept_agg, id_col, "left")
+                .select(F.col(id_col), F.col("n_tokens"),
+                        (F.col("n_tokens")
+                         - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                        .cast("bigint").alias("n_removed"),
+                        F.coalesce(F.col("text_dedup"), F.lit(""))
+                         .alias("text_dedup")))
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed bag of
+    query terms (Robertson et al.; the +1 idf variant Lucene uses so
+    high-df terms can't score negative). Returns (id_col, bm25_raw
+    DOUBLE) for documents matching ≥ 1 query term — the lexical
+    retrieval complement to the embedding-side ANN family.
+
+    100 TB shape: ONE corpus scan, pure map-side — per-term tf is
+    size(filter(token_array)) emitted through one inline struct array
+    (plus a sentinel row per doc so corpus stats need no second scan),
+    so no token-keyed shuffle ever happens and the text column never
+    moves. The narrow (doc, dl, tok, tf) frame is checkpointed once —
+    |Q|+1 rows per doc, a few dozen bytes each — and document
+    frequencies, the (N, avgdl) pair, and the final doc-keyed score sum
+    all derive from it; df and stats broadcast back. Scoring a fixed
+    query set needs no inverted index."""
+    if any(not q for q in query_terms):
+        raise ValueError("bm25_scores: query terms must be non-empty")
+    t = F.trim(F.col(text_col))
+    base = (df.filter(t != "")
+              .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")))
+    # sentinel entry ("", 0): guarantees one row per doc even with zero
+    # hits, so N/avgdl come from the same single pass as the tfs
+    entries = F.array(
+        F.struct(F.lit("").alias("tok"), F.lit(0).cast("bigint").alias("tf")),
+        *[F.struct(F.lit(q).alias("tok"),
+                   F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(q)))
+                    .cast("bigint").alias("tf"))
+          for q in query_terms])
+    long = (base.select(F.col(id_col),
+                        F.size("_toks").cast("bigint").alias("dl"),
+                        F.inline(entries))
+                .localCheckpoint(eager=False))
+    stats = (long.filter(F.col("tok") == "")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                      F.avg("dl").alias("avgdl")))
+    hits = long.filter(F.col("tf") > 0)
+    dfq = hits.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (hits.join(F.broadcast(dfq), "tok")
+                .crossJoin(F.broadcast(stats))
+                .groupBy(id_col)
+                .agg(F.sum(contrib).alias("bm25_raw")))

@@ -734,6 +734,59 @@ def test_repeated_spans_merges_maximal_runs(spark):
     assert out == {1: (5, 12), 2: (1, 12)}
 
 
+def test_excise_repeated_spans_keeps_one_copy(spark):
+    """Surgery semantics: the keeper (min doc id containing the gram)
+    retains the shared span verbatim; every other doc loses exactly the
+    covered positions; untouched docs round-trip byte-identical."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    d1 = f"one unique prefix here {shared} and unique tail one"
+    d2 = f"{shared} totally different continuation text here two"
+    d3 = "no overlap at all in this third document body text"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+           for r in X.excise_repeated_spans(docs, n=8).collect()}
+    assert out[1] == (20, 0, d1)          # keeper: untouched
+    assert out[2] == (18, 12,             # 12-token span excised
+                      "totally different continuation text here two")
+    assert out[3] == (10, 0, d3)          # disjoint doc: untouched
+
+
+def test_excise_repeated_spans_total_collapse(spark):
+    """A doc that is NOTHING but the shared span collapses to '' (and
+    still appears in the output — downstream filters decide its fate)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} with a unique continuation"), (2, shared)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_removed"], r["text_dedup"])
+           for r in X.excise_repeated_spans(docs, n=8).collect()}
+    assert out[1] == (0, f"{shared} with a unique continuation")
+    assert out[2] == (8, "")
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 against a by-hand evaluation of the Robertson/Lucene formula
+    on a 3-doc corpus; docs with zero query-term hits are absent."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark table"), (2, "spark row"), (3, "table row row")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25_raw"]
+           for r in X.bm25_scores(docs, ["spark"]).collect()}
+    n, avgdl, df = 3, 8 / 3, 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert set(out) == {1, 2}
+    assert out[1] == pytest.approx(s(2, 3))
+    assert out[2] == pytest.approx(s(1, 2))
+    assert out[1] > out[2]  # more hits, comparable length => higher
+
+
 def test_ann_recall_floors_vs_exact(spark):
     """Approximation-quality floors at the catalog's default settings on
     the sf0.01 gate data: sign-LSH top-k must keep recall >= 0.8 and IVF

@@ -717,3 +717,29 @@ def test_trigram_join_hash_keyed_aggregation(spark, catalog):
     p = plan(catalog["er_trigram_join"](spark, SF_DIR))
     assert not nodes(p, "CartesianProduct")
     assert "xxhash64" in p, "intersection aggregation lost its hash keys"
+
+
+def test_bm25_single_pass_no_token_shuffle(spark, catalog):
+    """BM25 computes per-term tf map-side from the token array (inline
+    structs, never a token explode) and checkpoints ONE narrow
+    (doc, dl, tok, tf) frame: document frequencies, corpus stats, and
+    the doc-keyed score sum all read that single pass — the visible plan
+    has zero parquet re-scans (three ExistingRDD reads of the same
+    checkpoint), no sort-merge join, at most three small exchanges, and
+    the top-20 is TakeOrdered, not a global sort."""
+    p = plan(catalog["llm_bm25_topk"](spark, SF_DIR))
+    assert not nodes(p, "SortMergeJoin")
+    assert nodes(p, "TakeOrderedAndProject")
+    assert "Scan parquet" not in p  # corpus read once, inside the checkpoint
+    assert len(nodes(p, "Exchange")) <= 3
+
+
+def test_substring_excise_gated_broadcast_rec_table(spark, catalog):
+    """Excision joins the positional gram stream against the
+    recurring-gram/keeper table through the broadcast size gate (open at
+    test SF, closing to a shuffle join when repeats outgrow the
+    threshold); reconstruction is doc-keyed aggregation — nothing may be
+    cartesian and the token anti-join must be keyed, not nested-loop."""
+    p = plan(catalog["llm_substring_excise"](spark, SF_DIR))
+    assert not nodes(p, "CartesianProduct")
+    assert nodes(p, "BroadcastHashJoin")  # gate open on the rec table
