@@ -112,9 +112,10 @@ BENCH_QUERIES = [
     "agg_pareto_frontier",
     "llm_minhash_threshold_sweep",
     "graph_pagerank",
-    # round 4: lexical retrieval + exact-substring surgery
+    # round 4: lexical retrieval + exact-substring surgery + hybrid fusion
     "llm_bm25_topk",
     "llm_substring_excise",
+    "llm_hybrid_rrf",
 ]
 
 

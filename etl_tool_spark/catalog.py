@@ -4129,6 +4129,92 @@ def llm_bm25_topk(spark, sf_dir):
                   .limit(20))
 
 
+@query("llm_hybrid_rrf", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ stats AS (SELECT count(*)::BIGINT AS n_docs, avg(len(t)) AS avgdl FROM toks),
+ tf AS (
+  SELECT doc_id, q.tok,
+         len(list_filter(t, x -> x = q.tok))::BIGINT AS tf,
+         len(t)::BIGINT AS dl
+  FROM toks CROSS JOIN (VALUES ('spark'), ('window'), ('vector'), ('merge')) q(tok)),
+ hits AS (SELECT * FROM tf WHERE tf > 0),
+ dfq AS (SELECT tok, count(*)::BIGINT AS df FROM hits GROUP BY tok),
+ scored AS (
+  SELECT doc_id, round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+  FROM hits JOIN dfq USING (tok) CROSS JOIN stats
+  WHERE doc_id <> 0 GROUP BY doc_id),
+ lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_lex
+    FROM scored) WHERE rank_lex <= 50),
+ q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
+       WHERE vec_id <> 0),
+ es AS (
+  SELECT vec_id, round(list_dot_product(qvec, cvec) /
+         (sqrt(list_dot_product(qvec, qvec)) *
+          sqrt(list_dot_product(cvec, cvec))), 6) AS cs
+  FROM c, q),
+ embr AS (
+  SELECT vec_id, rank_emb FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rank_emb
+    FROM es) WHERE rank_emb <= 50),
+ fused AS (
+  SELECT coalesce(l.doc_id, e.vec_id) AS doc_id,
+         round(coalesce(1.0 / (60 + l.rank_lex), 0) +
+               coalesce(1.0 / (60 + e.rank_emb), 0), 6) AS rrf
+  FROM lex l FULL JOIN embr e ON l.doc_id = e.vec_id)
+SELECT doc_id, rrf, rank FROM (
+  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= 15
+""")
+def llm_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (the public
+    Cormack/Clarke RRF with k=60) of the BM25 lexical ranking (query
+    bag {spark, window, vector, merge}) and the exact embedding-cosine
+    ranking for query doc 0, over the aligned doc_id/vec_id corpus —
+    each list contributes 1/(60+rank) for its top-50, missing docs
+    contribute 0, fused top-15 returned. The query doc itself is
+    excluded from both lists. Both rankings order on ROUNDED scores
+    with id tiebreaks, and RRF is exact rational arithmetic over
+    integer ranks, so the fusion is bit-stable across engines.
+
+    100 TB shape: each side is its own already-scale-shaped operator
+    (single-pass BM25; broadcast-probe brute-force cosine — swap in
+    ivf_topk for a real corpus); the fusion itself joins two ≤50-row
+    frames — driver-trivial no matter the corpus size."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    lex_top = (X.bm25_scores(d, ["spark", "window", "vector", "merge"])
+                .filter(F.col("doc_id") != 0)
+                .select("doc_id", F.round("bm25_raw", 6).alias("_s"))
+                .orderBy(F.col("_s").desc(), "doc_id").limit(50))
+    lex = (lex_top.withColumn(
+                "rank_lex",
+                F.row_number().over(W.orderBy(F.col("_s").desc(), "doc_id")))
+                  .select("doc_id", "rank_lex"))
+    emb = _emb(spark, sf_dir)
+    qv = (emb.filter(F.col("vec_id") == 0)
+             .select(F.lit(0).alias("query_id"), "embedding"))
+    er = (S.brute_force_topk(emb, qv, k=50)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("rank").alias("rank_emb")))
+    fused = (lex.join(er, "doc_id", "full_outer")
+                .select("doc_id",
+                        F.round(
+                            F.coalesce(1.0 / (F.col("rank_lex") + 60),
+                                       F.lit(0.0))
+                            + F.coalesce(1.0 / (F.col("rank_emb") + 60),
+                                         F.lit(0.0)), 6).alias("rrf")))
+    w = W.orderBy(F.col("rrf").desc(), "doc_id")
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= 15))
+
+
 @query("llm_quality_percentile", """
 WITH t AS (
   SELECT doc_id, lang, trim(text) AS tt,
