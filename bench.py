@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "llm_bm25_topk",
     "llm_substring_excise",
     "llm_hybrid_rrf",
+    "join_interval_overlap",
 ]
 
 

@@ -4327,6 +4327,50 @@ def join_range_banded(spark, sf_dir):
                   F.round(F.sum("price"), 2).alias("sum_price")))
 
 
+@query("join_interval_overlap", """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber,
+         datediff('day', DATE '1992-01-01', l_shipdate) AS lo,
+         datediff('day', DATE '1992-01-01', l_shipdate)
+           + l_quantity::INT % 25 AS hi
+  FROM lineitem WHERE l_partkey % 500 = 0),
+ r AS (
+  SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS r_lo,
+         datediff('day', DATE '1992-01-01', l_shipdate)
+           + l_quantity::INT % 25 AS r_hi
+  FROM lineitem WHERE l_partkey % 500 = 1)
+SELECT l_orderkey, l_linenumber, count(*)::BIGINT AS n_overlaps
+FROM l JOIN r ON lo <= r_hi AND r_lo <= hi
+GROUP BY 1, 2
+""")
+def join_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join (session-overlap /
+    reservation-conflict shape): per shipment window (ship date +
+    quantity-derived duration) of one lineitem slice, how many windows
+    of a disjoint slice overlap it. The oracle runs the naive theta
+    join; the Spark side runs operators/relational.py
+    interval_overlap_join — both sides band the day axis, candidates
+    come from the band equi-join, and each true pair is emitted only in
+    its canonical band (the overlap's start) so no distinct is needed.
+    Linear at 100 TB where the theta predicate alone would plan
+    |left| x |right|."""
+    from etl_tool_spark.operators.relational import interval_overlap_join
+
+    epoch = F.lit("1992-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), epoch)
+    width = F.col("l_quantity").cast("int") % 25
+    lhs = (li.filter(F.col("l_partkey") % 500 == 0)
+             .select("l_orderkey", "l_linenumber",
+                     days.alias("lo"), (days + width).alias("hi")))
+    rhs = (li.filter(F.col("l_partkey") % 500 == 1)
+             .select(days.alias("r_lo"), (days + width).alias("r_hi")))
+    j = interval_overlap_join(lhs, rhs, "lo", "hi", "r_lo", "r_hi",
+                              band_size=16)
+    return (j.groupBy("l_orderkey", "l_linenumber")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps")))
+
+
 @query("agg_mode_per_group", """
 WITH c AS (
   SELECT o_orderpriority, o_orderstatus, count(*) AS n

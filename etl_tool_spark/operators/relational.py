@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "banded_range_join"]
+__all__ = ["asof_join", "banded_range_join", "interval_overlap_join"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -182,3 +182,51 @@ def banded_range_join(points: DataFrame, ranges: DataFrame,
     return (p.join(r, "_band")
              .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
              .drop("_band"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                          band_size: int) -> DataFrame:
+    """Interval × interval OVERLAP join (closed intervals:
+    ``l_lo <= r_hi AND r_lo <= l_hi``) without an equi key — the
+    session-overlap / reservation-conflict / timeline-intersection
+    shape. Naive Spark plans the pure theta predicate as a nested-loop
+    over every pair.
+
+    The scale formulation bands the shared axis on BOTH sides: each
+    interval explodes into one row per band it covers, candidates come
+    from the plain band equi-join, and the exact overlap predicate
+    filters residuals. A pair overlapping k shared bands would surface
+    k times, so instead of a distinct over the full output each pair is
+    emitted only in its CANONICAL band — the band containing the
+    overlap's start, ``floor(greatest(l_lo, r_lo) / band_size)``, which
+    both sides necessarily cover. Pick ``band_size`` near the typical
+    interval width: the explode factor stays ~2 and cost is linear in
+    rows + true matches, never |left| × |right|.
+
+    Column names must not overlap between the frames (rename first);
+    returns left's columns + right's columns for overlapping pairs."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_overlap_join: overlapping column names "
+            f"{sorted(overlap)}; rename one side first")
+    if "_band" in left.columns or "_band" in right.columns:
+        raise ValueError("interval_overlap_join: '_band' is reserved; "
+                         "rename that column first")
+    if band_size <= 0:
+        raise ValueError("band_size must be positive")
+
+    def _banded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_band", F.explode(F.sequence(
+                F.floor(F.col(lo) / F.lit(band_size)),
+                F.floor(F.col(hi) / F.lit(band_size)))))
+
+    canon = F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / F.lit(band_size))
+    return (_banded(left, l_lo, l_hi).join(_banded(right, r_lo, r_hi),
+                                           "_band")
+            .filter((F.col(l_lo) <= F.col(r_hi))
+                    & (F.col(r_lo) <= F.col(l_hi))
+                    & (F.col("_band") == canon))
+            .drop("_band"))

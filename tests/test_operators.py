@@ -467,6 +467,45 @@ def test_banded_range_join_differential_random(spark):
         assert got == naive, f"trial {trial} band {band}"
 
 
+def test_interval_overlap_join_differential_random(spark):
+    """Differential vs the naive all-pairs overlap check over random
+    closed intervals and band sizes: every true pair exactly ONCE (the
+    canonical-band rule must not duplicate pairs spanning many shared
+    bands, nor drop pairs), no nested-loop in the plan, and the
+    guard-rails raise."""
+    import random
+
+    from etl_tool_spark.operators.relational import interval_overlap_join
+
+    rng = random.Random(17)
+    for trial in range(3):
+        lhs = []
+        for i in range(60):
+            lo = rng.randint(-300, 300)
+            lhs.append((i, lo, lo + rng.randint(0, 150)))
+        rhs = []
+        for j in range(40):
+            lo = rng.randint(-300, 300)
+            rhs.append((j, lo, lo + rng.randint(0, 150)))
+        band = rng.choice([8, 50, 400])
+        ldf = spark.createDataFrame(lhs, "lid long, lo long, hi long")
+        rdf = spark.createDataFrame(rhs, "rid long, r_lo long, r_hi long")
+        out = interval_overlap_join(ldf, rdf, "lo", "hi", "r_lo", "r_hi",
+                                    band_size=band)
+        got = [(r["lid"], r["rid"]) for r in out.collect()]
+        naive = [(i, j) for i, lo, hi in lhs for j, rlo, rhi in rhs
+                 if lo <= rhi and rlo <= hi]
+        assert sorted(got) == sorted(naive), f"trial {trial} band {band}"
+        assert len(got) == len(set(got)), "canonical band emitted a dup"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_overlap_join(ldf, ldf, "lo", "hi", "lo", "hi", 10)
+    with pytest.raises(ValueError, match="band_size"):
+        interval_overlap_join(ldf, rdf, "lo", "hi", "r_lo", "r_hi", 0)
+
+
 def test_edit_distance_join_distance_two(spark):
     """Depth-2 SymSpell: every pair at distance <= 2 (double deletion,
     substitution+deletion, transposition-as-two-edits, double
