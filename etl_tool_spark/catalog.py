@@ -827,6 +827,49 @@ def llm_ngram_jaccard_pairs(spark, sf_dir):
                  .select("a", "b", F.round(jac, 6).alias("jaccard")))
 
 
+@query("llm_ngram_containment_pairs", f"""
+WITH {_NGRAM_PAIRS_CTES.replace('''
+ pairs AS (
+  SELECT a, b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.7)''', '''
+ pairs AS (
+  SELECT a, b, round(i / least(sa.sz, sb.sz), 6) AS containment,
+         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE i / least(sa.sz, sb.sz) >= 0.8)''')}
+SELECT a, b, containment, jaccard FROM pairs
+""")
+def llm_ngram_containment_pairs(spark, sf_dir):
+    """Containment similarity C(A,B) = |A∩B| / min(|A|, |B|) over
+    distinct shingle sets — the QUOTE/SUBSET detector: a short doc
+    embedded verbatim in a long one scores containment ≈ 1 while its
+    Jaccard stays low (the union is dominated by the long doc), so the
+    symmetric near-dup family misses exactly these pairs. Same inverted
+    shingle index and single partial-agg'd intersection shuffle as the
+    Jaccard verify; only the normalizer changes. Jaccard is reported
+    alongside so downstream policy can distinguish subset-pairs
+    (containment high, jaccard low) from true near-dups."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(D.shingles(F.col("text"), 3)))
+                   .alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed("doc_id", "a")
+    b = sh.withColumnRenamed("doc_id", "b")
+    inter = (a.join(b, ["sh"]).filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza")
+    sb = sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb")
+    cont = F.col("i") / F.least(F.col("sza"), F.col("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (inter.join(sa, "a").join(sb, "b")
+                 .filter(cont >= 0.8)
+                 .select("a", "b",
+                         F.round(cont, 6).alias("containment"),
+                         F.round(jac, 6).alias("jaccard")))
+
+
 def _oracle_minhash(src: str = "documents", threshold: float = 0.7) -> str:
     num_hashes, bands, rows = 16, 8, 2
     from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts

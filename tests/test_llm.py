@@ -765,6 +765,31 @@ def test_excise_repeated_spans_total_collapse(spark):
     assert out[2] == (8, "")
 
 
+def test_containment_catches_subset_pairs_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    ~= 1 (every shingle of the short doc appears in the long one) while
+    Jaccard stays far below the 0.7 near-dup threshold — the exact case
+    the symmetric family can't see."""
+    from etl_tool_spark.catalog import SPARK
+    import tempfile
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"unique{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, f"{filler} {short}"), (1, short),
+         (2, "completely different body of text with no shared content")],
+        "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        out = {(r["a"], r["b"]): (r["containment"], r["jaccard"])
+               for r in SPARK["llm_ngram_containment_pairs"](
+                   spark, td).collect()}
+    assert set(out) == {(0, 1)}
+    cont, jac = out[(0, 1)]
+    assert cont == 1.0
+    assert jac < 0.7  # the symmetric threshold would have missed it
+
+
 def test_bm25_scores_hand_computed(spark):
     """BM25 against a by-hand evaluation of the Robertson/Lucene formula
     on a 3-doc corpus; docs with zero query-term hits are absent."""
