@@ -111,6 +111,25 @@ def test_warehouse_load_playbook(spark, tmp_path, monkeypatch):
     assert len(pr.inputFiles()) < 8
 
 
+def test_retrieval_example(spark):
+    sys.path.insert(0, REPO)
+    try:
+        from examples.retrieval import hybrid_search
+    finally:
+        sys.path.pop(0)
+    out = hybrid_search(spark, "/root/testdata/sf0.001",
+                        ["spark", "window", "vector", "merge"], k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    # every fused row must come from at least one component ranking,
+    # and the query doc itself may never be retrieved
+    assert all(r["rank_lex"] is not None or r["rank_emb"] is not None
+               for r in rows)
+    assert all(r["doc_id"] != 0 for r in rows)
+    assert all(r["snippet"] for r in rows)
+
+
 def test_cdc_upsert_playbook(spark, tmp_path, monkeypatch):
     import json
 
