@@ -705,6 +705,61 @@ def llm_fingerprint(spark, sf_dir):
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 
+@query("llm_source_overlap", """
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+ sg AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+ tot AS (SELECT source, count(*)::BIGINT AS n_grams FROM sg GROUP BY source),
+ shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / least(ta.n_grams, tb.n_grams), 6) AS overlap
+FROM shared JOIN tot ta ON ta.source = src_a
+            JOIN tot tb ON tb.source = src_b
+""")
+def llm_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct 8-token grams they share and what fraction of the smaller
+    source's gram vocabulary that is — the which-crawls-recrawl-each-
+    other / shared-boilerplate report that decides source weights
+    before mixing. 100 TB shape: grams build map-side and dedup to
+    (source, gram) — corpus-frequency state, not row state; the
+    self-join fan-out per gram is bounded by #sources² (never doc
+    pairs); the totals table is #sources rows and broadcasts."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    base = (d.filter(t != "")
+              .select("source", X.tokens(F.col("text")).alias("_toks")))
+    sg = (base.select("source",
+                      F.explode(F.array_distinct(
+                          X._gram_array(F.col("_toks"), 8))).alias("g"))
+              .distinct())
+    tot = (sg.groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams")))
+    a = sg.withColumnRenamed("source", "src_a")
+    b = sg.withColumnRenamed("source", "src_b")
+    shared = (a.join(b, "g").filter(F.col("src_a") < F.col("src_b"))
+               .groupBy("src_a", "src_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    ta = (tot.withColumnRenamed("source", "src_a")
+             .withColumnRenamed("n_grams", "_na"))
+    tb = (tot.withColumnRenamed("source", "src_b")
+             .withColumnRenamed("n_grams", "_nb"))
+    return (shared.join(F.broadcast(ta), "src_a")
+                  .join(F.broadcast(tb), "src_b")
+                  .select("src_a", "src_b", "n_shared",
+                          F.round(F.col("n_shared")
+                                  / F.least("_na", "_nb"), 6)
+                           .alias("overlap")))
+
+
 @query("llm_token_stats", """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
