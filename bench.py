@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "llm_substring_excise",
     "llm_hybrid_rrf",
     "join_interval_overlap",
+    "llm_ngram_containment_pairs",
+    "llm_source_overlap",
 ]
 
 
