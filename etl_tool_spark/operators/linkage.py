@@ -126,22 +126,32 @@ def trigram_join(left: DataFrame, right: DataFrame,
     longer strings (word swaps, multi-char typos).
 
     Shape: candidate generation runs over the DISTINCT join-key strings
-    only — the gram shuffle carries (key-hash, gram), never the payload
-    columns (wide rows riding the gram fan-out would multiply shuffle
-    bytes by gram count), and identical keys hash once however many
-    rows carry them. The inverted-index equi-join on the gram counts
-    |A∩B| in a partial-agg'd shuffle keyed on 64-bit key HASHES — the
-    intersection aggregation processes Σ df² rows (the dominant cost on
-    saturated gram alphabets, e.g. hex keys with only 16³ possible
-    trigrams), and hashing the group keys roughly halves its wall time
-    vs aggregating on the string pairs (measured 2× at sf0.1). Key
-    strings and set sizes join back onto the surviving pairs, then the
-    Jaccard |A∩B| / (|A|+|B|-|A∩B|) filter runs, and the payload
-    columns join last onto a result-sized frame. Exactness is
-    unconditional: a one-pass guard counts distinct hashes vs distinct
-    keys per side and falls back to string-keyed aggregation on any
-    64-bit collision (never silently merged — at ~10⁹ keys the birthday
-    bound makes a collision a real event, not a curiosity).
+    only — the gram shuffle carries (key-hash, set-size, gram), never
+    the payload columns (wide rows riding the gram fan-out would
+    multiply shuffle bytes by gram count), and identical keys hash once
+    however many rows carry them. The inverted-index equi-join on the
+    gram counts |A∩B| in a partial-agg'd shuffle keyed on 64-bit key
+    HASHES — the intersection aggregation processes Σ df² rows (the
+    dominant cost on saturated gram alphabets, e.g. hex keys with only
+    16³ possible trigrams), and hashing the group keys roughly halves
+    its wall time vs aggregating on the string pairs (measured 2× at
+    sf0.1). Riding the set sizes through that shuffle (two ints per
+    gram row) lets the Jaccard |A∩B| / (|A|+|B|-|A∩B|) filter run
+    DIRECTLY on the aggregation output, so every later join — key
+    strings, payload columns — lands on the result-sized survivor
+    frame, never the pre-filter pair frame (~1000× larger on saturated
+    alphabets: 4.2M candidate pairs → 5k survivors at sf0.1). Locally
+    the key tables broadcast, so the gain is modest (~15% at sf0.1);
+    the shape matters at scale, where the distinct-key tables grow
+    with the data — once past the broadcast threshold, the old
+    join-before-filter form re-shuffles the ENTIRE pre-filter pair
+    frame through two sort-merge joins, the plan's largest
+    intermediate shuffled twice for columns only survivors need.
+    Exactness is unconditional: a one-pass partial-agg'd guard counts
+    distinct keys vs distinct 64-bit hashes per side and falls back to
+    string-keyed aggregation on any collision (never silently merged —
+    at ~10⁹ keys the birthday bound makes a collision a real event,
+    not a curiosity).
 
     ``max_df``: drop grams indexed by more than ``max_df`` distinct key
     values per side from CANDIDATE GENERATION (the pg_trgm common-gram
@@ -166,28 +176,38 @@ def trigram_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"trigram_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
-    lk = left.select(left_on).distinct().select(
-        left_on, F.xxhash64(left_on).alias("_lh"),
-        F.size(char_ngrams(F.col(left_on), n)).alias("_lsz"))
-    rk = right.select(right_on).distinct().select(
-        right_on, F.xxhash64(right_on).alias("_rh"),
-        F.size(char_ngrams(F.col(right_on), n)).alias("_rsz"))
+    for reserved in ("_lh", "_rh", "similarity"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(f"trigram_join: {reserved!r} is reserved; "
+                             "rename that column first")
 
-    # collision guard: ONE aggregation job over both key tables; on the
-    # (cosmically rare per-pair, plausible corpus-wide at billions of
-    # keys) 64-bit collision, aggregate on the strings themselves
-    stats = (lk.select(F.lit(0).alias("_s"), F.col("_lh").alias("_h"))
-             .unionByName(rk.select(F.lit(1).alias("_s"),
-                                    F.col("_rh").alias("_h")))
+    # collision guard: ONE partial-agg'd job over the raw key columns
+    # (no distinct-key materialization); on the (cosmically rare
+    # per-pair, plausible corpus-wide at billions of keys) 64-bit
+    # collision, key everything on the strings themselves
+    stats = (left.select(F.lit(0).alias("_s"),
+                         F.col(left_on).cast("string").alias("_k"))
+             .unionByName(right.select(
+                 F.lit(1).alias("_s"),
+                 F.col(right_on).cast("string").alias("_k")))
              .groupBy("_s")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.countDistinct("_h").alias("h"))
+             .agg(F.countDistinct("_k").alias("n"),
+                  F.countDistinct(F.xxhash64("_k")).alias("h"))
              .collect())
     use_hash = all(r["n"] == r["h"] for r in stats)
-    lid, rid = ("_lh", "_rh") if use_hash else (left_on, right_on)
 
-    lg = lk.select(lid, F.explode(char_ngrams(F.col(left_on), n)).alias("_g"))
-    rg = rk.select(rid, F.explode(char_ngrams(F.col(right_on), n)).alias("_g"))
+    def _key(c: str) -> Column:
+        return F.xxhash64(c) if use_hash else F.col(c).cast("string")
+
+    def _grams(df: DataFrame, col: str, h: str, sz: str) -> DataFrame:
+        keys = df.select(col).distinct()
+        return (keys.select(_key(col).alias(h),
+                            char_ngrams(F.col(col), n).alias("_gs"))
+                    .select(h, F.size("_gs").alias(sz),
+                            F.explode("_gs").alias("_g")))
+
+    lg = _grams(left, left_on, "_lh", "_lsz")
+    rg = _grams(right, right_on, "_rh", "_rsz")
     if max_df is not None:
         l_hot = (lg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                    .filter(F.col("_n") > max_df).select("_g"))
@@ -196,17 +216,16 @@ def trigram_join(left: DataFrame, right: DataFrame,
         lg = lg.join(l_hot, "_g", "left_anti")
         rg = rg.join(r_hot, "_g", "left_anti")
     inter = (lg.join(rg, "_g")
-               .groupBy(lid, rid)
-               .agg(F.count(F.lit(1)).alias("_i")))
+               .groupBy("_lh", "_rh")
+               .agg(F.count(F.lit(1)).alias("_i"),
+                    F.max("_lsz").alias("_lsz"),
+                    F.max("_rsz").alias("_rsz")))
     sim = F.col("_i") / (F.col("_lsz") + F.col("_rsz") - F.col("_i"))
-    lsel = lk.select(lid, left_on, "_lsz") if use_hash \
-        else lk.select(left_on, "_lsz")
-    rsel = rk.select(rid, right_on, "_rsz") if use_hash \
-        else rk.select(right_on, "_rsz")
-    pairs = (inter.join(lsel, lid).join(rsel, rid)
-                  .filter(sim >= threshold)
-                  .select(left_on, right_on,
-                          F.round(sim, 6).alias("similarity")))
-    return (left.join(pairs, left_on)
-                .join(right, right_on)
+    pairs = (inter.filter(sim >= threshold)
+                  .select("_lh", "_rh", F.round(sim, 6).alias("similarity")))
+    # payload attach on the survivor frame only; AQE sees the
+    # post-filter size at runtime and broadcasts when small
+    return (left.withColumn("_lh", _key(left_on))
+                .join(pairs, "_lh")
+                .join(right.withColumn("_rh", _key(right_on)), "_rh")
                 .select(*left.columns, *right.columns, "similarity"))
