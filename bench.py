@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "join_interval_overlap",
     "llm_ngram_containment_pairs",
     "llm_source_overlap",
+    "llm_paragraph_dedup",
 ]
 
 

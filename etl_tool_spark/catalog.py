@@ -705,6 +705,55 @@ def llm_fingerprint(spark, sf_dir):
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 
+@query("llm_paragraph_dedup", """
+WITH pages AS (
+  SELECT d.doc_id,
+         concat_ws(chr(10), substr(d.text, 1, 80), substr(n.text, 1, 80),
+                   'CORPUS BOILERPLATE FOOTER') AS page
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+ paras AS (
+  SELECT doc_id, u.i - 1 AS pos, sp[u.i] AS para
+  FROM (SELECT doc_id, string_split(page, chr(10)) AS sp FROM pages),
+       unnest(range(1, len(sp) + 1)) AS u(i)),
+ ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                           ORDER BY pos), '') AS text,
+       coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::BIGINT  AS n_kept,
+       coalesce(sum(CASE WHEN rn <> 1 THEN 1 END), 0)::BIGINT AS n_dropped
+FROM ranked GROUP BY doc_id
+""")
+def llm_paragraph_dedup(spark, sf_dir):
+    """Paragraph-granularity dedup with re-stitch (llm/dedup.py
+    paragraph_dedup) — the Dolma/CCNet-style pass that document-level
+    dedup cannot replace: boilerplate repeating ACROSS distinct pages
+    (headers, footers, navigation) is excised per-paragraph while the
+    unique prose around it survives, and exactly one canonical copy of
+    each repeated paragraph remains corpus-wide (global first
+    occurrence by (doc_id, position)).
+
+    The corpus here is synthesized to have genuinely shared paragraphs
+    with a scale-shaped build (self equi-join on doc_id+1, no global
+    window): each page = its own 80-char lead + the NEXT doc's 80-char
+    lead + a constant footer, so every paragraph occurs 2× and the
+    footer N× — the hot-key regime the operator's partial-agg'd keeper
+    reduction is built for (a row_number window over the paragraph
+    would sort all N footer copies in one task)."""
+    d = _docs(spark, sf_dir)
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.substring("text", 1, 80).alias("_p2"))
+    pages = (d.select("doc_id", F.substring("text", 1, 80).alias("_p1"))
+              .join(nxt, "doc_id", "left")
+              .select("doc_id",
+                      F.concat_ws("\n", "_p1", "_p2",
+                                  F.lit("CORPUS BOILERPLATE FOOTER"))
+                       .alias("text")))
+    return D.paragraph_dedup(pages)
+
+
 @query("llm_source_overlap", """
 WITH toks AS (
   SELECT doc_id, source,

@@ -33,7 +33,8 @@ __all__ = ["exact_dedup", "incremental_exact_dedup", "shingles",
            "minhash_signature", "lsh_candidate_pairs",
            "minhash_dedup_pairs", "incremental_minhash_pairs", "jaccard_pairs",
            "simhash", "simhash_buckets",
-           "minhash_from_hashes_vec", "simhash_from_hashes_vec"]
+           "minhash_from_hashes_vec", "simhash_from_hashes_vec",
+           "paragraph_dedup"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -684,3 +685,59 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     return (cands.filter(hamming <= max_hamming)
                  .select("a", "b", hamming.cast("int").alias("hamming"))
                  .distinct())
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Corpus-level paragraph deduplication with re-stitch: split every
+    document on ``sep``, keep only the GLOBAL first occurrence of each
+    exact paragraph (ordered by (id, position)), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    This is the paragraph-granularity dedup of the public pretraining
+    pipelines (Dolma, CCNet, RefinedWeb): document-level dedup misses
+    boilerplate headers/footers/navigation that repeat ACROSS otherwise
+    distinct pages, while paragraph-level removal excises exactly the
+    repeated spans and keeps the unique prose around them. One canonical
+    copy survives (the earliest), so no content is lost corpus-wide.
+
+    Scale shape: one map-side posexplode, then ONE partial-aggregated
+    groupBy on the paragraph string that reduces each paragraph to its
+    min (id, pos) owner — map-side combine collapses a
+    hundred-million-copy boilerplate paragraph to one row per input
+    partition, so the hot key never concentrates on a reducer (a
+    row_number() window over the paragraph would sort the full
+    occurrence list of the hottest paragraph in one task — the shape
+    this operator deliberately avoids). The keeper table joins back on
+    the paragraph (AQE skew-join splits any residual hot key), and the
+    re-stitch is a second partial-agg'd groupBy on the document id.
+    Each document row survives even when every paragraph drops (empty
+    ``text_col``), so downstream joins never lose keys.
+
+    Returns ``id_col``, rebuilt ``text_col``, ``n_kept``, ``n_dropped``.
+    """
+    import re
+
+    pat = re.escape(sep)
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col).cast("string"), pat))
+         .alias("_pos", "_para"))
+    keeper = (paras.groupBy("_para")
+                   .agg(F.min(F.struct("_id", "_pos")).alias("_k")))
+    marked = (paras.join(keeper, "_para")
+                   .withColumn("_keep",
+                               F.struct("_id", "_pos") == F.col("_k")))
+    return (marked.groupBy("_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("_pos", "_para")))),
+                         lambda x: x["_para"]),
+                     sep).alias(text_col),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                  .alias("n_dropped"))
+            .withColumnRenamed("_id", id_col))

@@ -1309,3 +1309,37 @@ def test_jpeg_decode_random_roundtrip(spark):
         assert (rows[i]["width"], rows[i]["height"]) == (w, h), i
         assert abs(rows[i]["mean_pixel"] - sum(vals) / len(vals)) < 1e-6, \
             (i, vals, rows[i]["mean_pixel"])
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Global first occurrence (by id, then position) of each exact
+    paragraph survives; every other copy drops; docs re-stitch in
+    original order; fully-deduped docs stay present with empty text."""
+    rows = [(1, "alpha\nFOOTER\nbeta"),
+            (2, "gamma\nFOOTER\nalpha"),
+            (3, "FOOTER\ndelta"),
+            (4, "FOOTER")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha\nFOOTER\nbeta"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "gamma"
+    assert out[2]["n_dropped"] == 2
+    assert out[3]["text"] == "delta"
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+    # repeated paragraph INSIDE one doc: first position wins
+    df2 = spark.createDataFrame([(7, "x\nx\ny")], ["doc_id", "text"])
+    r2 = D.paragraph_dedup(df2).collect()[0]
+    assert r2["text"] == "x\ny" and r2["n_dropped"] == 1
+
+
+def test_paragraph_dedup_no_window_sort_on_paragraph(spark):
+    """The keeper reduction must be a partial-agg'd groupBy (map-side
+    combine collapses hot boilerplate paragraphs), never a row_number
+    window that sorts a hot paragraph's full occurrence list in one
+    task: the plan contains no Window node."""
+    df = spark.createDataFrame([(1, "a\nb"), (2, "b\nc")],
+                               ["doc_id", "text"])
+    plan = D.paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
