@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "llm_ngram_containment_pairs",
     "llm_source_overlap",
     "llm_paragraph_dedup",
+    "llm_dsir_weights",
+    "join_salted_skew",
 ]
 
 

@@ -2538,6 +2538,99 @@ def llm_unigram_logprob(spark, sf_dir):
                       .alias("avg_logprob")))
 
 
+@query("join_salted_skew", """
+WITH dim AS (
+  SELECT DISTINCT event_type, length(event_type)::DOUBLE AS w FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * w), 2) AS weighted_value
+FROM events JOIN dim USING (event_type)
+GROUP BY user_id
+""")
+def join_salted_skew(spark, sf_dir):
+    """Salted replicated join (operators/skew.py salted_join) on the
+    join-key regime broadcast can't always save: a fact table whose
+    join key has a handful of hot values joined to a dimension too big
+    to broadcast funnels each hot key through one reducer in a plain
+    sort-merge join. salted_join replicates the dimension ``salt``
+    times and salts the fact rows deterministically, spreading every
+    hot key over ``salt`` reducers; the oracle is the plain equi-join
+    (identical rows, different physical shape). events.event_type has
+    5 values total — every key is hot — making it the worst-case
+    single-reducer-per-key grid."""
+    from etl_tool_spark.operators.skew import salted_join
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = (e.select("event_type").distinct()
+            .withColumn("w", F.length("event_type").cast("double")))
+    joined = salted_join(e, dim, "event_type", salt=8)
+    return (joined.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.round(F.sum(F.col("value") * F.col("w")), 2)
+                        .alias("weighted_value")))
+
+
+@query("llm_dsir_weights", """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+ tgt AS (SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY tok),
+ consts AS (
+  SELECT (SELECT count(*) FROM raw)                 AS v,
+         (SELECT sum(cr) FROM raw)                  AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt)     AS tt)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(sum(log10((coalesce(ct, 0) + 1.0) / (tt + v))
+                 - log10((cr + 1.0) / (tr + v))), 6) AS log_weight
+FROM toks JOIN raw USING (tok) LEFT JOIN tgt USING (tok) CROSS JOIN consts
+GROUP BY doc_id
+""")
+def llm_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public): per-document
+    log w(d) = Σ_tok log p_target(tok) − log p_raw(tok) under add-1
+    smoothed unigram LMs, here with target = the English slice and raw
+    = the whole corpus. Resampling raw data ∝ w concentrates the mix
+    on target-like documents without a trained classifier — the
+    standard cheap domain-matching pass before pretraining.
+
+    Shape mirrors llm_unigram_logprob: ONE tokenization feeds both
+    frequency tables (target counts are a filtered partial-agg of the
+    same explode); both are vocabulary-sized, checkpointed, and joined
+    back to the token stream through the broadcast size gate (over the
+    gate: sort-merge with AQE skew-split on Zipf-hot tokens). The
+    three scalars (|V|, token totals) ride a broadcast 1-row frame.
+    Smoothing is over the RAW vocab (a superset of the target vocab,
+    since target ⊆ corpus), so every token's target probability is
+    defined and the weight is finite."""
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select("doc_id", "lang",
+                     F.explode(F.split(t, r"\s+")).alias("tok")))
+    raw = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+               .localCheckpoint(eager=True))
+    tgt = (toks.filter(F.col("lang") == "en")
+               .groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+               .localCheckpoint(eager=True))
+    consts = (raw.agg(F.count(F.lit(1)).alias("v"),
+                      F.sum("cr").alias("tr"))
+                 .crossJoin(tgt.agg(
+                     F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))))
+    term = (F.log10((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("v")))
+            - F.log10((F.col("cr") + 1.0) / (F.col("tr") + F.col("v"))))
+    return (toks.join(gated_broadcast(raw), "tok")
+                .join(gated_broadcast(tgt), "tok", "left")
+                .crossJoin(F.broadcast(consts))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.round(F.sum(term), 6).alias("log_weight")))
+
+
 # =========================================================================
 # Skew-safe aggregation over hot keys
 # =========================================================================
