@@ -128,3 +128,44 @@ def test_dedup_mixed_group_rule_documented(spark):
     df = spark.createDataFrame(rows, "seq long, k string, sv string")
     got = dedup(df, ["k"], "min", "sv", seq_col="seq").collect()
     assert [r["sv"] for r in got] == ["10"]  # lexical min of the group
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup: random corpora vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_para_pool = st.sampled_from(["", "a", "bb", "FOOT", "x y", "zz", "q"])
+_doc = st.lists(_para_pool, min_size=1, max_size=5)
+_corpus = st.lists(_doc, min_size=0, max_size=8)
+
+
+def _paragraph_dedup_ref(docs):
+    """Pure-Python reference: global first occurrence by (id, pos)."""
+    seen = set()
+    out = {}
+    for i, paras in enumerate(docs):
+        kept = []
+        dropped = 0
+        for p in paras:
+            if p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        out[i] = ("\n".join(kept), len(kept), dropped)
+    return out
+
+
+@given(docs=_corpus)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_dedup_matches_reference(spark, docs):
+    from etl_tool_spark.llm.dedup import paragraph_dedup
+
+    rows = [(i, "\n".join(paras)) for i, paras in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+           for r in paragraph_dedup(df).collect()}
+    assert got == _paragraph_dedup_ref(docs)
