@@ -754,6 +754,57 @@ def llm_paragraph_dedup(spark, sf_dir):
     return D.paragraph_dedup(pages)
 
 
+@query("llm_paragraph_gate_fold", """
+WITH pages AS (
+  SELECT d.doc_id,
+         concat_ws(chr(10), substr(d.text, 1, 80), substr(n.text, 1, 80),
+                   'CORPUS BOILERPLATE FOOTER') AS page
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+ paras AS (
+  SELECT doc_id, u.i - 1 AS pos, sp[u.i] AS para
+  FROM (SELECT doc_id, string_split(page, chr(10)) AS sp FROM pages),
+       unnest(range(1, len(sp) + 1)) AS u(i)),
+ ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                           ORDER BY pos), '') AS text,
+       coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::BIGINT  AS n_kept,
+       coalesce(sum(CASE WHEN rn <> 1 THEN 1 END), 0)::BIGINT AS n_dropped
+FROM ranked GROUP BY doc_id
+""")
+def llm_paragraph_gate_fold(spark, sf_dir):
+    """Paragraph dedup on INGEST (llm/dedup.py
+    incremental_paragraph_dedup): the synthesized shared-paragraph
+    corpus of llm_paragraph_dedup arrives as two id-ordered batches;
+    each batch splits only itself, drops paragraphs whose md5 is in
+    the growing store (or earlier in the batch), re-stitches, and
+    appends the survivors' fingerprints. Old batches are never re-read
+    or re-split — per-batch cost ∝ batch. With id-ordered batches the
+    fold equals the one-shot operator, so this query shares
+    llm_paragraph_dedup's full oracle over the whole corpus."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.substring("text", 1, 80).alias("_p2"))
+    pages = (d.select("doc_id", F.substring("text", 1, 80).alias("_p1"))
+              .join(nxt, "doc_id", "left")
+              .select("doc_id",
+                      F.concat_ws("\n", "_p1", "_p2",
+                                  F.lit("CORPUS BOILERPLATE FOOTER"))
+                       .alias("text")))
+    store = tempfile.mkdtemp(prefix="etl_incr_para_") + "/store"
+    mid = 250
+    s1 = D.incremental_paragraph_dedup(
+        pages.filter(F.col("doc_id") < mid), store)
+    s2 = D.incremental_paragraph_dedup(
+        pages.filter(F.col("doc_id") >= mid), store)
+    return s1.unionByName(s2)
+
+
 @query("llm_source_overlap", """
 WITH toks AS (
   SELECT doc_id, source,
@@ -1125,6 +1176,39 @@ def llm_embedding_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     return (S.brute_force_topk(emb, queries, k=5)
+             .select("query_id", "vec_id", "cosine_sim", "rank"))
+
+
+@query("llm_hard_negatives", """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 10),
+ c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings),
+ pairs AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(qvec, cvec) /
+               (sqrt(list_dot_product(qvec, qvec)) *
+                sqrt(list_dot_product(cvec, cvec))), 6) AS cosine_sim
+  FROM c, q WHERE c.label != q.qlabel)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM pairs) WHERE rank <= 5
+""")
+def llm_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (llm/similarity.py hard_negatives): exact
+    top-5 most-similar vectors with a DIFFERENT label per query —
+    the near-miss negatives that keep a contrastive/retrieval loss
+    informative after random negatives saturate. Label inequality
+    applies BEFORE ranking so same-class neighbors never occupy the k
+    slots; ranking on the rounded similarity keeps both engines'
+    orderings identical. At corpus scale the same per-pair filter
+    composes unchanged with the IVF candidate generator."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"),
+                          "label", "embedding"))
+    return (S.hard_negatives(emb, queries, k=5)
              .select("query_id", "vec_id", "cosine_sim", "rank"))
 
 
@@ -5589,6 +5673,80 @@ SELECT doc_id, quality_score, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens < (SELECT sum(n_tokens) * 0.25 FROM q)
 """.replace("{ALLSTOP}", "[" + ", ".join(
     f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]")
+
+
+_CURRICULUM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+ m AS (
+  SELECT doc_id,
+         CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+         (length(tt) - length(regexp_replace(tt, '[^\\w\\s]', '', 'g')))
+               / greatest(length(tt), 1) AS punct_ratio,
+         len(list_filter(toks, x -> list_contains({ALLSTOP}, x)))
+               / greatest(CASE WHEN tt = '' THEN 0 ELSE len(toks) END, 1)
+           AS stop_ratio
+  FROM t),
+ q AS (
+  SELECT doc_id, n_tokens,
+         floor((least(n_tokens / 20.0, 1.0) * 0.4
+               + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+               + least(stop_ratio * 5, 1.0) * 0.3) * 10000) / 10000
+           AS quality_score
+  FROM m),
+ c AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS prev_cum,
+         (SELECT sum(n_tokens) FROM q) AS total
+  FROM q)
+SELECT least(3, (prev_cum * 4) // total)::BIGINT AS phase,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS phase_tokens,
+       round(avg(quality_score), 6) AS avg_quality
+FROM c GROUP BY 1
+""".replace("{ALLSTOP}", "[" + ", ".join(
+    f"'{w}'" for ws in X.STOPWORDS.values() for w in ws) + "]")
+
+
+@query("llm_curriculum_phases", _CURRICULUM_ORACLE)
+def llm_curriculum_phases(spark, sf_dir):
+    """Curriculum bucketing: walk the corpus best-quality-first and cut
+    it into 4 phases of EQUAL TOKEN MASS (not equal doc count — long
+    low-quality docs would otherwise swamp the early phases). The
+    standard quality-curriculum prep: train on phase 0 first, anneal
+    through 3. Phase = exclusive-prefix token mass × 4 ÷ total, in
+    INTEGER arithmetic so the cut points are bit-identical across
+    engines.
+
+    The prefix mass along (quality DESC, doc_id) comes from
+    operators/globalorder.py banded_cumsum — the 4-decimal score is
+    the band key (≤10⁴ bands), so no single-partition global window
+    ever runs; the total rides a broadcast 1-row frame."""
+    d = _docs(spark, sf_dir)
+    d = d.select("doc_id", "text", X.tokens(F.col("text")).alias("_toks"))
+    feats = X.quality_features(F.col("text"), toks=F.col("_toks"))
+    base = d.select("doc_id",
+                    X.token_count(F.col("text")).alias("n_tokens"),
+                    feats["quality_score"].alias("quality_score"))
+    cum = GO.banded_cumsum(base, band="quality_score",
+                           intra_order=[F.col("doc_id").asc()],
+                           value="n_tokens", out="_cum", band_desc=True)
+    total = base.agg(F.sum("n_tokens").alias("_total"))
+    phased = (cum.crossJoin(F.broadcast(total))
+                 .withColumn("_prev", F.col("_cum") - F.col("n_tokens"))
+                 .withColumn("phase",
+                             F.least(F.lit(3),
+                                     F.expr("(_prev * 4) div _total"))
+                              .cast("long")))
+    return (phased.groupBy("phase")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("n_tokens").alias("phase_tokens"),
+                       F.round(F.avg("quality_score"), 6)
+                        .alias("avg_quality")))
 
 
 @query("llm_token_budget_select", _TOKEN_BUDGET_ORACLE)

@@ -34,7 +34,7 @@ __all__ = ["exact_dedup", "incremental_exact_dedup", "shingles",
            "minhash_dedup_pairs", "incremental_minhash_pairs", "jaccard_pairs",
            "simhash", "simhash_buckets",
            "minhash_from_hashes_vec", "simhash_from_hashes_vec",
-           "paragraph_dedup"]
+           "paragraph_dedup", "incremental_paragraph_dedup"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -728,6 +728,73 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     marked = (paras.join(keeper, "_para")
                    .withColumn("_keep",
                                F.struct("_id", "_pos") == F.col("_k")))
+    return (marked.groupBy("_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("_pos", "_para")))),
+                         lambda x: x["_para"]),
+                     sep).alias(text_col),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .alias("n_kept"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                  .alias("n_dropped"))
+            .withColumnRenamed("_id", id_col))
+
+
+def incremental_paragraph_dedup(new_df: DataFrame, store_dir: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", sep: str = "\n",
+                                update_store: bool = True) -> DataFrame:
+    """Paragraph dedup on ingest against a growing fingerprint store:
+    each incoming batch drops every paragraph whose md5 was EVER seen —
+    in the store or earlier in the batch itself by (id, position) —
+    re-stitches the survivors, and appends the kept paragraphs'
+    fingerprints. The crawl-side twin of :func:`paragraph_dedup`:
+    boilerplate that saturated yesterday's corpus never re-enters with
+    today's batch, and old documents are never re-read or re-split
+    (per-batch cost ∝ batch). With id-ordered batches, concatenating
+    every batch's output equals the one-shot ``paragraph_dedup`` over
+    the full corpus (asserted in tests and the catalog fold query).
+
+    Store contract matches ``incremental_exact_dedup``: a local parquet
+    directory of ``_pfp`` md5 fingerprints, reads pinned to the current
+    part files, survivor-only appends."""
+    import glob as _glob
+    import os as _os
+
+    from etl_tool_spark.util import require_local_store
+
+    require_local_store(store_dir, "paragraph-dedup fingerprint store")
+    import re
+
+    spark = new_df.sparkSession
+    pat = re.escape(sep)
+    paras = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col).cast("string"), pat))
+         .alias("_pos", "_para")).withColumn("_pfp", F.md5("_para"))
+    # batch-internal keeper: global first (id, pos) per fingerprint —
+    # same partial-agg'd min-struct shape as paragraph_dedup
+    keeper = (paras.groupBy("_pfp")
+                   .agg(F.min(F.struct("_id", "_pos")).alias("_k")))
+    marked = (paras.join(keeper, "_pfp")
+                   .withColumn("_first",
+                               F.struct("_id", "_pos") == F.col("_k")))
+    part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
+    if part_files:
+        seen = spark.read.parquet(*part_files)
+        marked = (marked.join(seen.withColumn("_seen", F.lit(True)),
+                              "_pfp", "left")
+                        .withColumn("_keep", F.col("_first")
+                                    & F.col("_seen").isNull())
+                        .drop("_seen"))
+    else:
+        marked = marked.withColumn("_keep", F.col("_first"))
+    if update_store:
+        (marked.filter(F.col("_keep")).select("_pfp")
+               .write.mode("append").parquet(store_dir))
     return (marked.groupBy("_id")
             .agg(F.array_join(
                      F.transform(

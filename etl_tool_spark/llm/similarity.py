@@ -29,7 +29,7 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "incremental_embedding_pairs", "append_embedding_signatures",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
            "ivf_build_index", "ivf_search", "ivf_append_index",
-           "ivf_cell_stats"]
+           "ivf_cell_stats", "hard_negatives"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -642,3 +642,42 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     return (cands.join(va, "a").join(vb, "b")
                  .filter(sim >= threshold)
                  .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k most-similar corpus items with a DIFFERENT label per
+    query — hard-negative mining for contrastive/retrieval training.
+    Random negatives stop moving the loss almost immediately; the
+    negatives that matter are the near-misses (high cosine, wrong
+    class), which is precisely a similarity top-k under a label
+    inequality. ``queries`` must carry ``label_col`` and be small
+    enough to broadcast (mining runs per training shard in practice).
+
+    Shape matches brute_force_topk — norms materialize once per side,
+    the label filter applies BEFORE ranking so negatives never compete
+    with same-class items for the k slots, ties break by corpus id. At
+    real corpus scale the same per-pair filter composes unchanged with
+    the IVF candidate generator (ivf_search → filter label ≠ →
+    window): candidate generation is label-agnostic, so the index
+    needs no per-class partitioning."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col),
+                       F.col(label_col).alias("_qlabel"),
+                       F.col(vec_col).alias("_qvec"),
+                       norm(F.col(vec_col)).alias("_qnorm"))
+    c = corpus.select(F.col(id_col), F.col(label_col).alias("_clabel"),
+                      F.col(vec_col).alias("_cvec"),
+                      norm(F.col(vec_col)).alias("_cnorm"))
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
+    scored = (c.crossJoin(F.broadcast(q))
+                .filter(F.col("_qlabel") != F.col("_clabel"))
+                .select(query_id_col, id_col, sim.alias("cosine_sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

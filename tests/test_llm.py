@@ -1343,3 +1343,44 @@ def test_paragraph_dedup_no_window_sort_on_paragraph(spark):
     plan = D.paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative has a different label than its query, the
+    top-k are the highest-cosine cross-label items, and same-class
+    near-duplicates never crowd the k slots."""
+    rows = [
+        # label 0 cluster around (1, 0); label 1 cluster around (0.9, 0.1)
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),   # same-label near-dup of vec 0
+        (2, [0.9, 0.1], 1),
+        (3, [0.5, 0.5], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = (df.filter(F.col("vec_id") == 0)
+           .select(F.col("vec_id").alias("query_id"), "label", "embedding"))
+    out = S.hard_negatives(df, q, k=2).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    # vec 1 (same label, cosine ~1) must be absent; 2 then 3 by cosine
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["cosine_sim"] <= 1.0 for r in out)
+
+
+def test_incremental_paragraph_dedup_fold_equals_oneshot(spark, tmp_path):
+    """Two id-ordered batches through the paragraph fingerprint store
+    fold to exactly the one-shot paragraph_dedup result; the store
+    grows survivor-only, so a cross-batch repeat drops in batch 2."""
+    rows = [(1, "alpha\nFOOTER"), (2, "beta\nFOOTER"),
+            (3, "FOOTER\nalpha\ngamma"), (4, "beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "pstore")
+    b1 = D.incremental_paragraph_dedup(df.filter("doc_id <= 2"), store)
+    b2 = D.incremental_paragraph_dedup(df.filter("doc_id > 2"), store)
+    folded = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+              for r in b1.unionByName(b2).collect()}
+    oneshot = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+               for r in D.paragraph_dedup(df).collect()}
+    assert folded == oneshot
+    assert folded[3] == ("gamma", 1, 2)
+    assert folded[4] == ("", 0, 1)
