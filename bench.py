@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "llm_paragraph_dedup",
     "llm_dsir_weights",
     "join_salted_skew",
+    "llm_hard_negatives",
+    "llm_curriculum_phases",
+    "llm_paragraph_gate_fold",
 ]
 
 

@@ -2,6 +2,8 @@
 
   clean (quality -> language -> exact dedup -> near-dedup)
     -> decontaminate against an eval set
+    -> curriculum phase (4 equal-token-mass quality buckets,
+       banded prefix sum — no global window)
     -> redact PII
     -> assign deterministic train/valid/test splits + shards
     -> pack into fixed-length sequences
@@ -43,13 +45,32 @@ def prepare_corpus(spark, sf_dir: str, out_dir: str, seq_len: int = 32):
                     .select("doc_id"))
     clean = clean.join(contaminated, "doc_id", "left_anti")
 
-    # 3. redact + 4. split/shard + 5. pack
+    # 3. curriculum phase: walk best-quality-first, cut into 4 phases of
+    # equal TOKEN mass via the banded prefix sum (no single-partition
+    # global window); integer cut-point arithmetic
+    from etl_tool_spark.llm.text import quality_features, token_count
+    from etl_tool_spark.operators.globalorder import banded_cumsum
+
+    base = clean.select(
+        "doc_id", "text",
+        token_count(F.col("text")).alias("_nt"),
+        quality_features(F.col("text"))["quality_score"].alias("_q"))
+    cum = banded_cumsum(base, band="_q", intra_order=[F.col("doc_id").asc()],
+                        value="_nt", out="_cum", band_desc=True)
+    total = base.agg(F.sum("_nt").alias("_total"))
+    phases = (cum.crossJoin(F.broadcast(total))
+                 .select("doc_id",
+                         F.least(F.lit(3),
+                                 F.expr("((_cum - _nt) * 4) div _total"))
+                          .cast("int").alias("phase")))
+
+    # 4. redact + 5. split/shard + 6. pack (+ phase rides along per doc)
     redacted = clean.select("doc_id", redact_pii(F.col("text")).alias("text"))
     packed = pack_sequences(redacted, seq_len)
-    final = packed.select(
-        "*",
-        split_assign(F.col("doc_id")).alias("split"),
-        shard_assign(F.col("doc_id"), 8).alias("shard"))
+    final = (packed.join(phases, "doc_id")
+                   .select("*",
+                           split_assign(F.col("doc_id")).alias("split"),
+                           shard_assign(F.col("doc_id"), 8).alias("shard")))
 
     # 6. the 100 TB layout: one directory per (split, shard)
     final.write.mode("overwrite").partitionBy("split", "shard").parquet(out_dir)

@@ -32,7 +32,12 @@ def test_corpus_prep_example(spark, tmp_path):
         sys.path.pop(0)
     out = prepare_corpus(spark, "/root/testdata/sf0.001", str(tmp_path / "out"))
     assert out.count() > 0
-    assert {"split", "shard", "chunk_id", "chunk_text"} <= set(out.columns)
+    assert {"split", "shard", "chunk_id", "chunk_text", "phase"} <= set(out.columns)
+    # curriculum phases cover 0..3 and are doc-constant
+    phases = {r["phase"] for r in out.select("phase").distinct().collect()}
+    assert phases <= {0, 1, 2, 3} and len(phases) >= 2
+    assert (out.groupBy("doc_id").agg(F.countDistinct("phase").alias("p"))
+               .filter("p > 1").count()) == 0
     # partitioned layout on disk
     assert any(p.name.startswith("split=") for p in (tmp_path / "out").iterdir())
     # redaction ran before packing: no raw emails survive
