@@ -168,9 +168,13 @@ def trigram_join(left: DataFrame, right: DataFrame,
     but ran 2.3× SLOWER than the direct inverted index (77s → 175s at
     sf0.1, t=0.6): prose prefixes still co-occur broadly, so the
     candidate set stays near-quadratic and the per-candidate
-    verification join dominates. The direct count-then-filter form plus
-    ``max_df`` (when recall loss is acceptable) remains the shipped
-    answer."""
+    verification join dominates. Re-measured on saturated hex keys
+    (round 4, t=0.5 at sf0.1): 3.6× slower still (5.4s → 19.5s) — with
+    only 16³ possible grams even the rarest-prefix grams keep high
+    document frequency, so prefixing barely prunes while the df
+    ranking window and the array_intersect verify add work. The direct
+    count-then-filter form plus ``max_df`` (when recall loss is
+    acceptable) remains the shipped answer in both regimes."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
