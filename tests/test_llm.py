@@ -1384,3 +1384,63 @@ def test_incremental_paragraph_dedup_fold_equals_oneshot(spark, tmp_path):
     assert folded == oneshot
     assert folded[3] == ("gamma", 1, 2)
     assert folded[4] == ("", 0, 1)
+
+
+def test_dsir_weights_match_python_reference(spark, tmp_path):
+    """Seeded randomized corpus: the DSIR log importance weight per doc
+    must equal the pure-Python add-1 smoothed unigram log-ratio."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(40):
+        lang = rng.choice(["en", "de", "fr"])
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        rows.append((i, " ".join(toks), lang, "src0", len(" ".join(toks))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_tool_spark.catalog import SPARK as CAT
+    got = {r["doc_id"]: (r["n_tokens"], r["log_weight"])
+           for r in CAT["llm_dsir_weights"](spark, str(tmp_path)).collect()}
+
+    cr: dict = {}
+    ct: dict = {}
+    for i, text, lang, *_ in rows:
+        for t in text.split():
+            cr[t] = cr.get(t, 0) + 1
+            if lang == "en":
+                ct[t] = ct.get(t, 0) + 1
+    v, tr, tt = len(cr), sum(cr.values()), sum(ct.values())
+    for i, text, lang, *_ in rows:
+        toks = text.split()
+        w = sum(math.log10((ct.get(t, 0) + 1.0) / (tt + v))
+                - math.log10((cr[t] + 1.0) / (tr + v)) for t in toks)
+        assert got[i][0] == len(toks), i
+        assert abs(got[i][1] - round(w, 6)) < 1e-5, (i, got[i][1], w)
+
+
+def test_curriculum_phase_arithmetic(spark):
+    """Phase cut points from the banded prefix sum match the sequential
+    walk: sort by (quality DESC, id), phase = exclusive-prefix tokens
+    × 4 ÷ total in integer arithmetic, capped at 3."""
+    import random
+
+    from etl_tool_spark.operators.globalorder import banded_cumsum
+
+    rng = random.Random(5)
+    rows = [(i, round(rng.random(), 2), rng.randint(0, 40))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, nt long")
+    cum = banded_cumsum(df, band="q", intra_order=[F.col("doc_id").asc()],
+                        value="nt", out="cum", band_desc=True)
+    total = sum(nt for _, _, nt in rows)
+    got = {r["doc_id"]: min(3, (r["cum"] - r["nt"]) * 4 // total)
+           for r in cum.collect()}
+    prev = 0
+    for i, q, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
+        assert got[i] == min(3, prev * 4 // total), i
+        prev += nt
