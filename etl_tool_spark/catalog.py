@@ -1025,6 +1025,38 @@ def llm_ngram_containment_pairs(spark, sf_dir):
                          F.round(jac, 6).alias("jaccard")))
 
 
+@query("llm_lsh_planner", """
+WITH grid AS (
+  SELECT b, 16 // b AS r, j / 10.0 AS jaccard
+  FROM unnest([1, 2, 4, 8, 16]) AS t(b),
+       unnest(range(1, 10)) AS u(j))
+SELECT b AS bands, r AS rows_per_band, jaccard,
+       round(1 - pow(1 - pow(jaccard, r), b), 6) AS p_candidate,
+       round(pow(1.0 / b, 1.0 / r), 6) AS approx_threshold
+FROM grid
+""")
+def llm_lsh_planner(spark, sf_dir):
+    """MinHash-LSH parameter planner: the analytic S-curve
+    P(candidate | jaccard = j) = 1 − (1 − jʳ)ᵇ for every (bands, rows)
+    factorization of the 16-hash signature, plus the standard threshold
+    approximation t ≈ (1/b)^(1/r) — the table an operator picks (b, r)
+    from before committing a corpus-scale banding pass. Pure literal
+    arithmetic (no table scan): identical IEEE double ops in both
+    engines, so round-6 values hash-match exactly."""
+    bs = spark.createDataFrame([(b,) for b in (1, 2, 4, 8, 16)], "b int")
+    js = spark.createDataFrame([(j,) for j in range(1, 10)], "j int")
+    g = (bs.crossJoin(js)
+           .select(F.col("b").alias("bands"),
+                   (16 / F.col("b")).cast("int").alias("rows_per_band"),
+                   (F.col("j") / 10.0).alias("jaccard")))
+    p = 1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+                  F.col("bands"))
+    t = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
+    return g.select("bands", "rows_per_band", "jaccard",
+                    F.round(p, 6).alias("p_candidate"),
+                    F.round(t, 6).alias("approx_threshold"))
+
+
 def _oracle_minhash(src: str = "documents", threshold: float = 0.7) -> str:
     num_hashes, bands, rows = 16, 8, 2
     from etl_tool_spark.llm.dedup import LO_MASK, MERSENNE61, perm_consts
