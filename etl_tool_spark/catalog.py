@@ -1025,6 +1025,52 @@ def llm_ngram_containment_pairs(spark, sf_dir):
                          F.round(jac, 6).alias("jaccard")))
 
 
+@query("agg_sketch_rollup", """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_exact,
+       true AS hll_ok,
+       true AS kll_median_ok
+FROM events GROUP BY event_type
+""")
+def agg_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch store quality contract (operators/sketches.py):
+    per-(event_type, day) HLL and KLL sketches are built once, rolled
+    up to per-type answers by MERGE (no row rescan — the incremental
+    pattern a 100 TB deployment runs nightly), and the estimates are
+    verified IN the query: the HLL distinct count within 8% of exact
+    (~5σ at lgK=12), the KLL merged median inside the exact p40–p60
+    band (rank error ≤ 1.7% at default k). Like the ANN recall
+    contracts, the approximation itself has no SQL twin, but the
+    quality booleans are constants the oracle asserts — a broken merge
+    or sketch regression flips a flag and fails the driver hash."""
+    import tempfile
+
+    from etl_tool_spark.operators.sketches import (build_hll_sketches,
+                                                   build_kll_sketches,
+                                                   merge_distinct_estimate,
+                                                   merge_quantile_estimate)
+
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    base = tempfile.mkdtemp(prefix="etl_sketch_store_")
+    build_hll_sketches(e, ["event_type", "day"], "user_id", f"{base}/hll")
+    build_kll_sketches(e, ["event_type", "day"], "value", f"{base}/kll")
+    est = merge_distinct_estimate(spark, f"{base}/hll", ["event_type"])
+    kll = (merge_quantile_estimate(spark, f"{base}/kll", [0.5],
+                                   ["event_type"])
+           .select("event_type", F.col("quantiles")[0].alias("_p50")))
+    exact = (e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n_exact"),
+                   F.expr("percentile(value, 0.4)").alias("_p40"),
+                   F.expr("percentile(value, 0.6)").alias("_p60")))
+    return (exact.join(est, "event_type").join(kll, "event_type")
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("n_distinct") - F.col("n_exact"))
+                     / F.col("n_exact") <= 0.08).alias("hll_ok"),
+                    ((F.col("_p50") >= F.col("_p40"))
+                     & (F.col("_p50") <= F.col("_p60")))
+                     .alias("kll_median_ok")))
+
+
 @query("llm_lsh_planner", """
 WITH grid AS (
   SELECT b, 16 // b AS r, j / 10.0 AS jaccard
