@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "llm_hard_negatives",
     "llm_curriculum_phases",
     "llm_paragraph_gate_fold",
+    "llm_lsh_planner",
+    "agg_sketch_rollup",
 ]
 
 
