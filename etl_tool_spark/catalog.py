@@ -1089,12 +1089,13 @@ def llm_lsh_planner(spark, sf_dir):
     from before committing a corpus-scale banding pass. Pure literal
     arithmetic (no table scan): identical IEEE double ops in both
     engines, so round-6 values hash-match exactly."""
-    bs = spark.createDataFrame([(b,) for b in (1, 2, 4, 8, 16)], "b int")
-    js = spark.createDataFrame([(j,) for j in range(1, 10)], "j int")
-    g = (bs.crossJoin(js)
-           .select(F.col("b").alias("bands"),
-                   (16 / F.col("b")).cast("int").alias("rows_per_band"),
-                   (F.col("j") / 10.0).alias("jaccard")))
+    # one literal 45-row frame — a crossJoin of two literal frames would
+    # be the only CartesianProduct in the whole catalog, so the grid is
+    # enumerated driver-side (it IS literal planning input)
+    g = spark.createDataFrame(
+        [(b, 16 // b, j / 10.0) for b in (1, 2, 4, 8, 16)
+         for j in range(1, 10)],
+        "bands int, rows_per_band int, jaccard double")
     p = 1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
                   F.col("bands"))
     t = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
