@@ -34,18 +34,16 @@ from etl_tool_spark.catalog import ORACLE, SPARK  # noqa: E402
 
 #: One representative per operator family, kept in the driver window every
 #: round so a regression in a family core shows up as a hard failure even
-#: after its siblings have rotated out.
+#: after its siblings have rotated out. Trimmed 10 → 5 while a fresh-query
+#: backlog exists (round-4 verdict): each sentinel slot freed is one more
+#: never-checked query earning its green row this round; the five kept
+#: span the five coarsest families (agg, join, window, dedup, pipeline).
 _SENTINELS = [
     "q1_pricing_summary",     # TPC-H aggregation core
-    "join_semi",              # join family
+    "join_asof",              # join family (as-of, the custom one)
     "window_topn_per_group",  # window family
-    "llm_exact_dedup",        # dedup family
-    "etl_filter_expr",        # reference filter expression surface
-    "llm_minhash_lsh_pairs",  # MinHash+LSH candidate generation
-    "llm_dedup_groups",       # connected components
-    "join_asof",              # as-of join
-    "etl_error_channel",      # pipeline error channel
-    "etl_mapping_chain",      # mapping chain parity
+    "llm_minhash_lsh_pairs",  # dedup / LSH candidate generation
+    "etl_mapping_chain",      # reference pipeline parity
 ]
 
 
@@ -66,13 +64,15 @@ def _row_passed(row: object, has_oracle: bool) -> bool:
 
 
 def _driver_status() -> tuple[set[str], set[str]]:
-    """(green, failed): queries with at least one PASSING row in any past
-    driver CORRECTNESS report, and queries that were checked but never
-    passed. Round 3 taught the distinction the hard way: treating mere
-    PRESENCE in a report as 'seen' rotated 8 hash-mismatched queries out
-    of the window forever, so their fixes could never earn a green row."""
-    green: set[str] = set()
-    checked: set[str] = set()
+    """(green, failed): queries whose MOST RECENT driver report row
+    passed, and queries whose most recent row failed. Recency matters in
+    both directions: round 3 taught that mere presence must not retire a
+    red query (its fix could never earn a green row), and round 4's
+    advisor flagged the mirror bug — an early-round green must not
+    retire a query that REGRESSED in a later report, or the regression
+    is never re-sampled. Reports are read in sorted (chronological)
+    order, so the last row seen per query wins."""
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
@@ -82,10 +82,9 @@ def _driver_status() -> tuple[set[str], set[str]]:
         if not isinstance(report, dict):
             continue
         for name, row in report.items():
-            checked.add(name)
-            if _row_passed(row, has_oracle=name in ORACLE):
-                green.add(name)
-    return green, checked - green
+            latest[name] = _row_passed(row, has_oracle=name in ORACLE)
+    green = {n for n, ok in latest.items() if ok}
+    return green, set(latest) - green
 
 
 def _rotation(names: list[str]) -> list[str]:

@@ -118,63 +118,86 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 def trigram_join(left: DataFrame, right: DataFrame,
                  left_on: str, right_on: str,
                  threshold: float = 0.5, n: int = 3,
-                 max_df: int | None = None) -> DataFrame:
+                 max_df: int | None = None,
+                 hash_keys: bool = True,
+                 hash_grams: bool = True) -> DataFrame:
     """All cross-table pairs with character-n-gram Jaccard similarity
     >= ``threshold`` — the pg_trgm `%` fuzzy join, scale-shaped. Where
     edit_distance_join matches near-identical short strings (distance
     ≤ 2), trigram Jaccard tolerates proportionally more divergence in
     longer strings (word swaps, multi-char typos).
 
-    Shape: candidate generation runs over the DISTINCT join-key strings
-    only — the gram shuffle carries (key-hash, set-size, gram), never
-    the payload columns (wide rows riding the gram fan-out would
-    multiply shuffle bytes by gram count), and identical keys hash once
-    however many rows carry them. The inverted-index equi-join on the
-    gram counts |A∩B| in a partial-agg'd shuffle keyed on 64-bit key
-    HASHES — the intersection aggregation processes Σ df² rows (the
-    dominant cost on saturated gram alphabets, e.g. hex keys with only
-    16³ possible trigrams), and hashing the group keys roughly halves
-    its wall time vs aggregating on the string pairs (measured 2× at
-    sf0.1). Riding the set sizes through that shuffle (two ints per
-    gram row) lets the Jaccard |A∩B| / (|A|+|B|-|A∩B|) filter run
-    DIRECTLY on the aggregation output, so every later join — key
-    strings, payload columns — lands on the result-sized survivor
-    frame, never the pre-filter pair frame (~1000× larger on saturated
-    alphabets: 4.2M candidate pairs → 5k survivors at sf0.1). Locally
-    the key tables broadcast, so the gain is modest (~15% at sf0.1);
-    the shape matters at scale, where the distinct-key tables grow
-    with the data — once past the broadcast threshold, the old
-    join-before-filter form re-shuffles the ENTIRE pre-filter pair
-    frame through two sort-merge joins, the plan's largest
-    intermediate shuffled twice for columns only survivors need.
-    Exactness is unconditional: a one-pass partial-agg'd guard counts
-    distinct keys vs distinct 64-bit hashes per side and falls back to
-    string-keyed aggregation on any collision (never silently merged —
-    at ~10⁹ keys the birthday bound makes a collision a real event,
-    not a curiosity).
+    Shape — prefix-filtered inverted index (the AllPairs bound, Bayardo
+    et al. WWW'07, with two plan-shaped twists that finally made it
+    win):
 
-    ``max_df``: drop grams indexed by more than ``max_df`` distinct key
-    values per side from CANDIDATE GENERATION (the pg_trgm common-gram
+      1. Everything runs over the DISTINCT join-key strings only — the
+         gram fan-out never carries payload columns, and identical keys
+         hash once however many rows carry them.
+      2. Grams are 64-bit-hashed and each key's distinct gram hashes
+         sorted numerically; only the first |A| − ⌈t·|A|⌉ + 1 are
+         indexed. Any total order over the gram universe validates the
+         prefix lemma: Jaccard ≥ t forces |A∩B| ≥ t·|A∪B| ≥
+         t·max(|A|,|B|), and the globally-smallest shared gram ranks
+         within |X| − |A∩B| + 1 on BOTH sides, so it lands inside both
+         prefixes — no false negatives. Hash order is also UNIFORM
+         across the gram universe, so prefix document-frequencies stay
+         ~(1−t)× the full dfs on every gram; a skewed order (e.g.
+         lexicographic) concentrates everyone's prefix on the same
+         low-sorting grams and re-inflates the candidate join
+         (measured: 2.4M candidate-join rows lexicographic vs 1.4M
+         hash-ordered on the hex regime below).
+      3. Candidates = equi-join of the two prefix indexes, distinct on
+         the (key-hash, key-hash) pair. Verification attaches each
+         side's full sorted gram-hash array (joins onto the key-sized
+         frames, not the data-sized inputs) and computes the EXACT
+         |A∩B| with a per-row ``array_intersect`` on primitive longs —
+         no giant pair aggregation: the Σ df² gram-pair rows that
+         dominated the direct count-then-filter form never exist, and
+         long-array intersection runs ~10× faster than string-array
+         intersection (measured 23s → 2s on 2M verify rows).
+      4. The Jaccard filter runs before any payload join, so the key
+         strings and payload columns land on the result-sized survivor
+         frame only (~1000× smaller than the candidate frame on
+         saturated alphabets); AQE broadcasts the survivors at runtime.
+
+    Measured (sf0.1, local[32], warm JVM): hex md5 keys t=0.5 — direct
+    inverted index 6.3s, this form ~4s; 60-char prose keys t=0.6 —
+    direct 143s, this form 78s even with string grams. The round-3/4
+    rejections of AllPairs (19.5s on the hex regime) measured a
+    DIFFERENT implementation that ranked grams by document frequency
+    with a global window job and verified through a second gram join;
+    hash order needs no ranking job at all, and on near-uniform gram
+    frequencies rare-first ordering buys nothing over it.
+
+    Exactness is unconditional AND lazy. Hash identification (of keys
+    and of grams) is only exact if the hash is injective on the actual
+    key/gram universes, so a ONE-ROW broadcast gate — the same in-plan
+    contract pattern as the repo's ANN recall gates — aggregates
+    countDistinct(value) vs countDistinct(xxhash64(value)) for both
+    universes over one parallel scan of the raw inputs and raises
+    in-plan (``raise_error``) on any mismatch, the first time the
+    result frame is acted on. No eager driver job runs at call time
+    (the round-4 form ran a countDistinct pre-job over both full key
+    columns on every call — recorded by the round-4 gate bench as part
+    of a 3.57s → 6.14s regression), and no ``raise_error`` sits in the
+    row-wise hot path (a conditional raise inside the key projection
+    is Unevaluable for codegen and measurably de-optimizes every
+    expression stacked on it — measured +4.5s at sf0.1). At ~10⁹ keys
+    the birthday bound makes a 64-bit collision a real event, not a
+    curiosity; on collision the job fails loudly — rerun with
+    ``hash_keys=False`` / ``hash_grams=False`` to identify keys/grams
+    by their strings (no collision surface, heavier shuffle and ~10×
+    slower verify respectively).
+
+    ``max_df``: drop grams indexed by more than ``max_df`` distinct
+    keys per side from the PREFIX index (the pg_trgm common-gram
     problem: 'the' pairs everything). Exactness caveat — a true pair
-    sharing ONLY dropped grams is missed, so the default None keeps the
-    exact contract the oracle checks; set it at scale where hot grams
-    would otherwise dominate the shuffle. Returns left + right columns +
-    ``similarity``; column names must not overlap.
-
-    Measured and rejected: AllPairs-style prefix filtering (Bayardo et
-    al., WWW'07 — candidates only from each key's rarest
-    |A|−⌈t·|A|⌉+1 grams, exact verify on candidates). On this
-    corpus's shared-vocabulary prose regime it produced identical pairs
-    but ran 2.3× SLOWER than the direct inverted index (77s → 175s at
-    sf0.1, t=0.6): prose prefixes still co-occur broadly, so the
-    candidate set stays near-quadratic and the per-candidate
-    verification join dominates. Re-measured on saturated hex keys
-    (round 4, t=0.5 at sf0.1): 3.6× slower still (5.4s → 19.5s) — with
-    only 16³ possible grams even the rarest-prefix grams keep high
-    document frequency, so prefixing barely prunes while the df
-    ranking window and the array_intersect verify add work. The direct
-    count-then-filter form plus ``max_df`` (when recall loss is
-    acceptable) remains the shipped answer in both regimes."""
+    whose shared prefix grams are ALL dropped is missed, so the default
+    None keeps the exact contract the oracle checks; set it at scale
+    where hot grams would otherwise dominate the candidate join.
+    Returns left + right columns + ``similarity``; column names must
+    not overlap."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(
@@ -185,48 +208,94 @@ def trigram_join(left: DataFrame, right: DataFrame,
             raise ValueError(f"trigram_join: {reserved!r} is reserved; "
                              "rename that column first")
 
-    # collision guard: ONE partial-agg'd job over the raw key columns
-    # (no distinct-key materialization); on the (cosmically rare
-    # per-pair, plausible corpus-wide at billions of keys) 64-bit
-    # collision, key everything on the strings themselves
-    stats = (left.select(F.lit(0).alias("_s"),
-                         F.col(left_on).cast("string").alias("_k"))
-             .unionByName(right.select(
-                 F.lit(1).alias("_s"),
-                 F.col(right_on).cast("string").alias("_k")))
-             .groupBy("_s")
-             .agg(F.countDistinct("_k").alias("n"),
-                  F.countDistinct(F.xxhash64("_k")).alias("h"))
-             .collect())
-    use_hash = all(r["n"] == r["h"] for r in stats)
-
     def _key(c: str) -> Column:
-        return F.xxhash64(c) if use_hash else F.col(c).cast("string")
+        # null keys never produce gram rows (they are filtered from the
+        # index), so a null payload join key must stay null — never the
+        # constant xxhash64(NULL) — or it could spuriously equi-join a
+        # real key's hash.
+        k = F.col(c).cast("string")
+        return F.when(k.isNotNull(), F.xxhash64(k)) if hash_keys else k
 
-    def _grams(df: DataFrame, col: str, h: str, sz: str) -> DataFrame:
-        keys = df.select(col).distinct()
-        return (keys.select(_key(col).alias(h),
-                            char_ngrams(F.col(col), n).alias("_gs"))
-                    .select(h, F.size("_gs").alias(sz),
-                            F.explode("_gs").alias("_g")))
+    def _keys(df: DataFrame, col: str, h: str) -> DataFrame:
+        """(key-id ``h``, sorted indexed-gram array ``_gs``) per
+        distinct non-null key. Pure codegen-friendly shape — the
+        collision contracts live in the broadcast gate, not here."""
+        keys = (df.select(F.col(col).cast("string").alias("_k"))
+                  .where(F.col("_k").isNotNull())
+                  .distinct())
+        grams = char_ngrams(F.col("_k"), n)
+        indexed = (F.transform(grams, lambda g: F.xxhash64(g))
+                   if hash_grams else grams)
+        kid = F.xxhash64("_k") if hash_keys else F.col("_k")
+        return keys.select(kid.alias(h), F.array_sort(indexed).alias("_gs"))
 
-    lg = _grams(left, left_on, "_lh", "_lsz")
-    rg = _grams(right, right_on, "_rh", "_rsz")
+    lk = _keys(left, left_on, "_lh")
+    rk = _keys(right, right_on, "_rh")
+
+    def _prefix(df: DataFrame, h: str) -> DataFrame:
+        # first |A| - ceil(t*|A|) + 1 grams in the global order; always
+        # >= 1 gram, so no key vanishes from the index
+        plen = (F.size("_gs")
+                - F.ceil(F.lit(threshold) * F.size("_gs")).cast("int") + 1)
+        return df.select(h, F.explode(F.slice("_gs", F.lit(1), plen))
+                         .alias("_g"))
+
+    lp = _prefix(lk, "_lh")
+    rp = _prefix(rk, "_rh")
     if max_df is not None:
-        l_hot = (lg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        l_hot = (lp.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                    .filter(F.col("_n") > max_df).select("_g"))
-        r_hot = (rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        r_hot = (rp.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                    .filter(F.col("_n") > max_df).select("_g"))
-        lg = lg.join(l_hot, "_g", "left_anti")
-        rg = rg.join(r_hot, "_g", "left_anti")
-    inter = (lg.join(rg, "_g")
-               .groupBy("_lh", "_rh")
-               .agg(F.count(F.lit(1)).alias("_i"),
-                    F.max("_lsz").alias("_lsz"),
-                    F.max("_rsz").alias("_rsz")))
-    sim = F.col("_i") / (F.col("_lsz") + F.col("_rsz") - F.col("_i"))
-    pairs = (inter.filter(sim >= threshold)
-                  .select("_lh", "_rh", F.round(sim, 6).alias("similarity")))
+        lp = lp.join(l_hot, "_g", "left_anti")
+        rp = rp.join(r_hot, "_g", "left_anti")
+    cands = lp.join(rp, "_g").select("_lh", "_rh").distinct()
+    verify = (cands.join(lk.select("_lh", F.col("_gs").alias("_la")), "_lh")
+                   .join(rk.select("_rh", F.col("_gs").alias("_ra")), "_rh")
+                   .withColumn("_i", F.size(F.array_intersect("_la", "_ra"))))
+    sim = (F.col("_i")
+           / (F.size("_la") + F.size("_ra") - F.col("_i")))
+    pairs = (verify.filter(sim >= threshold)
+                   .select("_lh", "_rh",
+                           F.round(sim, 6).alias("similarity")))
+
+    if hash_keys or hash_grams:
+        # ONE-ROW in-plan gate over one parallel scan of the raw
+        # inputs: xxhash64 must be injective on the key universe (when
+        # keys are hash-identified) and on the gram universe (when
+        # grams are). countDistinct(x) == countDistinct(hash(x)) is
+        # exactly injectivity-on-the-universe. Broadcast-scalar attach
+        # keeps raise_error OUT of the row-wise hot path.
+        def _kg(df: DataFrame, col: str) -> DataFrame:
+            k = F.col(col).cast("string")
+            return (df.where(k.isNotNull())
+                      .select(k.alias("_k"),
+                              F.explode(char_ngrams(k, n)).alias("_g")))
+        u = _kg(left, left_on).unionByName(_kg(right, right_on))
+        checks = []
+        if hash_keys:
+            checks.append((F.count_distinct(F.col("_k")),
+                           F.count_distinct(F.xxhash64("_k")),
+                           "hash_keys=False"))
+        if hash_grams:
+            checks.append((F.count_distinct(F.col("_g")),
+                           F.count_distinct(F.xxhash64("_g")),
+                           "hash_grams=False"))
+        aggs = []
+        for i, (a, b, _) in enumerate(checks):
+            aggs += [a.alias(f"_a{i}"), b.alias(f"_b{i}")]
+        ok: Column = F.lit(1)
+        for i, (_, _, fix) in reversed(list(enumerate(checks))):
+            ok = F.when(F.col(f"_a{i}") != F.col(f"_b{i}"),
+                        F.raise_error(F.lit(
+                            f"trigram_join: 64-bit hash collision; rerun "
+                            f"with {fix}"))).otherwise(ok)
+        gate = u.agg(*aggs).select(ok.alias("_gate"))
+        # filtered (not dropped) so column pruning cannot elide the
+        # raise_error branch out of the plan
+        pairs = (pairs.crossJoin(F.broadcast(gate))
+                      .where(F.col("_gate") == 1).drop("_gate"))
+
     # payload attach on the survivor frame only; AQE sees the
     # post-filter size at runtime and broadcasts when small
     return (left.withColumn("_lh", _key(left_on))

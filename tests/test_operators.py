@@ -627,11 +627,13 @@ def test_trigram_join_differential_bruteforce(spark):
     assert got == want and want
 
 
-def test_trigram_join_collision_guard_falls_back(spark, monkeypatch):
-    """If the 64-bit key hash ever collides (detected by the one-pass
-    distinct-hash guard), trigram_join must aggregate on the key strings
-    and still produce the exact pair set. Forced here by patching the
-    hash to a constant — every key 'collides'."""
+def test_trigram_join_collision_guard_raises_in_plan(spark, monkeypatch):
+    """A 64-bit key-hash collision must fail LOUDLY at execution time
+    (lazy in-plan raise_error folded into the gram-build aggregation —
+    no eager driver job runs at call time), and hash_keys=False must
+    reproduce the exact pair set by aggregating on the key strings."""
+    import pytest
+
     from etl_tool_spark.operators import linkage
 
     left = spark.createDataFrame(
@@ -641,9 +643,15 @@ def test_trigram_join_collision_guard_falls_back(spark, monkeypatch):
     want = {(r["lid"], r["rid"]): r["similarity"]
             for r in linkage.trigram_join(left, right, "ltxt", "rtxt",
                                           threshold=0.3).collect()}
-    monkeypatch.setattr(linkage.F, "xxhash64",
-                        lambda *cols: linkage.F.lit(1))
     got = {(r["lid"], r["rid"]): r["similarity"]
            for r in linkage.trigram_join(left, right, "ltxt", "rtxt",
-                                         threshold=0.3).collect()}
+                                         threshold=0.3,
+                                         hash_keys=False).collect()}
     assert got == want and (1, 10) in got
+
+    monkeypatch.setattr(linkage.F, "xxhash64",
+                        lambda *cols: linkage.F.lit(1))
+    collided = linkage.trigram_join(left, right, "ltxt", "rtxt",
+                                    threshold=0.3)  # lazy: must NOT raise
+    with pytest.raises(Exception, match="hash collision"):
+        collided.collect()
