@@ -175,27 +175,55 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; the timed run will report
 
+    def _timed_runs(name: str, n_timed: int = 3,
+                    extra_warm: int = 0) -> tuple[list[float], int]:
+        """One (or more) UNTIMED warm-up executions at the target sf —
+        first-run Janino compilation, HotSpot JIT, page-cache fill —
+        then ``n_timed`` timed executions."""
+        fn = SPARK[name]
+        rows = 0
+        for _ in range(1 + extra_warm):
+            fn(spark, sf_dir).count()
+        runs: list[float] = []
+        for _ in range(n_timed):
+            t0 = time.time()
+            rows = fn(spark, sf_dir).count()  # materialize the result
+            runs.append(time.time() - t0)
+        return runs, rows
+
+    def _median(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    # ambient-drift sentinel: a fixed scan-agg query timed before and
+    # after the suite. Round 4's record could not distinguish a real
+    # regression from JVM/GC pressure drifting EVERY query +10-20% over
+    # a 105-query run; the sentinel ratio quantifies that ambient shift
+    # so per-query deltas can be read net of it.
+    SENTINEL = "q6_forecast_revenue"
+    drift_start = _median(_timed_runs(SENTINEL)[0])
+
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = SPARK[name]
-        # repeated runs, report the fastest: early runs pay one-off
-        # whole-stage codegen compilation + JIT warm-up (seconds,
-        # amortized to nothing over real data volumes); the last is the
-        # steady-state execution cost
-        # min-of-N absorbs first-run codegen AND transient host
-        # contention (observed: whole-suite 2x inflation from CPU steal
-        # with zero local load); the warmed steady state is the signal
-        best, n = None, 0
-        for _ in range(4 if name in heavy else 3):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()  # materialize the full result
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        # median-of-3 after an untimed warm-up run: the median is robust
+        # to one contended run in either direction, and the warm-up
+        # absorbs first-run codegen so the medians compare round-over-
+        # round (min-of-N, used through round 4, hid ambient inflation
+        # until it hit every repeat)
+        runs, n = _timed_runs(name, extra_warm=1 if name in heavy else 0)
+        med = _median(runs)
+        timings[name] = round(med, 3)
+        spreads[name] = [round(t, 3) for t in sorted(runs)]
+        total += med
+        print(f"# {name}: {med:.2f}s median of {sorted(runs)} ({n} rows)",
+              file=sys.stderr)
+
+    drift_end = _median(_timed_runs(SENTINEL)[0])
+    drift = {"sentinel": SENTINEL,
+             "start_sec": round(drift_start, 3),
+             "end_sec": round(drift_end, 3),
+             "ratio": round(drift_end / max(drift_start, 1e-9), 3)}
 
     # compact plan-quality audit of the headline set, embedded in the
     # benchmark artifact: cartesians are the one never-acceptable shape,
@@ -257,7 +285,8 @@ def main() -> None:
                                "bench_detail.json")
     try:
         with open(detail_path, "w", encoding="utf-8") as f:
-            json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+            json.dump({"sf": sf, "queries": timings, "runs": spreads,
+                       "drift": drift}, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# could not write {detail_path}: {e}", file=sys.stderr)
 
@@ -269,6 +298,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": slowest,
+        "drift": drift,
         "recall_vs_exact": recall,
         "plan_stats": {"queries": len(BENCH_QUERIES),
                        "cartesian_products": cartesians,
