@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "llm_paragraph_gate_fold",
     "llm_lsh_planner",
     "agg_sketch_rollup",
+    # round 5: corpus-scale hard negatives (IVF-composed)
+    "llm_ivf_hard_negatives",
 ]
 
 

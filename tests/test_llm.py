@@ -1367,6 +1367,64 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r["cosine_sim"] <= 1.0 for r in out)
 
 
+def test_ivf_hard_negatives_degenerates_to_exact(spark):
+    """nprobe == nlist scans every cell, so the IVF-composed miner must
+    return EXACTLY the exact hard_negatives pairs; with nprobe < nlist
+    it returns a subset (candidates only from probed cells), never a
+    same-label row."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = (df.filter(F.col("vec_id") < 4)
+           .select(F.col("vec_id").alias("query_id"), "label", "embedding"))
+
+    def pairs(frame):
+        return {(r["query_id"], r["vec_id"], r["rank"])
+                for r in frame.collect()}
+
+    exact = pairs(S.hard_negatives(df, q, k=3))
+    full = pairs(S.ivf_hard_negatives(df, q, k=3, nlist=4, nprobe=4))
+    assert full == exact
+    probed = S.ivf_hard_negatives(df, q, k=3, nlist=4, nprobe=2)
+    lab = {r["vec_id"]: r["label"] for r in df.collect()}
+    qlab = {r["query_id"]: r["label"] for r in q.collect()}
+    for r in probed.collect():
+        assert lab[r["vec_id"]] != qlab[r["query_id"]]
+    assert {(p[0], p[1]) for p in pairs(probed)} <= {
+        (qq, v) for qq in qlab
+        for v in lab if lab[v] != qlab[qq]}
+
+
+def test_hard_negatives_broadcast_is_gated(spark, monkeypatch):
+    """Small query frames broadcast (BroadcastNestedLoopJoin); past the
+    row gate the hint must NOT be emitted — the planner degrades to a
+    partitioned cartesian instead of OOMing executors on an unbounded
+    broadcast (round-4 verdict item 5). Exercised both ways by moving
+    the gate, not the data."""
+    from etl_tool_spark.operators import skew
+
+    rows = [(i, [float(i % 7), 1.0], i % 2) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = (df.filter(F.col("vec_id") < 3)
+           .select(F.col("vec_id").alias("query_id"), "label", "embedding"))
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    small = S.hard_negatives(df, q, k=2)
+    assert "BroadcastNestedLoopJoin" in plan_of(small)
+
+    monkeypatch.setattr(skew, "BROADCAST_ROW_GATE", 0)
+    large = S.hard_negatives(df, q, k=2)
+    p = plan_of(large)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" in p
+
+
 def test_incremental_paragraph_dedup_fold_equals_oneshot(spark, tmp_path):
     """Two id-ordered batches through the paragraph fingerprint store
     fold to exactly the one-shot paragraph_dedup result; the store
