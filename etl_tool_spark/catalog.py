@@ -2681,15 +2681,28 @@ def llm_zipf_slope(spark, sf_dir):
     sits near -1; synthetic/boilerplate corpora deviate) — a linguistic
     corpus diagnostic via the regression aggregates (regr_slope on the
     log-log rank/frequency points). Token counts partial-aggregate; the
-    global rank is ONE total-order sort of the vocabulary (vocab is
-    orders smaller than the corpus), then a single-row regression."""
+    global rank is a BANDED rank (operators/globalorder.banded_cumsum
+    of ones, band = ⌊log₂ c⌋ descending — a monotone function of the
+    sort key, so (band DESC, c DESC, tok) IS the global order): through
+    round 4 this was a single-partition window over the whole
+    vocabulary, which is itself billions of rows on a real web corpus
+    (round-4 verdict item 6 / round-5 worklist). Only the ≤64-row band
+    summary is globally ordered; rank assignment runs band-parallel.
+    freq is checkpointed because the banded rank reads it twice (band
+    summary + join-back) — without it the corpus-sized tokenize+count
+    would execute twice."""
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
              .select(F.explode(F.split(t, r"\s+")).alias("tok")))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
-    ranked = freq.select("c", F.row_number().over(w).alias("r"))
+    freq = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True))
+    banded = freq.select("c", "tok",
+                         F.floor(F.log2("c")).alias("_band"),
+                         F.lit(1).alias("_one"))
+    ranked = GO.banded_cumsum(
+        banded, "_band", [F.col("c").desc(), F.col("tok")], "_one",
+        out="r", band_desc=True)
     return ranked.agg(
         F.round(F.regr_slope(F.log(F.col("c").cast("double")),
                              F.log(F.col("r").cast("double"))), 4)
@@ -5209,26 +5222,34 @@ GROUP BY pct
 def llm_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve — the tokenizer-sizing question 'how
     many types cover X% of the token mass?' for X in {50,90,95,99}.
-    Token counts partial-aggregate map-side; the rank + running-sum
-    window is ONE total-order pass over the VOCABULARY (orders smaller
-    than the corpus — the same contract llm_zipf_slope documents); the
-    grand total rides along as a broadcast scalar and the four
-    thresholds explode from a literal array. At 100 TB the corpus-sized
-    stage is only the first aggregation."""
+    Token counts partial-aggregate map-side; rank AND running token
+    mass are BANDED prefix sums (operators/globalorder.banded_cumsum,
+    band = ⌊log₂ c⌋ descending — monotone in the sort key, so the
+    banded order IS (c DESC, tok)): through round 4 both rode one
+    single-partition window over the whole vocabulary, itself billions
+    of rows on a real web corpus (round-4 verdict item 6). Only the
+    ≤64-row band summary is globally ordered; both prefix sums run
+    band-parallel and share one partitioning (Catalyst collapses the
+    two Window nodes). The grand total rides along as a broadcast
+    scalar and the four thresholds explode from a literal array. At
+    100 TB the corpus-sized stage is only the first aggregation."""
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
              .select(F.explode(X.tokens(F.col("text"))).alias("tok")))
-    # checkpoint: freq feeds BOTH the rank window and the grand total —
-    # without materializing, the corpus-sized tokenize+aggregate would
-    # execute twice (two tok exchanges; plan-asserted single)
+    # checkpoint: freq feeds the band summaries, the join-backs and the
+    # grand total — without materializing, the corpus-sized
+    # tokenize+aggregate would execute once per consumer
     freq = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
                 .localCheckpoint(eager=True))
-    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
-    ranked = freq.select(
-        "c", F.row_number().over(w).alias("r"),
-        F.sum("c").over(w.rangeBetween(Window.unboundedPreceding, 0))
-         .alias("cum"))
+    banded = freq.select("c", "tok",
+                         F.floor(F.log2("c")).alias("_band"),
+                         F.lit(1).alias("_one"))
+    order = [F.col("c").desc(), F.col("tok")]
+    ranked = GO.banded_cumsum(banded, "_band", order, "_one",
+                              out="r", band_desc=True)
+    ranked = GO.banded_cumsum(ranked, "_band", order, "c",
+                              out="cum", band_desc=True)
     tot = freq.agg(F.sum("c").alias("total"))
     pcts = F.explode(F.array(*[F.lit(p) for p in (50, 90, 95, 99)]))
     return (ranked.crossJoin(F.broadcast(tot))

