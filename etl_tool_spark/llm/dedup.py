@@ -419,9 +419,21 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
     corpus went undetected with no error. Migration rebuilds bands/ from
     the legacy signatures with the CALLER's (num_hashes, bands), which
     must match the parameters the legacy store was written with — the
-    same same-hash-family contract appends already require."""
+    same same-hash-family contract appends already require.
+
+    CRASH-IDEMPOTENT (round-4 advice): the round-4 form appended into
+    sig/ before removing the legacy parts, so a crash between the two
+    let a retry re-append the same signatures — silently doubled rows.
+    Now both tables are staged to temp paths and promoted with atomic
+    directory renames; legacy parts are removed only after both
+    promotions. A retry at ANY interruption point either redoes the
+    overwrite-mode staging (nothing promoted yet) or resumes the
+    remaining promotions/cleanup (sig/ present alongside legacy parts
+    can only mean an interrupted migration — the legacy writer predates
+    the sig/ layout)."""
     import glob as _glob
     import os as _os
+    import shutil as _shutil
 
     from etl_tool_spark.util import require_local_store
 
@@ -430,6 +442,27 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
     if not legacy:
         return
     sig_dir = _os.path.join(store_dir, "sig")
+    bands_dir = _os.path.join(store_dir, "bands")
+    stage_sig = _os.path.join(store_dir, "_migrate_sig")
+    stage_bands = _os.path.join(store_dir, "_migrate_bands")
+
+    def _finish() -> None:
+        if not _os.path.isdir(bands_dir) and _os.path.isdir(stage_bands):
+            _os.rename(stage_bands, bands_dir)
+        if not _os.path.isdir(bands_dir):
+            # staged bands lost mid-crash: rebuild from the promoted
+            # sig/ (atomic rename ⇒ it holds exactly the migrated rows)
+            _band_frame(spark.read.parquet(sig_dir), id_col,
+                        num_hashes, bands) \
+                .write.mode("overwrite").parquet(bands_dir)
+        for part in legacy:
+            _os.remove(part)
+        for stale in (stage_sig, stage_bands):
+            _shutil.rmtree(stale, ignore_errors=True)
+
+    if _os.path.isdir(sig_dir):
+        _finish()   # interrupted earlier migration: resume after sig/
+        return
     hs = spark.read.parquet(*legacy)
     if set(hs.columns) != {id_col, "_hs"}:
         raise ValueError(
@@ -437,11 +470,11 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
             f"flat part files with columns {sorted(hs.columns)} that are "
             f"not a legacy ({id_col}, _hs) signature table — refusing to "
             "guess; rebuild the store or migrate it manually")
-    hs.write.mode("append").parquet(sig_dir)
-    _band_frame(spark.read.parquet(sig_dir), id_col, num_hashes, bands) \
-        .write.mode("append").parquet(_os.path.join(store_dir, "bands"))
-    for f in legacy:
-        _os.remove(f)
+    hs.write.mode("overwrite").parquet(stage_sig)
+    _band_frame(spark.read.parquet(stage_sig), id_col, num_hashes, bands) \
+        .write.mode("overwrite").parquet(stage_bands)
+    _os.rename(stage_sig, sig_dir)
+    _finish()
 
 
 def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,

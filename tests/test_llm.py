@@ -1085,6 +1085,53 @@ def test_incremental_minhash_migrates_legacy_flat_store(spark, tmp_path):
     assert spark.read.parquet(store + "/bands").count() == 8 * 2
 
 
+def test_legacy_migration_retry_after_crash_does_not_duplicate(
+        spark, tmp_path):
+    """A migration interrupted between promoting sig/ and removing the
+    legacy flat parts must NOT re-append the same signatures on retry
+    (round-4 advice: the append-then-remove form silently doubled sig/
+    and bands/ rows). Simulated by promoting sig/ while leaving the
+    legacy parts and bands/ absent — the retry resumes (rebuild bands,
+    drop legacy) instead of re-ingesting."""
+    import glob
+    import os
+    import shutil
+
+    store = str(tmp_path / "crashed_store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    b1 = spark.createDataFrame([(1, base + " omega")],
+                               "doc_id long, text string")
+    sig = b1.select(F.col("doc_id"),
+                    D.shingle_hashes(F.col("text"), 3).alias("_hs"))
+    sig.write.parquet(store)                 # legacy flat parts
+    sig.write.parquet(store + "/sig")        # crash: sig/ already promoted
+    assert glob.glob(store + "/*.parquet") and os.path.isdir(store + "/sig")
+
+    b2 = spark.createDataFrame([(2, base + " sigma")],
+                               "doc_id long, text string")
+    pairs = D.incremental_minhash_pairs(b2, store)
+    assert [(r["a"], r["b"]) for r in pairs.collect()] == [(1, 2)]
+    # exactly one signature row per doc — never doubled
+    assert not glob.glob(store + "/*.parquet")
+    assert spark.read.parquet(store + "/sig").count() == 2
+    assert spark.read.parquet(store + "/bands").count() == 8 * 2
+
+    # second crash shape: bands/ staged but not yet promoted
+    store2 = str(tmp_path / "crashed_store2")
+    sig.write.parquet(store2)
+    sig.write.parquet(store2 + "/sig")
+    shutil.copytree(store2 + "/sig", store2 + "/_migrate_bands_src")
+    # stage a REAL bands table so promotion-by-rename is exercised
+    from etl_tool_spark.llm.dedup import _band_frame
+    _band_frame(spark.read.parquet(store2 + "/sig"), "doc_id", 16, 8)         .write.parquet(store2 + "/_migrate_bands")
+    shutil.rmtree(store2 + "/_migrate_bands_src")
+    pairs2 = D.incremental_minhash_pairs(b2, store2)
+    assert [(r["a"], r["b"]) for r in pairs2.collect()] == [(1, 2)]
+    assert spark.read.parquet(store2 + "/sig").count() == 2
+    assert spark.read.parquet(store2 + "/bands").count() == 8 * 2
+    assert not os.path.isdir(store2 + "/_migrate_bands")
+
+
 def test_legacy_flat_store_with_foreign_schema_rejected(spark, tmp_path):
     """Flat part files that are NOT a legacy signature table must raise
     a clear layout error, never be silently folded into the store."""
