@@ -8,10 +8,12 @@ non-interlaced PNG via zlib + a full scanline-unfilter implementation,
 GIF via a from-scratch LZW, and baseline sequential-DCT JPEG via a
 from-scratch Huffman + IDCT pipeline against the public ITU-T T.81
 spec (decode_wav/bmp/png/gif/jpeg_features extract actual signal/pixel
-features) — and STUBBED for codecs that genuinely need external
-libraries (video demux → PIL/av, MP3 — absent here): those stubs
-either raise NotImplementedError (strict mode) or produce a
-deterministic fake so pipelines exercise the full dataflow.
+features; mp3_info walks MPEG audio frame headers for exact duration/
+bitrate/VBR metadata without a codec) — and STUBBED for codecs that
+genuinely need external libraries (video demux and MP3 WAVEFORM decode
+→ PIL/av/ffmpeg — absent here): those stubs either raise
+NotImplementedError (strict mode) or produce a deterministic fake so
+pipelines exercise the full dataflow.
 
 Scale notes: binary payloads dominate row size, so these operators
 repartition by bytes not rows (``target_partition_mb``) before the UDF,
@@ -352,6 +354,125 @@ def decode_png_features(df: DataFrame,
         run, PNG_FEATURE_SCHEMA)
 
 
+MP3_INFO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mpeg_version", T.StringType(), True),
+    T.StructField("layer", T.IntegerType(), True),
+    T.StructField("bitrate_kbps", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("vbr", T.BooleanType(), True),
+])
+
+# ISO/IEC 11172-3 (MPEG-1) / 13818-3 (MPEG-2) frame-header tables.
+# kbps by bitrate index 1..14 keyed on (version-group, layer); index 0
+# is "free format" and 15 is forbidden — both end the walk.
+_MP3_BITRATE = {
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256,
+               288, 320, 352, 384, 416, 448],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320, 384],
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112,
+               128, 160, 192, 224, 256, 320],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128,
+               144, 160, 176, 192, 224, 256],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64,
+               80, 96, 112, 128, 144, 160],
+}
+_MP3_BITRATE[("2", 3)] = _MP3_BITRATE[("2", 2)]
+_MP3_SAMPLERATE = {"1": (44100, 48000, 32000),
+                   "2": (22050, 24000, 16000),
+                   "2.5": (11025, 12000, 8000)}
+
+
+def _mp3_info(b: bytes):
+    """MPEG audio stream metadata from FRAME HEADERS ONLY — version,
+    layer, first-frame bitrate, sample rate, channels, frame count,
+    accumulated duration, VBR flag. Pure 32-bit header arithmetic per
+    the public ISO/IEC 11172-3 layout; no entropy decoding, no codec.
+    Walks every frame (frame length is derivable from the header), so
+    duration is exact for CBR and VBR alike; skips a leading ID3v2 tag
+    (syncsafe size). Returns None when no valid frame exists."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + (((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+                    | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
+    first = None
+    n = 0
+    dur = 0.0
+    rates: set[int] = set()
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            if first is None:
+                pos += 1            # resync scan to the first frame
+                continue
+            break                    # trailing junk after valid frames
+        h1, h2, h3 = b[pos + 1], b[pos + 2], b[pos + 3]
+        ver_bits = (h1 >> 3) & 0x3   # 0=2.5  1=reserved  2=2  3=1
+        layer_bits = (h1 >> 1) & 0x3  # 0=reserved 1=III 2=II 3=I
+        br_idx = (h2 >> 4) & 0xF
+        sr_idx = (h2 >> 2) & 0x3
+        if (ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15)
+                or sr_idx == 3):
+            if first is None:
+                pos += 1
+                continue
+            break
+        version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+        layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+        pad = (h2 >> 1) & 1
+        vkey = "1" if version == "1" else "2"
+        br = _MP3_BITRATE[(vkey, layer)][br_idx - 1]
+        sr = _MP3_SAMPLERATE[version][sr_idx]
+        channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+        if layer == 1:
+            spf = 384
+            flen = (12 * br * 1000 // sr + pad) * 4
+        else:
+            spf = 1152 if (layer == 2 or version == "1") else 576
+            flen = (144 if (layer == 2 or version == "1") else 72) \
+                * br * 1000 // sr + pad
+        if first is None:
+            first = (version, layer, br, sr, channels)
+        rates.add(br)
+        n += 1
+        dur += spf / sr
+        pos += max(flen, 4)
+    if first is None:
+        return None
+    return (*first, n, round(dur, 3), len(rates) > 1)
+
+
+def mp3_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """MP3/MPEG-audio metadata (duration, bitrate, sample rate,
+    channels, VBR) from frame headers alone — the triage companion to
+    probe_media for audio crawls. Header math needs no codec, so unlike
+    the waveform decode (which stays an env-gated stub pending
+    ffmpeg-class dependencies) this path is REAL: budget audio token
+    counts, drop sub-second clips, split by sample rate — all without
+    decoding a sample. Same Arrow mapInPandas shape as the image
+    decoders: map-side, scales with executors, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                info = None
+                if payload is not None:
+                    try:
+                        info = _mp3_info(bytes(payload))
+                    except Exception:
+                        info = None
+                out.append((media_id, *(info if info else (None,) * 8)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             MP3_INFO_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, MP3_INFO_SCHEMA)
+
+
 PROBE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime_type", T.StringType(), True),
@@ -416,6 +537,10 @@ def _probe_bytes(b: bytes):
         if sub == b"WEBP":
             return ("image/webp", None, None)
         return ("application/riff", None, None)
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF
+                           and (b[1] & 0xE0) == 0xE0
+                           and ((b[1] >> 1) & 0x3) != 0):
+        return ("audio/mpeg", None, None)
     if b[:5] == b"%PDF-":
         return ("application/pdf", None, None)
     if b[:4] == b"PK\x03\x04":
@@ -880,7 +1005,8 @@ def decode_jpeg_features(df: DataFrame,
     features. Same Arrow mapInPandas shape as the WAV/BMP/PNG/GIF
     decoders: CPU-bound map-side work, scales with executors, no
     shuffle. Completes the no-external-codec image family — the
-    remaining stubs (video demux, MP3) genuinely need ffmpeg-class
+    remaining stubs (video demux, MP3 waveform decode; frame-header
+    METADATA is real via mp3_info) genuinely need ffmpeg-class
     dependencies."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

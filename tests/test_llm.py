@@ -126,6 +126,36 @@ def test_multimodal_stub_pipeline(spark):
     assert len(frames) == 3 and {r["media_id"] for r in frames} == {1}
 
 
+def test_mp3_frame_header_metadata(spark):
+    """mp3_info reads version/layer/bitrate/sample-rate/channels and an
+    exact frame-walked duration from hand-built MPEG1 Layer III CBR
+    frames (128 kbps, 44100 Hz, stereo: header FF FB 90 00, frame
+    length 144*128000/44100 = 417 bytes), skipping a leading ID3v2 tag.
+    A VBR stream (mixed bitrate indexes) flips the vbr flag; junk
+    payloads yield nulls."""
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)   # 417 total
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10)
+    cbr = id3 + frame * 10
+    # same stream but alternating 128/160 kbps (idx 9 / 10)
+    f160 = bytes([0xFF, 0xFB, 0xA0, 0x00]) + bytes(518)    # 522 total
+    vbr = (frame + f160) * 3
+    rows = [(1, bytearray(cbr)), (2, bytearray(vbr)), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.mp3_info(df).collect()}
+    one = got[1]
+    assert (one["mpeg_version"], one["layer"], one["bitrate_kbps"],
+            one["sample_rate"], one["n_channels"]) == ("1", 3, 128, 44100, 2)
+    assert one["n_frames"] == 10 and not one["vbr"]
+    assert abs(one["duration_s"] - 10 * 1152 / 44100) < 1e-3
+    assert got[2]["vbr"] and got[2]["n_frames"] == 6
+    assert got[3]["mpeg_version"] is None and got[3]["n_frames"] is None
+    # probe_media routes both to audio/mpeg without touching payload data
+    probe = {r["media_id"]: r["mime_type"]
+             for r in M.probe_media(df).collect()}
+    assert probe[1] == "audio/mpeg" and probe[2] == "audio/mpeg"
+    assert probe[3] is None
+
+
 def test_multimodal_strict_raises(spark):
     media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
     with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary wrapped
