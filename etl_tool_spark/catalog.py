@@ -1511,6 +1511,44 @@ def llm_multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
 
 
+@query("llm_mp3_metadata", """
+SELECT doc_id AS media_id,
+       '1' AS mpeg_version,
+       3 AS layer,
+       128 AS bitrate_kbps,
+       44100 AS sample_rate,
+       2 AS n_channels,
+       (1 + doc_id % 20)::INT AS n_frames,
+       round((1 + doc_id % 20) * 1152.0 / 44100, 3) AS duration_s,
+       false AS vbr
+FROM documents
+""")
+def llm_mp3_metadata(spark, sf_dir):
+    """Audio-crawl triage metadata, end-to-end checkable: each document
+    becomes a synthetic MPEG1 Layer III CBR stream of (1 + doc_id % 20)
+    frames (header FF FB 90 00 = 128 kbps / 44100 Hz / stereo; frame
+    length 144·128000/44100 = 417 bytes, a multiple of 3, so repeating
+    the frame's base64 n times decodes to n concatenated frames —
+    binary synthesis stays pure-Column). llm/multimodal.py mp3_info
+    walks the real frame headers through the Arrow mapInPandas path;
+    the oracle recomputes every field arithmetically. This is the
+    metadata a 100 TB audio corpus needs before any codec touches a
+    sample: duration budgeting, sample-rate routing, VBR detection."""
+    import base64
+
+    from etl_tool_spark.llm.multimodal import mp3_info
+
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    b64 = base64.b64encode(frame).decode()
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unbase64(F.expr(
+            f"repeat('{b64}', cast(doc_id % 20 as int) + 1)"))
+         .alias("payload"))
+    return mp3_info(media)
+
+
 @query("etl_error_channel", """
 SELECT c_custkey AS cust_id, c_acctbal AS bal FROM customer
 WHERE c_acctbal BETWEEN -500 AND 8000
