@@ -127,8 +127,9 @@ BENCH_QUERIES = [
     "llm_paragraph_gate_fold",
     "llm_lsh_planner",
     "agg_sketch_rollup",
-    # round 5: corpus-scale hard negatives (IVF-composed)
+    # round 5: corpus-scale hard negatives (IVF-composed) + audio triage
     "llm_ivf_hard_negatives",
+    "llm_mp3_metadata",
 ]
 
 
