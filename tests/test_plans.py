@@ -706,14 +706,18 @@ def test_minhash_sweep_single_pair_pass(spark, catalog):
     assert len(bb_joins) <= 2  # tree line + details line of ONE join
 
 
-def test_trigram_join_hash_keyed_aggregation(spark, catalog):
-    """The trigram intersection count must aggregate on 64-bit key
-    hashes, not the key strings (measured 2x on the Σ df² shuffle), and
-    the plan stays cartesian-free; the gram-generation subtree runs over
-    DISTINCT keys so payload columns never ride the gram fan-out."""
+def test_trigram_join_prefix_filtered_shape(spark, catalog):
+    """Round-5 trigram shape: keys and grams are 64-bit hash-identified
+    (xxhash64 in plan), candidates come from the PREFIX index (slice of
+    the sorted gram-hash array), and the exact verify is a per-pair
+    array_intersect — the Σ df² gram-pair aggregation must NOT exist,
+    and the plan stays cartesian-free (the one-row collision gate
+    attaches as a BroadcastNestedLoopJoin, never a CartesianProduct)."""
     p = plan(catalog["er_trigram_join"](spark, SF_DIR))
     assert not nodes(p, "CartesianProduct")
-    assert "xxhash64" in p, "intersection aggregation lost its hash keys"
+    assert "xxhash64" in p, "hash identification lost"
+    assert "array_intersect" in p, "exact verify lost its candidate-side intersect"
+    assert "slice" in p, "prefix index lost its array slice"
 
 
 def test_bm25_single_pass_no_token_shuffle(spark, catalog):
