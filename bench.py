@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # round 5: corpus-scale hard negatives (IVF-composed) + audio triage
     "llm_ivf_hard_negatives",
     "llm_mp3_metadata",
+    "llm_knn_label_consistency",
+    "llm_bpe_pair_counts",
 ]
 
 

@@ -1398,6 +1398,59 @@ def llm_ivf_hard_negatives(spark, sf_dir):
     return _ann_recall_stats(approx, exact, floor=0.70)
 
 
+@query("llm_knn_label_consistency", """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 50),
+ c AS (SELECT vec_id, label AS clabel, embedding::DOUBLE[] AS cvec
+       FROM embeddings),
+ pairs AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.clabel,
+         round(list_dot_product(qvec, cvec) /
+               (sqrt(list_dot_product(qvec, qvec)) *
+                sqrt(list_dot_product(cvec, cvec))), 6) AS s
+  FROM c, q WHERE c.vec_id != q.query_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, vec_id) AS r
+            FROM pairs)
+SELECT query_id, qlabel AS label,
+       sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)::BIGINT AS n_same,
+       round(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) / 5.0, 6)
+         AS consistency
+FROM ranked WHERE r <= 5
+GROUP BY query_id, qlabel
+""")
+def llm_knn_label_consistency(spark, sf_dir):
+    """Label-noise triage (confident-learning-lite): for each labeled
+    vector, the fraction of its k=5 exact nearest neighbors sharing its
+    label. Rows with low consistency are the mislabel candidates a
+    labeled-training-set pipeline audits before fine-tuning — the
+    embedding-space analogue of Northcutt-style confident learning,
+    with cosine kNN standing in for the model's predicted
+    probabilities. Shape: brute_force_topk's contract (query side
+    broadcasts, corpus streams map-side, ranking on the ROUNDED
+    similarity so float noise can't flip ranks), neighbor labels join
+    the queries×k top-k frame (AQE broadcasts it), per-query aggregate.
+    At corpus scale the identical consistency aggregate composes with
+    ivf_topk's cell-pruned candidates, same as hard-negative mining."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 50)
+                  .select(F.col("vec_id").alias("query_id"),
+                          "label", "embedding"))
+    topk = S.brute_force_topk(emb, queries.select("query_id", "embedding"),
+                              k=5)
+    nlabels = emb.select("vec_id", F.col("label").alias("_nlabel"))
+    qlabels = queries.select("query_id", "label")
+    same = F.when(F.col("_nlabel") == F.col("label"), 1).otherwise(0)
+    return (topk.join(nlabels, "vec_id")
+                .join(F.broadcast(qlabels), "query_id")
+                .groupBy("query_id", "label")
+                .agg(F.sum(same).alias("n_same"))
+                .select("query_id", "label", "n_same",
+                        F.round(F.col("n_same") / 5.0, 6)
+                         .alias("consistency")))
+
+
 # =========================================================================
 # Custom relational operators (as-of join, extremal-row aggregates)
 # =========================================================================
@@ -5802,6 +5855,51 @@ def llm_tokenizer_fertility(spark, sf_dir):
                   F.round(F.sum("_bpe") /
                           F.greatest(F.sum("_ws"), F.lit(1)), 6)
                    .alias("fertility")))
+
+
+@query("llm_bpe_pair_counts", """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''),
+ freq AS (SELECT tok, count(*) AS c FROM toks
+          WHERE len(tok) >= 2 GROUP BY tok),
+ pairs AS (
+  SELECT unnest(list_transform(range(1, len(tok)),
+                               i -> substr(tok, i, 2))) AS pair, c
+  FROM freq)
+SELECT pair, sum(c)::BIGINT AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""")
+def llm_bpe_pair_counts(spark, sf_dir):
+    """One BPE-training merge iteration, distributed: the top-20
+    adjacent symbol pairs by corpus occurrence (symbols = characters on
+    the first iteration — exactly what a byte-pair-encoding trainer
+    merges next). The published trainers run this loop single-node over
+    a word-frequency table; the Spark shape is the corpus-scale
+    version: tokenize+count collapses the corpus to the VOCABULARY
+    map-side (the only corpus-sized stage), the pair fan-out explodes
+    ~|word| pairs per DISTINCT word weighted by its frequency (never
+    per occurrence — the whole point of the word-freq compaction), the
+    pair aggregate's key space is bounded by |alphabet|², and the
+    top-20 is TakeOrdered, not a global sort. Single-char words carry
+    no adjacent pair and are filtered on BOTH engines (Spark's
+    sequence(1, 0) would step backwards, DuckDB's range(1, 1) is
+    empty — the asymmetry would silently diverge)."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    toks = (d.filter(t != "")
+             .select(F.explode(X.tokens(F.col("text"))).alias("tok")))
+    freq = (toks.filter(F.length("tok") >= 2)
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    pairs = freq.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.substring(F.col("tok"), i, 2))).alias("pair"),
+        "c")
+    return (pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+                 .orderBy(F.col("n").desc(), F.col("pair"))
+                 .limit(20))
 
 
 # =========================================================================
