@@ -668,7 +668,10 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     oversized query set instead of degrading to a plain join
     (round-4 verdict item 5); past the gate the planner keeps a
     non-broadcast cross strategy and AQE re-decides from runtime
-    stats."""
+    stats. NOTE the gate is one EAGER count() job over the query frame
+    at call time — a deliberate trade: the frame it scans is the small
+    side by contract, and the alternative (an unconditional hint) risks
+    executor OOM rather than a slow plan."""
     from pyspark.sql import Window
 
     from etl_tool_spark.operators.skew import gated_broadcast
@@ -710,7 +713,8 @@ def ivf_hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     it. APPROXIMATE exactly like ivf_topk — a true negative living in
     an unprobed cell is missed; nprobe=nlist degenerates to the exact
     ``hard_negatives`` result. The query side is size-gated before
-    broadcasting, same as the exact path."""
+    broadcasting, same as the exact path (one eager count() over the
+    exploded probe frame at call time — the documented gate trade)."""
     from pyspark.sql import Window
 
     from etl_tool_spark.operators.skew import gated_broadcast
