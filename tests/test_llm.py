@@ -1162,6 +1162,62 @@ def test_legacy_migration_retry_after_crash_does_not_duplicate(
     assert not os.path.isdir(store2 + "/_migrate_bands")
 
 
+def test_incremental_store_survives_compaction(spark, tmp_path):
+    """The documented answer to append-only store file growth is
+    periodic small-file compaction (SCALE.md): compacting sig/ and
+    bands/ into fewer files between batches must leave the NEXT batch's
+    pair output byte-identical to the uncompacted run — the store reads
+    whole directories, never file identities, between appends."""
+    import os
+    import shutil
+
+    from etl_tool_spark.operators.maintenance import compact_parquet
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    def run(store, compact_between):
+        out = set()
+        for k, b in enumerate(batches):
+            if compact_between and k == 2:
+                # the operational recipe: earlier batches' outputs are
+                # MATERIALIZED (collected above) before compaction —
+                # returned frames are lazily pinned to pre-compaction
+                # part files and die with them (asserted below)
+                for tbl in ("sig", "bands"):
+                    srcd = os.path.join(store, tbl)
+                    dstd = os.path.join(store, tbl + "_compact")
+                    summary = compact_parquet(spark, srcd, dstd)
+                    assert summary["files_after"] <= summary["files_before"]
+                    shutil.rmtree(srcd)
+                    os.rename(dstd, srcd)
+            pairs = D.incremental_minhash_pairs(b, store)
+            out |= {(r["a"], r["b"], r["jaccard"]) for r in pairs.collect()}
+        return out
+
+    plain = run(str(tmp_path / "s1"), compact_between=False)
+    compacted = run(str(tmp_path / "s2"), compact_between=True)
+    assert compacted == plain and plain
+
+    # the inverse contract: a pair frame NOT materialized before
+    # compaction is pinned to deleted part files and must fail loudly,
+    # never silently return stale/partial pairs
+    import pytest as _pytest
+
+    store3 = str(tmp_path / "s3")
+    stale = D.incremental_minhash_pairs(batches[0], store3)
+    for tbl in ("sig", "bands"):
+        srcd = os.path.join(store3, tbl)
+        dstd = os.path.join(store3, tbl + "_c")
+        compact_parquet(spark, srcd, dstd)
+        shutil.rmtree(srcd)
+        os.rename(dstd, srcd)
+    with _pytest.raises(Exception, match="FILE_NOT_EXIST|does not exist"):
+        stale.collect()
+
+
 def test_legacy_flat_store_with_foreign_schema_rejected(spark, tmp_path):
     """Flat part files that are NOT a legacy signature table must raise
     a clear layout error, never be silently folded into the store."""
