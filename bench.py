@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "llm_mp3_metadata",
     "llm_knn_label_consistency",
     "llm_bpe_pair_counts",
+    "llm_winnow_contamination",
 ]
 
 

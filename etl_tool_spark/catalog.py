@@ -1564,6 +1564,62 @@ def llm_multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
 
 
+@query("llm_winnow_contamination", """
+WITH d AS (SELECT doc_id, lower(substr(text, 1, 400)) AS s FROM documents),
+ g AS (SELECT doc_id,
+              list_transform(range(1, greatest(len(s) - 4, 1) + 1),
+                             i -> ('0x' || substr(md5(substr(s, i, 5)), 1, 15))::BIGINT)
+                AS hs
+       FROM d),
+ f AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                range(1, greatest(len(hs) - 3, 1) + 1),
+                i -> list_min(hs[i:i+3])))) AS f
+       FROM g),
+ bench AS (SELECT DISTINCT f FROM f WHERE doc_id % 23 = 0),
+ corpus AS (SELECT doc_id, f FROM f WHERE doc_id % 23 <> 0)
+SELECT c.doc_id, count(*)::BIGINT AS n_shared
+FROM corpus c JOIN bench b USING (f)
+GROUP BY c.doc_id
+""")
+def llm_winnow_contamination(spark, sf_dir):
+    """Substring-level benchmark contamination via winnowing
+    (llm/dedup.py winnow_fingerprints — Schleimer/Wilkerson/Aiken,
+    SIGMOD'03, the MOSS algorithm): per corpus document, how many
+    winnow fingerprints it shares with an eval set (every 23rd doc).
+    Where llm_contamination measures word-shingle RESEMBLANCE, winnow
+    fingerprints carry a positional guarantee — any verbatim shared
+    substring of length ≥ w+k−1 (here 8 chars) produces at least one
+    shared fingerprint, and nothing shorter than k=5 ever matches — the
+    right contract for catching quoted eval answers embedded in
+    otherwise-novel text. Shape: fingerprinting is map-side over each
+    branch's OWN rows (filters run before hashing, so the corpus is
+    hashed once total); the winnow window is a zip_with(least) cascade
+    over a gram-hash array pre-materialized in its own projection
+    (slice-per-window inside a transform re-evaluates the md5 pass per
+    window — O(n²) per row, measured minutes vs seconds; CollapseProject
+    would inline an un-materialized array once per shifted copy); the
+    eval-side fingerprint set is DISTINCT and broadcast, so candidates
+    come from an inverted-index equi-join — the density dial w trades
+    index size (~2/(w+1) of grams) against the detection-length floor."""
+    d = _docs(spark, sf_dir)
+    s = F.lower(F.substring("text", 1, 400))
+
+    def fps(frame):
+        base = frame.select(
+            "doc_id", D.winnow_gram_hashes(s, 5).alias("_hs"))
+        return base.select(
+            "doc_id",
+            F.explode(D.winnow_from_hashes(F.col("_hs"), 4)).alias("f"))
+
+    bench = (fps(d.filter(F.col("doc_id") % 23 == 0))
+             .select("f").distinct())
+    corpus = fps(d.filter(F.col("doc_id") % 23 != 0))
+    return (corpus.join(F.broadcast(bench), "f")
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
 @query("llm_mp3_metadata", """
 SELECT doc_id AS media_id,
        '1' AS mpeg_version,

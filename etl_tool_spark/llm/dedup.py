@@ -34,7 +34,8 @@ __all__ = ["exact_dedup", "incremental_exact_dedup", "shingles",
            "minhash_dedup_pairs", "incremental_minhash_pairs", "jaccard_pairs",
            "simhash", "simhash_buckets",
            "minhash_from_hashes_vec", "simhash_from_hashes_vec",
-           "paragraph_dedup", "incremental_paragraph_dedup"]
+           "paragraph_dedup", "incremental_paragraph_dedup",
+           "winnow_fingerprints", "winnow_gram_hashes", "winnow_from_hashes"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -120,6 +121,72 @@ def shingles(col: Column, n: int = 3) -> Column:
 # oracle. This replaces 16 md5 calls per shingle with 1.
 MERSENNE61 = (1 << 61) - 1
 LO_MASK = (1 << 30) - 1
+
+
+def winnow_gram_hashes(col: Column, k: int = 5) -> Column:
+    """array<bigint> of hash64(char k-gram) IN POSITION ORDER (no
+    dedup — winnowing needs every occurrence). Strings shorter than k
+    contribute themselves, mirroring char_ngrams' contract. One md5 per
+    gram; materialize this in ITS OWN projection before fanning out to
+    the window cascade (see winnow_fingerprints' inlining note)."""
+    s = col.cast("string")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+        lambda i: F.substring(s, i, k))
+    return F.transform(grams, hash64)
+
+
+def winnow_from_hashes(hs: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint set from a POSITION-ORDERED gram-hash
+    array: each length-w window's minimum, deduped. Windows come from a
+    zip_with(least) CASCADE of w−1 shifted copies — the construction
+    ``shingles`` uses — NOT from slice-per-window inside a transform:
+    Catalyst does not share subexpressions across higher-order-function
+    lambda invocations, so ``transform(sequence(...), i ->
+    array_min(slice(hs, i, w)))`` re-evaluates the whole upstream array
+    expression once per window — O(n²·w) when ``hs`` carries one md5
+    per gram (measured: minutes for 500 ×400-char rows vs seconds for
+    the cascade)."""
+    sz = F.size(hs)
+    mins = hs
+    for j in range(1, w):
+        shifted = F.slice(hs, j + 1, F.greatest(sz - j, F.lit(0)))
+        # zip_with pads the shorter side with NULL; least ignores nulls,
+        # so trailing partial windows reduce over the grams they have
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    n_win = F.greatest(sz - (w - 1), F.lit(1))
+    return F.array_distinct(F.slice(mins, 1, n_win))
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4,
+                        gram_hashes: Column | None = None) -> Column:
+    """Winnowing fingerprint set of a string (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03; the MOSS algorithm): hash every character k-gram IN
+    POSITION ORDER, slide a window over each w consecutive gram hashes,
+    keep each window's MINIMUM, and return the distinct mins as
+    array<bigint>.
+
+    The guarantees that make this the exact-substring complement to
+    MinHash (whole-document resemblance) and SimHash (vector
+    proximity):
+
+      * detection — two documents sharing ANY substring of length
+        ≥ w + k − 1 share at least one fingerprint (every full window
+        inside the shared run picks the same minimum on both sides);
+      * noise floor — matches shorter than k can never be detected;
+      * density — expected fingerprints ≈ 2/(w+1) of the grams, so the
+        inverted index is a tunable fraction of the full gram index.
+
+    Pure Column (map-side, no shuffle, no UDF); hashes via the
+    DuckDB-replicable hash64 so oracle twins can replay the exact
+    pipeline. Pass ``gram_hashes`` (a winnow_gram_hashes column
+    pre-materialized in its own projection) when composing — the window
+    cascade references the hash array w times, and Catalyst's
+    CollapseProject would otherwise inline the per-gram md5 pass once
+    per shifted copy (same trap, and fix, as language_id's ``toks``)."""
+    hs = winnow_gram_hashes(col, k) if gram_hashes is None else gram_hashes
+    return winnow_from_hashes(hs, w)
 
 
 def perm_consts(i: int) -> tuple[int, int, int]:

@@ -1162,6 +1162,41 @@ def test_legacy_migration_retry_after_crash_does_not_duplicate(
     assert not os.path.isdir(store2 + "/_migrate_bands")
 
 
+def test_winnow_detection_guarantee(spark):
+    """The SIGMOD'03 winnowing contract on this implementation: any
+    verbatim shared substring of length >= w + k - 1 yields at least
+    one shared fingerprint; strings sharing no k-gram share none; and
+    the fingerprint set is a subset of the gram-hash set (each
+    fingerprint IS some window's minimum gram hash)."""
+    import random
+
+    from etl_tool_spark.llm.dedup import (winnow_fingerprints,
+                                          winnow_gram_hashes)
+
+    k, w = 5, 4
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rand(w + k - 1)            # exactly the guarantee floor
+    rows = [
+        (1, rand(30) + shared + rand(30)),
+        (2, rand(25) + shared + rand(35)),
+        (3, "0123456789" * 4),          # digits: no gram in common w/ 1,2
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    out = {r["i"]: (set(r["fp"]), set(r["hs"])) for r in df.select(
+        "i",
+        winnow_fingerprints(F.col("s"), k, w).alias("fp"),
+        winnow_gram_hashes(F.col("s"), k).alias("hs")).collect()}
+    assert out[1][0] & out[2][0], "shared >= w+k-1 substring must collide"
+    assert not (out[1][0] & out[3][0]) and not (out[2][0] & out[3][0])
+    for fp, hs in out.values():
+        assert fp <= hs and fp          # mins come from the gram hashes
+
+
 def test_incremental_store_survives_compaction(spark, tmp_path):
     """The documented answer to append-only store file growth is
     periodic small-file compaction (SCALE.md): compacting sig/ and
