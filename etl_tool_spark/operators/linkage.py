@@ -198,6 +198,15 @@ def trigram_join(left: DataFrame, right: DataFrame,
     where hot grams would otherwise dominate the candidate join.
     Returns left + right columns + ``similarity``; column names must
     not overlap."""
+    if not 0.0 < threshold <= 1.0:
+        # Jaccard lives in [0, 1]; at exactly 0 the prefix bound is
+        # meaningless (pairs sharing NO gram would qualify, which no
+        # inverted index can produce) and above 1 the prefix length
+        # |A| - ceil(t*|A|) + 1 goes non-positive
+        raise ValueError(
+            f"trigram_join: threshold must be in (0, 1], got {threshold}")
+    if n < 1:
+        raise ValueError(f"trigram_join: n must be >= 1, got {n}")
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(

@@ -627,6 +627,27 @@ def test_trigram_join_differential_bruteforce(spark):
     assert got == want and want
 
 
+def test_trigram_join_rejects_degenerate_threshold(spark):
+    """threshold outside (0, 1] must fail at CALL time with a clear
+    error — at 0 the prefix bound is meaningless (no inverted index can
+    return pairs sharing no gram) and above 1 the prefix length goes
+    non-positive (a runtime slice error otherwise)."""
+    import pytest
+
+    from etl_tool_spark.operators.linkage import trigram_join
+
+    left = spark.createDataFrame([(1, "abc")], "lid long, ltxt string")
+    right = spark.createDataFrame([(2, "abd")], "rid long, rtxt string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            trigram_join(left, right, "ltxt", "rtxt", threshold=bad)
+    with pytest.raises(ValueError, match="n must be"):
+        trigram_join(left, right, "ltxt", "rtxt", n=0)
+    # the boundary t=1.0 is valid: exact-gram-set equality only
+    got = trigram_join(left, right, "ltxt", "rtxt", threshold=1.0).count()
+    assert got == 0
+
+
 def test_trigram_join_collision_guard_raises_in_plan(spark, monkeypatch):
     """A 64-bit key-hash collision must fail LOUDLY at execution time
     (lazy in-plan raise_error folded into the gram-build aggregation —
