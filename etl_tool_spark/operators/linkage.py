@@ -175,9 +175,12 @@ def trigram_join(left: DataFrame, right: DataFrame,
     key/gram universes, so a ONE-ROW broadcast gate — the same in-plan
     contract pattern as the repo's ANN recall gates — aggregates
     countDistinct(value) vs countDistinct(xxhash64(value)) for both
-    universes over one parallel scan of the raw inputs and raises
-    in-plan (``raise_error``) on any mismatch, the first time the
-    result frame is acted on. No eager driver job runs at call time
+    universes over the DISTINCT-key frames (the universes over distinct
+    keys equal those over all rows, and duplicate-heavy inputs never
+    multiply the gram fan-out) and raises in-plan (``raise_error``) on
+    any mismatch, the first time the result frame is acted on; the
+    one-row verdict is lazily local-checkpointed so repeated actions on
+    the result replay it for free. No eager driver job runs at call time
     (the round-4 form ran a countDistinct pre-job over both full key
     columns on every call — recorded by the round-4 gate bench as part
     of a 3.57s → 6.14s regression), and no ``raise_error`` sits in the
@@ -225,27 +228,49 @@ def trigram_join(left: DataFrame, right: DataFrame,
         k = F.col(c).cast("string")
         return F.when(k.isNotNull(), F.xxhash64(k)) if hash_keys else k
 
-    def _keys(df: DataFrame, col: str, h: str) -> DataFrame:
+    def _distinct_keys(df: DataFrame, col: str) -> DataFrame:
+        """Distinct non-null key strings as ``_k`` — the shared input of
+        the prefix index AND the collision gate, so neither ever fans
+        out over the raw (possibly duplicate-heavy) inputs."""
+        return (df.select(F.col(col).cast("string").alias("_k"))
+                  .where(F.col("_k").isNotNull())
+                  .distinct())
+
+    ldk = _distinct_keys(left, left_on)
+    rdk = _distinct_keys(right, right_on)
+
+    def _keys(keys: DataFrame, h: str) -> DataFrame:
         """(key-id ``h``, sorted indexed-gram array ``_gs``) per
         distinct non-null key. Pure codegen-friendly shape — the
         collision contracts live in the broadcast gate, not here."""
-        keys = (df.select(F.col(col).cast("string").alias("_k"))
-                  .where(F.col("_k").isNotNull())
-                  .distinct())
         grams = char_ngrams(F.col("_k"), n)
         indexed = (F.transform(grams, lambda g: F.xxhash64(g))
                    if hash_grams else grams)
         kid = F.xxhash64("_k") if hash_keys else F.col("_k")
         return keys.select(kid.alias(h), F.array_sort(indexed).alias("_gs"))
 
-    lk = _keys(left, left_on, "_lh")
-    rk = _keys(right, right_on, "_rh")
+    lk = _keys(ldk, "_lh")
+    rk = _keys(rdk, "_rh")
 
     def _prefix(df: DataFrame, h: str) -> DataFrame:
         # first |A| - ceil(t*|A|) + 1 grams in the global order; always
-        # >= 1 gram, so no key vanishes from the index
+        # >= 1 gram, so no key vanishes from the index. The ceiling is
+        # computed with relative+absolute slack (1e-9 each) UNDER the
+        # double product: bare F.ceil(t * size) rounds up past the
+        # filter's own boundary for many (t, |A|) combos — e.g.
+        # t=0.28, |A|=25 gives double 7.000000000000001 → ceil 8, yet a
+        # B⊆A pair with |A∩B|=7 PASSES the double-arithmetic Jaccard
+        # filter (double(7/25) == double(0.28)), so the prefix must
+        # reach rank 25−7+1=19, not 18 — a silent false negative that
+        # violated the unconditional-exactness contract (round-5 advice).
+        # Safety: a filter-passing pair has i/u ≥ t·(1−2⁻⁵²) with
+        # u ≥ |A|, so i ≥ t·|A|·(1−2⁻⁵²); the 1e-9 relative slack
+        # dominates every double rounding error for |A| < 2³¹, and
+        # over-subtraction can only LENGTHEN the prefix (conservative),
+        # never shorten it.
         plen = (F.size("_gs")
-                - F.ceil(F.lit(threshold) * F.size("_gs")).cast("int") + 1)
+                - F.ceil(F.lit(threshold) * F.size("_gs")
+                         * F.lit(1.0 - 1e-9) - F.lit(1e-9)).cast("int") + 1)
         return df.select(h, F.explode(F.slice("_gs", F.lit(1), plen))
                          .alias("_g"))
 
@@ -269,18 +294,20 @@ def trigram_join(left: DataFrame, right: DataFrame,
                            F.round(sim, 6).alias("similarity")))
 
     if hash_keys or hash_grams:
-        # ONE-ROW in-plan gate over one parallel scan of the raw
-        # inputs: xxhash64 must be injective on the key universe (when
-        # keys are hash-identified) and on the gram universe (when
-        # grams are). countDistinct(x) == countDistinct(hash(x)) is
-        # exactly injectivity-on-the-universe. Broadcast-scalar attach
-        # keeps raise_error OUT of the row-wise hot path.
-        def _kg(df: DataFrame, col: str) -> DataFrame:
-            k = F.col(col).cast("string")
-            return (df.where(k.isNotNull())
-                      .select(k.alias("_k"),
-                              F.explode(char_ngrams(k, n)).alias("_g")))
-        u = _kg(left, left_on).unionByName(_kg(right, right_on))
+        # ONE-ROW in-plan gate: xxhash64 must be injective on the key
+        # universe (when keys are hash-identified) and on the gram
+        # universe (when grams are). countDistinct(x) ==
+        # countDistinct(hash(x)) is exactly injectivity-on-the-universe.
+        # Built from the DISTINCT-key frames, not the raw inputs: grams
+        # derive deterministically from key strings, so the key/gram
+        # universes over distinct keys equal those over all rows, and on
+        # duplicate-heavy inputs the gram fan-out never multiplies by
+        # row count (round-5 advice). Broadcast-scalar attach keeps
+        # raise_error OUT of the row-wise hot path.
+        def _kg(keys: DataFrame) -> DataFrame:
+            return keys.select(
+                "_k", F.explode(char_ngrams(F.col("_k"), n)).alias("_g"))
+        u = _kg(ldk).unionByName(_kg(rdk))
         checks = []
         if hash_keys:
             checks.append((F.count_distinct(F.col("_k")),
@@ -299,7 +326,14 @@ def trigram_join(left: DataFrame, right: DataFrame,
                         F.raise_error(F.lit(
                             f"trigram_join: 64-bit hash collision; rerun "
                             f"with {fix}"))).otherwise(ok)
-        gate = u.agg(*aggs).select(ok.alias("_gate"))
+        # lazily local-checkpointed: the gate is embedded in the
+        # returned plan, so without truncation EVERY action on the
+        # result would re-run the distinct-key scan + two count_distinct
+        # aggregations (round-5 advice). The checkpoint materializes the
+        # ONE-ROW verdict on first action and replays it for free after;
+        # storage cost is one row per session.
+        gate = (u.agg(*aggs).select(ok.alias("_gate"))
+                 .localCheckpoint(eager=False))
         # filtered (not dropped) so column pruning cannot elide the
         # raise_error branch out of the plan
         pairs = (pairs.crossJoin(F.broadcast(gate))

@@ -534,7 +534,10 @@ def test_headline_plan_shapes_scale_invariant(spark, catalog):
                 sig[o] = len(set(re.findall(rf"\((\d+)\) {o}\b", p)))
         return sig
 
-    skip = {"llm_clean_corpus"}  # staging write breaks lazy plan build twice
+    # no exclusions: the round-5 per-invocation scratch dirs made the
+    # staging-backed builders (llm_clean_corpus) re-entrant, so the
+    # no-cartesian / plan-shape sweep is truly catalog-wide
+    skip: set = set()
     extra = [  # newest round-2/3 additions not in the bench headline set
         "join_range_banded", "llm_url_normalize", "llm_repeated_spans",
         "llm_quality_percentile", "llm_domain_stats", "agg_robust_outliers",

@@ -38,7 +38,7 @@ def ref_pairs(lrows, rrows, t):
                                  HealthCheck.too_slow])
 @given(st.lists(keys, min_size=1, max_size=6),
        st.lists(keys, min_size=1, max_size=6),
-       st.sampled_from([0.34, 0.5, 0.75]))
+       st.sampled_from([0.28, 0.34, 0.5, 0.75]))
 def test_trigram_join_equals_bruteforce(spark, lkeys, rkeys, t):
     lrows = [(i, s) for i, s in enumerate(lkeys)]
     rrows = [(100 + i, s) for i, s in enumerate(rkeys)]
@@ -51,3 +51,33 @@ def test_trigram_join_equals_bruteforce(spark, lkeys, rkeys, t):
                                      threshold=t,
                                      hash_grams=hash_grams).collect()}
         assert got == want, (hash_grams, lkeys, rkeys, t)
+
+
+def test_prefix_ceiling_boundary_pair_not_dropped(spark):
+    """Adversarial regression for the prefix-length float ceiling
+    (round-5 advice): at t=0.28 with |A|=25 grams the bare double
+    product 0.28*25 = 7.000000000000001 ceils to 8, shortening A's
+    prefix to 18 — yet a B⊆A pair with |A∩B|=|B|=7 passes the Jaccard
+    filter exactly (double(7/25) == double(0.28)). Construct the worst
+    case deterministically with n=1 (grams == characters): pick B as
+    the 7 characters of A that rank LAST in the gram order, so every
+    shared gram sits at ranks 19–25 of A — only the corrected prefix
+    (19) reaches the first of them. Asserted on BOTH gram paths (the
+    hashed path orders by xxhash64, the string path lexicographically;
+    the bottom-7 set is computed per path)."""
+    from pyspark.sql import functions as F
+
+    chars = [chr(ord("a") + i) for i in range(25)]
+    one = spark.createDataFrame([(c,) for c in chars], "g string")
+    by_hash = [r["g"] for r in
+               one.orderBy(F.xxhash64(F.col("g"))).collect()]
+    by_lex = sorted(chars)
+    for hash_grams, order in ((True, by_hash), (False, by_lex)):
+        a_txt = "".join(chars)
+        b_txt = "".join(order[-7:])  # the 7 last-ranked grams of A
+        left = spark.createDataFrame([(1, a_txt)], "lid long, ltxt string")
+        right = spark.createDataFrame([(2, b_txt)], "rid long, rtxt string")
+        got = trigram_join(left, right, "ltxt", "rtxt", threshold=0.28,
+                           n=1, hash_grams=hash_grams).collect()
+        assert [(r["lid"], r["rid"], r["similarity"]) for r in got] == \
+            [(1, 2, 0.28)], (hash_grams, b_txt)
