@@ -2828,16 +2828,21 @@ def llm_zipf_slope(spark, sf_dir):
     sits near -1; synthetic/boilerplate corpora deviate) — a linguistic
     corpus diagnostic via the regression aggregates (regr_slope on the
     log-log rank/frequency points). Token counts partial-aggregate; the
-    global rank is a BANDED rank (operators/globalorder.banded_cumsum
-    of ones, band = ⌊log₂ c⌋ descending — a monotone function of the
-    sort key, so (band DESC, c DESC, tok) IS the global order): through
-    round 4 this was a single-partition window over the whole
-    vocabulary, which is itself billions of rows on a real web corpus
-    (round-4 verdict item 6 / round-5 worklist). Only the ≤64-row band
-    summary is globally ordered; rank assignment runs band-parallel.
-    freq is checkpointed because the banded rank reads it twice (band
-    summary + join-back) — without it the corpus-sized tokenize+count
-    would execute twice."""
+    global rank is a HIERARCHICALLY banded rank
+    (operators/globalorder.banded_cumsum of ones over the levels
+    (⌊log₂ c⌋ DESC, c DESC, first-char(tok) ASC) with tok as the intra
+    order — each level is monotone along (c DESC, tok), so the
+    concatenation IS the global order): through round 4 this was a
+    single-partition window over the whole vocabulary, itself billions
+    of rows on a real web corpus (round-4 verdict item 6), and through
+    round 5 the single ⌊log₂ c⌋ band still funneled the hapax (c=1)
+    band — roughly HALF of all types under Zipf — through one window
+    partition (round-5 advice). The three-level form splits the
+    dominant low-count bands ~alphabet-ways by token first character
+    while the only single-partition window runs over the ≤64-row
+    top-level summary. freq is checkpointed because the banded rank
+    reads it twice (band summary + join-back) — without it the
+    corpus-sized tokenize+count would execute twice."""
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
@@ -2846,10 +2851,11 @@ def llm_zipf_slope(spark, sf_dir):
                 .localCheckpoint(eager=True))
     banded = freq.select("c", "tok",
                          F.floor(F.log2("c")).alias("_band"),
+                         F.substring("tok", 1, 1).alias("_pfx"),
                          F.lit(1).alias("_one"))
     ranked = GO.banded_cumsum(
-        banded, "_band", [F.col("c").desc(), F.col("tok")], "_one",
-        out="r", band_desc=True)
+        banded, [("_band", True), ("c", True), ("_pfx", False)],
+        [F.col("tok")], "_one", out="r")
     return ranked.agg(
         F.round(F.regr_slope(F.log(F.col("c").cast("double")),
                              F.log(F.col("r").cast("double"))), 4)
@@ -5370,16 +5376,22 @@ def llm_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve — the tokenizer-sizing question 'how
     many types cover X% of the token mass?' for X in {50,90,95,99}.
     Token counts partial-aggregate map-side; rank AND running token
-    mass are BANDED prefix sums (operators/globalorder.banded_cumsum,
-    band = ⌊log₂ c⌋ descending — monotone in the sort key, so the
-    banded order IS (c DESC, tok)): through round 4 both rode one
-    single-partition window over the whole vocabulary, itself billions
-    of rows on a real web corpus (round-4 verdict item 6). Only the
-    ≤64-row band summary is globally ordered; both prefix sums run
-    band-parallel and share one partitioning (Catalyst collapses the
-    two Window nodes). The grand total rides along as a broadcast
-    scalar and the four thresholds explode from a literal array. At
-    100 TB the corpus-sized stage is only the first aggregation."""
+    mass are HIERARCHICALLY banded prefix sums
+    (operators/globalorder.banded_cumsum over the levels (⌊log₂ c⌋
+    DESC, c DESC, first-char(tok) ASC), intra order tok — each level
+    monotone along (c DESC, tok), so the concatenation IS that global
+    order): through round 4 both rode one single-partition window over
+    the whole vocabulary, itself billions of rows on a real web corpus
+    (round-4 verdict item 6); through round 5 the single ⌊log₂ c⌋ band
+    still serialized the hapax (c=1) band — ~half of all types under
+    Zipf — onto one window partition (round-5 advice). The three-level
+    form splits the dominant low-count bands by token first character;
+    only the ≤64-row top-level summary is globally ordered. Both
+    prefix sums run band-parallel and share one partitioning (Catalyst
+    collapses the two Window nodes). The grand total rides along as a
+    broadcast scalar and the four thresholds explode from a literal
+    array. At 100 TB the corpus-sized stage is only the first
+    aggregation."""
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
     toks = (d.filter(t != "")
@@ -5391,12 +5403,11 @@ def llm_vocab_coverage(spark, sf_dir):
                 .localCheckpoint(eager=True))
     banded = freq.select("c", "tok",
                          F.floor(F.log2("c")).alias("_band"),
+                         F.substring("tok", 1, 1).alias("_pfx"),
                          F.lit(1).alias("_one"))
-    order = [F.col("c").desc(), F.col("tok")]
-    ranked = GO.banded_cumsum(banded, "_band", order, "_one",
-                              out="r", band_desc=True)
-    ranked = GO.banded_cumsum(ranked, "_band", order, "c",
-                              out="cum", band_desc=True)
+    bands = [("_band", True), ("c", True), ("_pfx", False)]
+    ranked = GO.banded_cumsum(banded, bands, [F.col("tok")],
+                              [("_one", "r"), ("c", "cum")])
     tot = freq.agg(F.sum("c").alias("total"))
     pcts = F.explode(F.array(*[F.lit(p) for p in (50, 90, 95, 99)]))
     return (ranked.crossJoin(F.broadcast(tot))

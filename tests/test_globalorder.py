@@ -90,3 +90,50 @@ def test_banded_cumsum_property_equals_global_window(spark, rows):
     want = {r["id"]: r["cum"]
             for r in df.withColumn("cum", F.sum("w").over(w)).collect()}
     assert got == want
+
+
+def test_hierarchical_banded_cumsum_matches_global_window(spark):
+    """Multi-level band spec (coarse DESC, mid DESC, fine ASC) equals
+    the naive global window over the concatenated order — the Zipf-rank
+    shape (⌊log₂ c⌋ DESC, c DESC, first-char ASC, tok) that splits the
+    hapax band (round-5 advice)."""
+    rows = [(i, (i * 13) % 9 + 1, chr(ord("a") + (i * 7) % 5), 1)
+            for i in range(300)]
+    df = (spark.createDataFrame(rows, "id long, c long, pfx string, one int")
+               .withColumn("band", F.floor(F.log2("c"))))
+    got = {r["id"]: r["cum"]
+           for r in banded_cumsum(
+               df, [("band", True), ("c", True), ("pfx", False)],
+               [F.col("id").asc()], "one").collect()}
+    w = (Window.orderBy(F.col("band").desc(), F.col("c").desc(),
+                        F.col("pfx").asc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("one").over(w)).collect()}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(1, 12),         # c (collides; log2 bands 0-3)
+              st.integers(0, 2),          # fine sub-band
+              st.integers(0, 9)),         # weight
+    min_size=1, max_size=50))
+def test_hierarchical_banded_cumsum_property(spark, rows):
+    """For ANY (c, sub, w) multiset the 3-level decomposition equals the
+    single-partition global window over (⌊log₂ c⌋ DESC, c DESC, sub ASC,
+    id) — including all rows in one composite band and zero weights."""
+    data = [(i, c, s, w) for i, (c, s, w) in enumerate(rows)]
+    df = (spark.createDataFrame(data, "id long, c long, sub long, w long")
+               .withColumn("band", F.floor(F.log2("c"))))
+    got = {r["id"]: r["cum"]
+           for r in banded_cumsum(
+               df, [("band", True), ("c", True), ("sub", False)],
+               [F.col("id").asc()], "w").collect()}
+    w = (Window.orderBy(F.col("band").desc(), F.col("c").desc(),
+                        F.col("sub").asc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("w").over(w)).collect()}
+    assert got == want
