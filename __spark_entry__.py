@@ -34,16 +34,22 @@ from etl_tool_spark.catalog import ORACLE, SPARK  # noqa: E402
 
 #: One representative per operator family, kept in the driver window every
 #: round so a regression in a family core shows up as a hard failure even
-#: after its siblings have rotated out. Trimmed 10 → 5 while a fresh-query
-#: backlog exists (round-4 verdict): each sentinel slot freed is one more
-#: never-checked query earning its green row this round; the five kept
-#: span the five coarsest families (agg, join, window, dedup, pipeline).
+#: after its siblings have rotated out. Trimmed 10 → 5 in rounds 4-5 while
+#: a large fresh-query backlog existed; re-widened to 10 for round 6
+#: (round-5 verdict item 5): the backlog is down to 15 never-checked
+#: queries, so 10 sentinels + 15 backlog still leaves ~25 window slots
+#: for re-verifying greens.
 _SENTINELS = [
     "q1_pricing_summary",     # TPC-H aggregation core
     "join_asof",              # join family (as-of, the custom one)
     "window_topn_per_group",  # window family
     "llm_minhash_lsh_pairs",  # dedup / LSH candidate generation
     "etl_mapping_chain",      # reference pipeline parity
+    "llm_ingest_gate_fold",   # streaming ingest-gate / store fold family
+    "etl_cdc_merge_fold",     # streaming CDC store
+    "llm_vocab_coverage",     # globalorder banded prefix aggregates
+    "er_trigram_join",        # record linkage (prefix-filtered index)
+    "llm_mp3_metadata",       # multimodal binary decode
 ]
 
 

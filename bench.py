@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "llm_knn_label_consistency",
     "llm_bpe_pair_counts",
     "llm_winnow_contamination",
+    # round 6: ISO-BMFF container triage
+    "llm_mp4_metadata",
 ]
 
 
@@ -200,18 +202,36 @@ def main() -> None:
     def _median(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2]
 
-    # ambient-drift sentinel: a fixed scan-agg query timed before and
-    # after the suite. Round 4's record could not distinguish a real
-    # regression from JVM/GC pressure drifting EVERY query +10-20% over
-    # a 105-query run; the sentinel ratio quantifies that ambient shift
-    # so per-query deltas can be read net of it.
+    # ambient-drift sentinel: a fixed scan-agg query timed at the start,
+    # after every SENTINEL_EVERY queries, and at the end. Round 4's
+    # record could not distinguish a real regression from JVM/GC
+    # pressure drifting EVERY query +10-20% over a 105-query run, and
+    # round 5's start/end-only sentinel could not attribute WHICH
+    # queries ran under the 2.1× ambient slowdown it recorded. The
+    # interleaved trace gives each query the sentinel reading of its
+    # segment, so its `ambient` factor (segment sentinel / best
+    # sentinel of the run) is recorded next to its median.
     SENTINEL = "q6_forecast_revenue"
-    drift_start = _median(_timed_runs(SENTINEL)[0])
+    SENTINEL_EVERY = 10
 
+    def _sentinel() -> float:
+        return _median(_timed_runs(SENTINEL)[0])
+
+    # POSITION-INDEPENDENT ORDER: queries are timed in sorted-name
+    # order, NOT registration/rotation order — round 5 showed per-query
+    # deltas riding the within-run drift gradient whenever a round's
+    # catalog additions reshuffled the run order (round-5 verdict
+    # item 4). Sorted order is stable across rounds no matter what the
+    # driver rotation or this list's append history does.
+    run_order = sorted(BENCH_QUERIES)
+
+    drift_start = _sentinel()
+    trace: list[float] = [drift_start]
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    segment_of: dict[str, int] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(run_order):
         # median-of-3 after an untimed warm-up run: the median is robust
         # to one contended run in either direction, and the warm-up
         # absorbs first-run codegen so the medians compare round-over-
@@ -221,15 +241,25 @@ def main() -> None:
         med = _median(runs)
         timings[name] = round(med, 3)
         spreads[name] = [round(t, 3) for t in sorted(runs)]
+        segment_of[name] = len(trace) - 1
         total += med
         print(f"# {name}: {med:.2f}s median of {sorted(runs)} ({n} rows)",
               file=sys.stderr)
+        if (i + 1) % SENTINEL_EVERY == 0 and i + 1 < len(run_order):
+            trace.append(_sentinel())
 
-    drift_end = _median(_timed_runs(SENTINEL)[0])
+    drift_end = _sentinel()
+    trace.append(drift_end)
+    best = min(trace)
+    ambient = {name: round(trace[seg] / max(best, 1e-9), 3)
+               for name, seg in segment_of.items()}
     drift = {"sentinel": SENTINEL,
+             "every": SENTINEL_EVERY,
              "start_sec": round(drift_start, 3),
              "end_sec": round(drift_end, 3),
-             "ratio": round(drift_end / max(drift_start, 1e-9), 3)}
+             "ratio": round(drift_end / max(drift_start, 1e-9), 3),
+             "trace_sec": [round(t, 3) for t in trace],
+             "max_over_best": round(max(trace) / max(best, 1e-9), 3)}
 
     # compact plan-quality audit of the headline set, embedded in the
     # benchmark artifact: cartesians are the one never-acceptable shape,
@@ -292,7 +322,8 @@ def main() -> None:
     try:
         with open(detail_path, "w", encoding="utf-8") as f:
             json.dump({"sf": sf, "queries": timings, "runs": spreads,
-                       "drift": drift}, f, indent=1, sort_keys=True)
+                       "ambient": ambient, "drift": drift},
+                      f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# could not write {detail_path}: {e}", file=sys.stderr)
 

@@ -1658,6 +1658,72 @@ def llm_mp3_metadata(spark, sf_dir):
     return mp3_info(media)
 
 
+@query("llm_mp4_metadata", """
+SELECT doc_id AS media_id,
+       'isom' AS major_brand,
+       1000 AS timescale,
+       round((1 + doc_id % 30) * 500 / 1000.0, 3) AS duration_s,
+       2 AS n_tracks,
+       'avc1' AS video_codec,
+       'mp4a' AS audio_codec
+FROM documents
+""")
+def llm_mp4_metadata(spark, sf_dir):
+    """Video-crawl triage metadata, end-to-end checkable: each document
+    becomes a synthetic ISO-BMFF container (ftyp 'isom' + moov holding
+    an mvhd at timescale 1000 with duration (1 + doc_id % 30)·500 ticks
+    and two minimal traks — hdlr 'vide' with an avc1 stsd entry, hdlr
+    'soun' with mp4a). The box tree is constant except the 4-byte mvhd
+    duration, so synthesis stays pure Column: constant base64 prefix/
+    suffix around unhex(lpad(hex(duration))). llm/multimodal.py
+    mp4_info walks the real box structure through the Arrow mapInPandas
+    path; the oracle recomputes every field arithmetically. This is
+    the metadata a 100 TB video corpus needs before any codec runs:
+    duration budgeting, codec routing, track-layout quarantine."""
+    import base64
+    import struct
+
+    from etl_tool_spark.llm.multimodal import mp4_info
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    sent = b"\xde\xad\xbe\xef"  # 4-byte slot the per-row duration fills
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">I", 1000)
+               + sent + struct.pack(">I", 0x10000)
+               + struct.pack(">H", 0x100) + bytes(10) + matrix
+               + bytes(24) + struct.pack(">I", 3))
+
+    def trak(handler: bytes, codec: bytes, track_id: int) -> bytes:
+        tkhd = box(b"tkhd", bytes(12) + struct.pack(">I", track_id)
+                   + bytes(68))
+        mdhd = box(b"mdhd", bytes(12) + struct.pack(">I", 1000)
+                   + bytes(8))
+        hdlr = box(b"hdlr", bytes(8) + handler + bytes(12) + b"\x00")
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                   + box(codec, bytes(8)))
+        minf = box(b"minf", box(b"stbl", stsd))
+        return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    blob = ftyp + box(b"moov", mvhd + trak(b"vide", b"avc1", 1)
+                      + trak(b"soun", b"mp4a", 2))
+    assert blob.count(sent) == 1
+    pre, post = blob.split(sent)
+    pre64 = base64.b64encode(pre).decode()
+    post64 = base64.b64encode(post).decode()
+    d = _docs(spark, sf_dir)
+    dur = (F.lit(1) + F.col("doc_id") % 30) * 500
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.unbase64(F.lit(pre64)),
+                 F.unhex(F.lpad(F.hex(dur), 8, "0")),
+                 F.unbase64(F.lit(post64))).alias("payload"))
+    return mp4_info(media)
+
+
 @query("etl_error_channel", """
 SELECT c_custkey AS cust_id, c_acctbal AS bal FROM customer
 WHERE c_acctbal BETWEEN -500 AND 8000

@@ -9,11 +9,12 @@ GIF via a from-scratch LZW, and baseline sequential-DCT JPEG via a
 from-scratch Huffman + IDCT pipeline against the public ITU-T T.81
 spec (decode_wav/bmp/png/gif/jpeg_features extract actual signal/pixel
 features; mp3_info walks MPEG audio frame headers for exact duration/
-bitrate/VBR metadata without a codec) — and STUBBED for codecs that
-genuinely need external libraries (video demux and MP3 WAVEFORM decode
-→ PIL/av/ffmpeg — absent here): those stubs either raise
-NotImplementedError (strict mode) or produce a deterministic fake so
-pipelines exercise the full dataflow.
+bitrate/VBR metadata without a codec; mp4_info walks the ISO-BMFF box
+tree for brand/duration/track/codec metadata without a demuxer) — and
+STUBBED only where a codec library is genuinely unavoidable (video
+FRAME demux and MP3 WAVEFORM decode → PIL/av/ffmpeg — absent here):
+those stubs either raise NotImplementedError (strict mode) or produce
+a deterministic fake so pipelines exercise the full dataflow.
 
 Scale notes: binary payloads dominate row size, so these operators
 repartition by bytes not rows (``target_partition_mb``) before the UDF,
@@ -33,7 +34,8 @@ from pyspark.sql import types as T
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
            "decode_bmp_features", "decode_png_features",
-           "decode_gif_features", "decode_jpeg_features", "probe_media"]
+           "decode_gif_features", "decode_jpeg_features", "probe_media",
+           "mp3_info", "mp4_info"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -471,6 +473,124 @@ def mp3_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     return df.select("media_id", payload_col).mapInPandas(
         run, MP3_INFO_SCHEMA)
+
+
+MP4_INFO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("major_brand", T.StringType(), True),
+    T.StructField("timescale", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("video_codec", T.StringType(), True),
+    T.StructField("audio_codec", T.StringType(), True),
+])
+
+
+def _iso_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, content_start, box_end) for the ISO/IEC 14496-12
+    box sequence in b[start:end]. Handles 64-bit largesize (size == 1)
+    and to-end-of-enclosure boxes (size == 0); stops at any size that
+    would escape the enclosing box, so a corrupt length can never loop
+    or over-read."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, = struct.unpack_from(">I", b, pos)
+        fourcc = b[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size, = struct.unpack_from(">Q", b, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_info(b: bytes):
+    """MP4/ISO-BMFF container metadata from the BOX STRUCTURE ONLY —
+    major brand, movie timescale/duration, track count, and the first
+    video/audio sample-entry fourccs — per the public ISO/IEC 14496-12
+    box layout (ftyp; moov → mvhd v0/v1; trak → mdia → hdlr +
+    minf → stbl → stsd). Pure struct walking, no codec: the video
+    analogue of the MP3 frame-header walker. Returns None when neither
+    an ftyp brand nor a movie header exists."""
+    import struct
+
+    major = timescale = dur = None
+    n_tracks = 0
+    vcodec = acodec = None
+    for typ, s, e in _iso_boxes(b, 0, len(b)):
+        if typ == b"ftyp" and e - s >= 4:
+            major = b[s:s + 4].decode("latin1").strip()
+        elif typ == b"moov":
+            for t2, s2, e2 in _iso_boxes(b, s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = b[s2]
+                    if ver == 1 and e2 - s2 >= 32:
+                        timescale, = struct.unpack_from(">I", b, s2 + 20)
+                        dur, = struct.unpack_from(">Q", b, s2 + 24)
+                    elif ver == 0:
+                        timescale, = struct.unpack_from(">I", b, s2 + 12)
+                        dur, = struct.unpack_from(">I", b, s2 + 16)
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    handler = codec = None
+                    for t3, s3, e3 in _iso_boxes(b, s2, e2):
+                        if t3 != b"mdia":
+                            continue
+                        for t4, s4, e4 in _iso_boxes(b, s3, e3):
+                            if t4 == b"hdlr" and e4 - s4 >= 12:
+                                handler = b[s4 + 8:s4 + 12]
+                            elif t4 == b"minf":
+                                for t5, s5, e5 in _iso_boxes(b, s4, e4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, s6, e6 in _iso_boxes(b, s5, e5):
+                                        if t6 == b"stsd" and e6 - s6 >= 16:
+                                            codec = (b[s6 + 12:s6 + 16]
+                                                     .decode("latin1"))
+                    if handler == b"vide" and vcodec is None:
+                        vcodec = codec
+                    elif handler == b"soun" and acodec is None:
+                        acodec = codec
+    if major is None and timescale is None:
+        return None
+    dur_s = (round(dur / timescale, 3)
+             if timescale and dur is not None else None)
+    return (major, timescale, dur_s, n_tracks, vcodec, acodec)
+
+
+def mp4_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """MP4/ISO-BMFF metadata (brand, duration, track count, codec
+    fourccs) from the box structure alone — duration budgeting, codec
+    routing, and mislabel quarantine for a video crawl WITHOUT a codec
+    dependency (the demux/decode itself stays an env-gated stub). Same
+    Arrow mapInPandas shape as mp3_info: map-side, scales with
+    executors, no shuffle; with payload in its own parquet column the
+    scan prunes everything but (media_id, payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                info = None
+                if payload is not None:
+                    try:
+                        info = _mp4_info(bytes(payload))
+                    except Exception:
+                        info = None
+                out.append((media_id, *(info if info else (None,) * 6)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             MP4_INFO_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, MP4_INFO_SCHEMA)
 
 
 PROBE_SCHEMA = T.StructType([

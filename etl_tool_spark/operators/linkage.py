@@ -162,7 +162,9 @@ def trigram_join(left: DataFrame, right: DataFrame,
          saturated alphabets); AQE broadcasts the survivors at runtime.
 
     Measured (sf0.1, local[32], warm JVM): hex md5 keys t=0.5 — direct
-    inverted index 6.3s, this form ~4s; 60-char prose keys t=0.6 —
+    inverted index 6.3s, this form 5.3–5.4s median (quiet machine,
+    round 6; the round-5 builder snapshot's ~4s did not reproduce under
+    the shipped bench methodology); 60-char prose keys t=0.6 —
     direct 143s, this form 78s even with string grams. The round-3/4
     rejections of AllPairs (19.5s on the hex regime) measured a
     DIFFERENT implementation that ranked grams by document frequency
