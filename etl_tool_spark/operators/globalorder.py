@@ -134,7 +134,9 @@ def banded_prefix_max(df: DataFrame, band: str, intra_order: list[Column],
     """Exact running ``max(value)`` over the rows STRICTLY PRECEDING each
     row in the global order ``(band ASC|DESC, *intra_order)`` (exclusive
     prefix — the row's own value is not included; NULL for the first
-    row). Same banding contract as :func:`banded_cumsum`.
+    row). Same banding contract as :func:`banded_cumsum`'s single-level
+    form (a bounded-cardinality band column name; the hierarchical
+    list-of-levels spec is cumsum-only until a consumer needs it here).
     """
     bcol = F.col(band).desc() if band_desc else F.col(band).asc()
     summary = df.groupBy(band).agg(F.max(F.col(value)).alias("_bmax"))
