@@ -147,25 +147,29 @@ def trigram_join(left: DataFrame, right: DataFrame,
          low-sorting grams and re-inflates the candidate join
          (measured: 2.4M candidate-join rows lexicographic vs 1.4M
          hash-ordered on the hex regime below).
-      3. Candidates = equi-join of the two prefix indexes, distinct on
-         the (key-hash, key-hash) pair. Verification attaches each
-         side's full sorted gram-hash array (joins onto the key-sized
-         frames, not the data-sized inputs) and computes the EXACT
-         |A∩B| with a per-row ``array_intersect`` on primitive longs —
-         no giant pair aggregation: the Σ df² gram-pair rows that
-         dominated the direct count-then-filter form never exist, and
-         long-array intersection runs ~10× faster than string-array
-         intersection (measured 23s → 2s on 2M verify rows).
+      3. Candidates = equi-join of the two prefix indexes, pruned by
+         the PPJoin size + positional filters (index entries carry the
+         gram's rank and the key's gram count; see the inline note)
+         BEFORE the distinct on the (key-hash, key-hash) pair — ~2×
+         fewer rows reach the verify joins on the hex regime.
+         Verification attaches each side's full sorted gram-hash array
+         (joins onto the key-sized frames, not the data-sized inputs)
+         and computes the EXACT |A∩B| with a per-row
+         ``array_intersect`` on primitive longs — no giant pair
+         aggregation: the Σ df² gram-pair rows that dominated the
+         direct count-then-filter form never exist, and long-array
+         intersection runs ~10× faster than string-array intersection
+         (measured 23s → 2s on 2M verify rows).
       4. The Jaccard filter runs before any payload join, so the key
          strings and payload columns land on the result-sized survivor
          frame only (~1000× smaller than the candidate frame on
          saturated alphabets); AQE broadcasts the survivors at runtime.
 
     Measured (sf0.1, local[32], warm JVM): hex md5 keys t=0.5 — direct
-    inverted index 6.3s, this form 5.3–5.4s median (quiet machine,
-    round 6; the round-5 builder snapshot's ~4s did not reproduce under
-    the shipped bench methodology); 60-char prose keys t=0.6 —
-    direct 143s, this form 78s even with string grams. The round-3/4
+    inverted index 6.3s; prefix-filtered form 4.8s median in the
+    round-6 quiet bench; +PPJoin size/positional pruning 4.0s median
+    (same run conditions, sentinel-bracketed); 60-char prose keys
+    t=0.6 — direct 143s, prefix-filtered 78s even with string grams. The round-3/4
     rejections of AllPairs (19.5s on the hex regime) measured a
     DIFFERENT implementation that ranked grams by document frequency
     with a global window job and verified through a second gram join;
@@ -273,8 +277,13 @@ def trigram_join(left: DataFrame, right: DataFrame,
         plen = (F.size("_gs")
                 - F.ceil(F.lit(threshold) * F.size("_gs")
                          * F.lit(1.0 - 1e-9) - F.lit(1e-9)).cast("int") + 1)
-        return df.select(h, F.explode(F.slice("_gs", F.lit(1), plen))
-                         .alias("_g"))
+        # posexplode: each index entry carries its 1-based rank in the
+        # key's gram order plus the key's gram count, feeding the
+        # size + positional candidate filters below
+        return (df.select(h, F.size("_gs").alias(f"_n{h}"),
+                          F.posexplode(F.slice("_gs", F.lit(1), plen))
+                          .alias(f"_p{h}", "_g"))
+                  .withColumn(f"_p{h}", F.col(f"_p{h}") + 1))
 
     lp = _prefix(lk, "_lh")
     rp = _prefix(rk, "_rh")
@@ -285,7 +294,33 @@ def trigram_join(left: DataFrame, right: DataFrame,
                    .filter(F.col("_n") > max_df).select("_g"))
         lp = lp.join(l_hot, "_g", "left_anti")
         rp = rp.join(r_hot, "_g", "left_anti")
-    cands = lp.join(rp, "_g").select("_lh", "_rh").distinct()
+    # PPJoin-style candidate pruning (Xiao et al. WWW'08, public
+    # literature) BEFORE the pair distinct and the verify joins:
+    #   * size filter — Jaccard ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|;
+    #   * positional filter — for the SMALLEST common gram, matched at
+    #     1-based ranks (i, j), every common gram sits at rank ≥ i in A
+    #     and ≥ j in B, so |A∩B| ≤ 1 + min(|A|−i, |B|−j); a qualifying
+    #     pair needs |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ (from i/(|A|+|B|−i) ≥ t).
+    # Occurrence rows for LARGER common grams may fail the positional
+    # test spuriously (common grams can precede them), but the pair
+    # survives through its smallest-common-gram row, whose bound is
+    # exact-or-over — so distinct-after-filter keeps exactness. The
+    # minoverlap ceiling carries the same conservative eps slack as the
+    # prefix length (an under-approximation can only keep more rows).
+    # Measured on the hex regime (t=0.5, ~30 grams/key): candidate rows
+    # into the verify joins drop ~2×.
+    tt = threshold / (1.0 + threshold)
+    minov = F.ceil(F.lit(tt) * (F.col("_n_lh") + F.col("_n_rh"))
+                   * F.lit(1.0 - 1e-9) - F.lit(1e-9))
+    ubound = 1 + F.least(F.col("_n_lh") - F.col("_p_lh"),
+                         F.col("_n_rh") - F.col("_p_rh"))
+    sz_ok = ((F.col("_n_rh") >= F.lit(threshold) * F.col("_n_lh")
+              * F.lit(1.0 - 1e-9) - F.lit(1e-9))
+             & (F.col("_n_lh") >= F.lit(threshold) * F.col("_n_rh")
+                * F.lit(1.0 - 1e-9) - F.lit(1e-9)))
+    cands = (lp.join(rp, "_g")
+               .filter(sz_ok & (ubound >= minov))
+               .select("_lh", "_rh").distinct())
     verify = (cands.join(lk.select("_lh", F.col("_gs").alias("_la")), "_lh")
                    .join(rk.select("_rh", F.col("_gs").alias("_ra")), "_rh")
                    .withColumn("_i", F.size(F.array_intersect("_la", "_ra"))))
