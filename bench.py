@@ -133,8 +133,9 @@ BENCH_QUERIES = [
     "llm_knn_label_consistency",
     "llm_bpe_pair_counts",
     "llm_winnow_contamination",
-    # round 6: ISO-BMFF container triage
+    # round 6: ISO-BMFF container triage + PQ-ANN memory-bound path
     "llm_mp4_metadata",
+    "llm_pq_topk",
 ]
 
 

@@ -29,7 +29,8 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "incremental_embedding_pairs", "append_embedding_signatures",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
            "ivf_build_index", "ivf_search", "ivf_append_index",
-           "ivf_cell_stats", "hard_negatives"]
+           "ivf_cell_stats", "hard_negatives",
+           "pq_train_codebooks", "pq_encode", "pq_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -748,3 +749,180 @@ def ivf_hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def pq_train_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
+                       sample_n: int = 4096, iters: int = 10, seed: int = 11,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks (Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): split the (L2-normalized) vector into ``m`` contiguous
+    subspaces and run plain Lloyd's k-means with ``ksub`` centroids
+    independently per subspace. Same determinism contract as
+    spherical_kmeans_centroids — sample = the ``sample_n`` LOWEST ids
+    (partitioning-independent), seeded init, fixed iteration count,
+    numpy's fixed reduce order — so the same corpus always yields
+    byte-identical codebooks; and the same scaling story: training data
+    NEVER scales with the corpus (a few thousand rows at 100 TB too),
+    only encoding does, and encoding is map-side.
+
+    Returns ``m × ksub × (dim/m)`` nested lists. ``dim % m must be 0``.
+    Empty clusters reseed to the point farthest from its centroid
+    (deterministic index tie-break)."""
+    rows = (df.select(id_col, vec_col).orderBy(F.col(id_col))
+              .limit(sample_n).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible "
+                         f"by m={m}")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    ksub = min(ksub, len(x))
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = xs[assign == c]
+                if len(members) == 0:
+                    far = int(np.argmax(d2[np.arange(len(xs)), assign]))
+                    cent[c] = xs[far]
+                else:
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
+def _pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid indices for the
+    L2-NORMALIZED vector — the m-byte compressed representation. Arrow
+    Pandas UDF for the same reason as _centroid_scores: per-subspace
+    argmin over a literal ksub×dsub matrix is dense linear algebra the
+    interpreted HOF walk loses by ~30×; numpy's fixed reduce order
+    keeps codes bit-deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    m, _, dsub = C.shape
+
+    @pandas_udf("array<int>")
+    def codes(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xs = X.reshape(len(X), m, dsub)              # (n, m, dsub)
+        # (n, m, ksub) squared distances per subspace, fixed order
+        d2 = ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+        A = np.argmin(d2, axis=2).astype("int32")    # (n, m)
+        return pd.Series(list(A))
+
+    return codes(vec)
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Attach the m-entry PQ code column. At 100 TB this runs ONCE as
+    the index build and the codes are what gets stored/scanned: 8
+    one-byte codes replace 64 float32s (32× less scan I/O), which is
+    the entire point of PQ — the ANN scan becomes memory/IO-bound on a
+    corpus 32× smaller than the raw embeddings."""
+    return df.withColumn(code_col, _pq_codes(F.col(vec_col), codebooks))
+
+
+def _pq_lut(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<array<double>> (m × ksub) asymmetric-distance lookup table
+    for a query: LUT[s][c] = dot(normalized-query-subvector_s,
+    codebook[s][c]). ADC scoring is then m table lookups per corpus
+    code instead of a dim-length dot product."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    m, _, dsub = C.shape
+
+    @pandas_udf("array<array<double>>")
+    def lut(emb: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xs = X.reshape(len(X), m, dsub)              # (n, m, dsub)
+        # (n, m, ksub): dot of each query subvector with each centroid
+        L = (Xs[:, :, None, :] * C[None, :, :, :]).sum(axis=-1)
+        return pd.Series([list(map(list, row)) for row in L])
+
+    return lut(vec)
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, ksub: int = 16, shortlist: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            codebooks: list[list[list[float]]] | None = None) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-rank —
+    the memory-bound billion-scale ANN path (IVF trades scan FRACTION,
+    PQ trades scan WIDTH; production systems compose them):
+
+      1. encode the corpus once to m-entry codes (map-side, stored at
+         real scale — the scan then reads m bytes/vector, not the
+         embedding);
+      2. ADC scoring: each query broadcasts its m × ksub dot-product
+         LUT; a corpus row's approximate cosine is the sum of m table
+         lookups — pure JVM higher-order functions over the code array,
+         no per-pair dim-length arithmetic;
+      3. per-query ADC top-``shortlist`` window;
+      4. exact cosine re-rank of the shortlist only (embeddings fetched
+         by id join for just shortlist × queries rows) → top-``k``.
+
+    Recall dial: ``shortlist``/corpus is the fraction surviving to the
+    exact stage (shortlist = corpus size degenerates to brute force);
+    quantization error only costs recall when a true neighbor falls
+    outside the ADC shortlist. Ties broken by corpus id — deterministic
+    end-to-end given the deterministic codebooks."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, m=m, ksub=ksub,
+                                       id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus.select(id_col, vec_col), codebooks,
+                      vec_col=vec_col, code_col="_code") \
+        .select(id_col, "_code")
+    q = queries.select(F.col(query_id_col),
+                       _pq_lut(F.col(vec_col), codebooks).alias("_lut"))
+    adc = F.aggregate(
+        F.zip_with(F.col("_code"), F.col("_lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (codes.crossJoin(F.broadcast(q))
+                   .filter(F.col(id_col) != F.col(query_id_col))
+                   .select(query_id_col, id_col, adc.alias("_adc")))
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc())
+    short = (scored.withColumn("_r", F.row_number().over(w_short))
+                   .filter(F.col("_r") <= shortlist)
+                   .select(query_id_col, id_col))
+    # exact re-rank on the shortlist only: embeddings re-attach by id
+    # (broadcast the tiny shortlist into the corpus scan), the query
+    # vector by query id
+    cand = (corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"),
+                          norm(F.col(vec_col)).alias("_cnorm"))
+                  .join(F.broadcast(short), id_col))
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                        norm(F.col(vec_col)).alias("_qnorm"))
+    sim = F.round(F.try_divide(dot(F.col("_qvec"), F.col("_cvec")),
+                               F.col("_qnorm") * F.col("_cnorm")), 6)
+    rescored = (cand.join(F.broadcast(qv), query_id_col)
+                    .select(query_id_col, id_col, sim.alias("cosine_sim")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (rescored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k))

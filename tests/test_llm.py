@@ -1670,3 +1670,53 @@ def test_curriculum_phase_arithmetic(spark):
     for i, q, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
         assert got[i] == min(3, prev * 4 // total), i
         prev += nt
+
+
+def test_pq_codebooks_deterministic_shape_and_guards(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13) % 11), float(i % 5), float(i % 3), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    b1 = S.pq_train_codebooks(corpus, m=2, ksub=4)
+    b2 = S.pq_train_codebooks(corpus, m=2, ksub=4)
+    assert b1 == b2                       # byte-identical retrain
+    assert len(b1) == 2 and all(len(cb) == 4 for cb in b1)
+    assert all(len(c) == 2 for cb in b1 for c in cb)   # dsub = 4/2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.pq_train_codebooks(corpus, m=3, ksub=4)      # 4 % 3 != 0
+
+
+def test_pq_topk_subset_of_exact_and_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float((i * 3) % 4), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 2) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.pq_topk(corpus, queries, k=3, m=2, ksub=4, shortlist=8).collect()
+    assert len(out) > 0
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.brute_force_topk(corpus, queries, k=39).collect()}
+    assert {(r["query_id"], r["vec_id"]) for r in out} <= exact
+    again = S.pq_topk(corpus, queries, k=3, m=2, ksub=4,
+                      shortlist=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_full_shortlist_equals_brute_force(spark):
+    """shortlist >= corpus degenerates to exact: every vector reaches
+    the exact re-rank stage regardless of quantization quality, so the
+    result must equal brute force rank-for-rank."""
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13) % 11), float(i % 5), float((i * 7) % 9), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 3) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    pq = {(r["query_id"], r["vec_id"], r["rank"])
+          for r in S.pq_topk(corpus, queries, k=5, m=2, ksub=4,
+                             shortlist=100).collect()}
+    bf = {(r["query_id"], r["vec_id"], r["rank"])
+          for r in S.brute_force_topk(corpus, queries, k=5).collect()}
+    assert pq == bf

@@ -77,7 +77,10 @@ def test_prefix_ceiling_boundary_pair_not_dropped(spark):
         b_txt = "".join(order[-7:])  # the 7 last-ranked grams of A
         left = spark.createDataFrame([(1, a_txt)], "lid long, ltxt string")
         right = spark.createDataFrame([(2, b_txt)], "rid long, rtxt string")
-        got = trigram_join(left, right, "ltxt", "rtxt", threshold=0.28,
-                           n=1, hash_grams=hash_grams).collect()
-        assert [(r["lid"], r["rid"], r["similarity"]) for r in got] == \
-            [(1, 2, 0.28)], (hash_grams, b_txt)
+        for hash_keys in (True, False):
+            got = trigram_join(left, right, "ltxt", "rtxt",
+                               threshold=0.28, n=1,
+                               hash_grams=hash_grams,
+                               hash_keys=hash_keys).collect()
+            assert [(r["lid"], r["rid"], r["similarity"]) for r in got] \
+                == [(1, 2, 0.28)], (hash_grams, hash_keys, b_txt)
