@@ -133,9 +133,10 @@ BENCH_QUERIES = [
     "llm_knn_label_consistency",
     "llm_bpe_pair_counts",
     "llm_winnow_contamination",
-    # round 6: ISO-BMFF container triage + PQ-ANN memory-bound path
+    # round 6: ISO-BMFF container triage + PQ / IVF-PQ memory-bound ANN
     "llm_mp4_metadata",
     "llm_pq_topk",
+    "llm_ivfpq_topk",
 ]
 
 

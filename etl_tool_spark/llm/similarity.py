@@ -30,7 +30,7 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
            "ivf_build_index", "ivf_search", "ivf_append_index",
            "ivf_cell_stats", "hard_negatives",
-           "pq_train_codebooks", "pq_encode", "pq_topk"]
+           "pq_train_codebooks", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -775,12 +775,19 @@ def pq_train_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
     x = np.array([r[1] for r in rows], dtype=np.float64)
     if len(x) == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible "
-                         f"by m={m}")
+    if x.shape[1] % m:
+        raise ValueError(f"pq_train_codebooks: dim {x.shape[1]} not "
+                         f"divisible by m={m}")
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    dsub = dim // m
+    return _kmeans_subspaces(x, m, ksub, iters, seed)
+
+
+def _kmeans_subspaces(x, m: int, ksub: int, iters: int,
+                      seed: int) -> list[list[list[float]]]:
+    """Seeded fixed-iteration Lloyd's per contiguous subspace of the
+    training matrix ``x`` — shared by plain PQ (rows = normalized
+    vectors) and IVF-PQ (rows = cell residuals)."""
+    dsub = x.shape[1] // m
     ksub = min(ksub, len(x))
     rng = np.random.default_rng(seed)
     books = []
@@ -910,9 +917,19 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     short = (scored.withColumn("_r", F.row_number().over(w_short))
                    .filter(F.col("_r") <= shortlist)
                    .select(query_id_col, id_col))
-    # exact re-rank on the shortlist only: embeddings re-attach by id
-    # (broadcast the tiny shortlist into the corpus scan), the query
-    # vector by query id
+    return _exact_rerank(corpus, queries, short, k,
+                         id_col, vec_col, query_id_col)
+
+
+def _exact_rerank(corpus: DataFrame, queries: DataFrame, short: DataFrame,
+                  k: int, id_col: str, vec_col: str,
+                  query_id_col: str) -> DataFrame:
+    """Exact cosine top-``k`` over a (query_id, id) shortlist: the
+    shortlist broadcasts into the corpus scan to fetch embeddings by
+    id, the query vector re-attaches by query id — only
+    shortlist × queries rows ever see dim-length arithmetic."""
+    from pyspark.sql import Window
+
     cand = (corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"),
                           norm(F.col(vec_col)).alias("_cnorm"))
                   .join(F.broadcast(short), id_col))
@@ -926,3 +943,107 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (rescored.withColumn("rank", F.row_number().over(w))
                     .filter(F.col("rank") <= k))
+
+
+def _pq_residual_codes(vec: Column, cell: Column,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid indices for the
+    RESIDUAL of the normalized vector w.r.t. its coarse cell centroid —
+    the IVF-PQ encoding (Jégou et al. TPAMI'11 §III): quantizing
+    x̂ − c(cell) instead of x̂ concentrates the sub-quantizers on the
+    much smaller residual ball, so the same code budget buys a finer
+    reconstruction."""
+    from pyspark.sql.functions import pandas_udf
+
+    CC = np.asarray(centroids, dtype=np.float64)     # (nlist, dim)
+    C = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    m, _, dsub = C.shape
+
+    @pandas_udf("array<int>")
+    def codes(emb: pd.Series, cl: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        R = X - CC[cl.to_numpy()]
+        Rs = R.reshape(len(R), m, dsub)
+        d2 = ((Rs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+        return pd.Series(list(np.argmin(d2, axis=2).astype("int32")))
+
+    return codes(vec, cell)
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               nlist: int = 16, nprobe: int = 4,
+               m: int = 16, ksub: int = 64, shortlist: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ: the production billion-scale composition — IVF trims the
+    scan FRACTION (only ``nprobe``/``nlist`` of the corpus is touched
+    per query), PQ trims the scan WIDTH of what's left (m residual-code
+    bytes per vector instead of the embedding). The ADC estimate of
+    cosine decomposes exactly along the residual:
+
+        dot(q̂, x̂) = dot(q̂, c_cell) + dot(q̂, x̂ − c_cell)
+                   ≈ dot(q̂, c_cell) + Σ_s LUT[s][code_s]
+
+    so each probed (query, cell) carries one scalar cell score and the
+    query's m × ksub residual LUT; scoring a corpus code is m JVM array
+    lookups plus one add. The ADC top-``shortlist`` then re-ranks under
+    exact cosine, identical to pq_topk. All training (coarse centroids
+    + residual codebooks) runs driver-side on the deterministic
+    lowest-id sample; assignment and encoding are map-side."""
+    from pyspark.sql import Window
+
+    centroids = spherical_kmeans_centroids(corpus, nlist=nlist,
+                                           id_col=id_col, vec_col=vec_col)
+    # residual codebooks from the same deterministic sample
+    rows = (corpus.select(id_col, vec_col).orderBy(F.col(id_col))
+                  .limit(4096).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if x.shape[1] % m:
+        raise ValueError(f"ivfpq_topk: dim {x.shape[1]} not divisible "
+                         f"by m={m}")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    CC = np.asarray(centroids, dtype=np.float64)
+    assign = np.argmax(x @ CC.T, axis=1)
+    books = _kmeans_subspaces(x - CC[assign], m, ksub, iters=10, seed=13)
+
+    c = ivf_assign(corpus.select(id_col, vec_col), centroids,
+                   vec_col=vec_col)
+    codes = c.select(
+        F.col(id_col), F.col("_ivf_cluster").alias("_cell"),
+        _pq_residual_codes(F.col(vec_col), F.col("_ivf_cluster"),
+                           centroids, books).alias("_code"))
+
+    # per-query probes: nprobe best cells with their NORMALIZED scores
+    # (dot(q̂, c) = dot(q, c)/|q| — the ADC sum mixes the cell score with
+    # the unit-residual LUT, so both terms must use q̂ consistently)
+    qscores = _centroid_scores(F.col(vec_col), centroids)
+    probes = F.slice(
+        F.reverse(F.array_sort(F.transform(
+            qscores,
+            lambda s, i: F.struct(s.alias("s"), i.alias("i"))))),
+        1, nprobe)
+    q = (queries.select(F.col(query_id_col),
+                        _pq_lut(F.col(vec_col), books).alias("_lut"),
+                        norm(F.col(vec_col)).alias("_qn"),
+                        F.explode(probes).alias("_p"))
+                .select(query_id_col, "_lut",
+                        F.col("_p.i").alias("_cell"),
+                        (F.col("_p.s") / F.col("_qn")).alias("_cellscore")))
+    adc = F.col("_cellscore") + F.aggregate(
+        F.zip_with(F.col("_code"), F.col("_lut"),
+                   lambda cc, l: F.element_at(l, cc + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (codes.join(F.broadcast(q), "_cell")
+                   .filter(F.col(id_col) != F.col(query_id_col))
+                   .select(query_id_col, id_col, adc.alias("_adc")))
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc())
+    short = (scored.withColumn("_r", F.row_number().over(w_short))
+                   .filter(F.col("_r") <= shortlist)
+                   .select(query_id_col, id_col))
+    return _exact_rerank(corpus, queries, short, k,
+                         id_col, vec_col, query_id_col)

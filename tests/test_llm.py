@@ -1720,3 +1720,39 @@ def test_pq_full_shortlist_equals_brute_force(spark):
     bf = {(r["query_id"], r["vec_id"], r["rank"])
           for r in S.brute_force_topk(corpus, queries, k=5).collect()}
     assert pq == bf
+
+
+def test_ivfpq_full_probe_full_shortlist_equals_brute_force(spark):
+    """nprobe == nlist and shortlist >= corpus degenerates IVF-PQ to
+    exact search: every vector reaches the exact re-rank regardless of
+    coarse assignment or residual quantization error."""
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 13) % 11), float(i % 5), float((i * 7) % 9), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 3) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["vec_id"], r["rank"])
+           for r in S.ivfpq_topk(corpus, queries, k=5, nlist=4, nprobe=4,
+                                 m=2, ksub=4, shortlist=100).collect()}
+    bf = {(r["query_id"], r["vec_id"], r["rank"])
+          for r in S.brute_force_topk(corpus, queries, k=5).collect()}
+    assert got == bf
+
+
+def test_ivfpq_subset_of_exact_and_deterministic(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float((i * 3) % 4), 1.0])
+         for i in range(1, 40)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 2) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivfpq_topk(corpus, queries, k=3, nlist=4, nprobe=2,
+                       m=2, ksub=4, shortlist=8).collect()
+    assert len(out) > 0
+    exact = {(r["query_id"], r["vec_id"])
+             for r in S.brute_force_topk(corpus, queries, k=39).collect()}
+    assert {(r["query_id"], r["vec_id"]) for r in out} <= exact
+    again = S.ivfpq_topk(corpus, queries, k=3, nlist=4, nprobe=2,
+                         m=2, ksub=4, shortlist=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
