@@ -134,9 +134,11 @@ BENCH_QUERIES = [
     "llm_bpe_pair_counts",
     "llm_winnow_contamination",
     # round 6: ISO-BMFF container triage + PQ / IVF-PQ memory-bound ANN
+    # + batch lexical retrieval
     "llm_mp4_metadata",
     "llm_pq_topk",
     "llm_ivfpq_topk",
+    "llm_bm25_batch_topk",
 ]
 
 

@@ -4848,6 +4848,65 @@ def llm_bm25_topk(spark, sf_dir):
                   .limit(20))
 
 
+_BM25_BATCH_QUERIES = [
+    ("q1", "spark window merge"),
+    ("q2", "vector data join"),
+    ("q3", "stream batch"),
+    ("q4", "model training corpus"),
+    ("q5", "the and of"),
+]
+
+_BM25_BATCH_VALUES = ", ".join(f"('{qid}', '{qs}')"
+                               for qid, qs in _BM25_BATCH_QUERIES)
+
+
+@query("llm_bm25_batch_topk", f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_BATCH_VALUES}),
+ toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE trim(text) <> ''),
+ dls AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+ stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dls),
+ ptoks AS (SELECT doc_id, unnest(t) AS tok, len(t)::BIGINT AS dl FROM toks),
+ postings AS (SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+              FROM ptoks GROUP BY doc_id, tok),
+ qt AS (SELECT query_id, unnest(list_distinct(
+            regexp_split_to_array(lower(trim(query_text)), '\\s+'))) AS tok
+        FROM q),
+ qt2 AS (SELECT * FROM qt WHERE tok <> ''),
+ post_q AS (SELECT p.* FROM postings p
+            JOIN (SELECT DISTINCT tok FROM qt2) v USING (tok)),
+ dfq AS (SELECT tok, count(*)::BIGINT AS df FROM post_q GROUP BY tok),
+ scored AS (
+   SELECT qt2.query_id, p.doc_id,
+          round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * tf * (1.2 + 1.0)
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                6) AS bm25
+   FROM post_q p JOIN qt2 USING (tok) JOIN dfq USING (tok)
+   CROSS JOIN stats
+   GROUP BY qt2.query_id, p.doc_id),
+ ranked AS (SELECT query_id, doc_id, bm25,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY bm25 DESC, doc_id) AS rank
+            FROM scored)
+SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 10
+""")
+def llm_bm25_batch_topk(spark, sf_dir):
+    """BATCH BM25 retrieval (llm/text.py:bm25_batch_topk): top-10 per
+    query for a query SET carried as data — the hard-negative-mining /
+    eval-suite shape the fixed-bag variant can't express (there each
+    term is a literal plan column; here queries join as rows). The plan
+    is an inverted-postings join with the Zipf-skew discipline: one
+    corpus shuffle on the compound (doc, token) key, query vocabulary
+    and document frequencies broadcast back gated on the QUERY-side
+    size, hits shuffled only on the compound (query, doc) key. q5 is
+    deliberately all-stopwords so hot-token postings exercise the
+    gated-broadcast path."""
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                "query_id string, query_text string")
+    return X.bm25_batch_topk(_docs(spark, sf_dir), qdf, k=10)
+
+
 @query("llm_hybrid_rrf", """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "quality_features", "language_id", "fingerprint",
            "repetition_stats", "boilerplate_ngrams", "repeated_spans",
-           "excise_repeated_spans", "bm25_scores", "STOPWORDS"]
+           "excise_repeated_spans", "bm25_scores", "bm25_batch_topk",
+           "STOPWORDS"]
 
 
 def hash64(col: Column) -> Column:
@@ -377,3 +378,84 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
                 .crossJoin(F.broadcast(stats))
                 .groupBy(id_col)
                 .agg(F.sum(contrib).alias("bm25_raw")))
+
+
+def bm25_batch_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    query_id_col: str = "query_id",
+                    query_text_col: str = "query_text",
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 top-``k`` per query for a QUERY SET — the batch
+    retrieval shape (hard-negative mining for thousands of training
+    queries, eval-suite scoring) that the fixed-bag ``bm25_scores``
+    cannot express: there the per-term tf is a literal column per term,
+    so the term list must be small and known at plan time; here queries
+    are data. Returns (query_id, doc_id, bm25 DOUBLE, rank); ranking on
+    the 6-dp-rounded score with a doc_id tiebreak, so float summation
+    noise can't flip a cross-engine cutoff.
+
+    100 TB shape — an inverted-postings join, with the Zipf-skew
+    discipline of the corpus-frequency family:
+
+      * postings = one corpus tokenize + ONE shuffle on the compound
+        (doc, token) key (skew-proof — no reducer ever keys on a bare
+        hot token); per-doc length rides along;
+      * the query-vocabulary frame (distinct query terms) comes BACK to
+        the postings through ``gated_broadcast``, so the corpus-sized
+        posting stream is filtered map-side to query terms and is never
+        exchanged on the skewed bare-token key;
+      * document frequencies aggregate over the (already query-filtered)
+        postings; corpus stats (N, avgdl) reduce from the per-doc
+        lengths and broadcast as scalars;
+      * scoring shuffles only the hit stream on the compound
+        (query, doc) key; top-k is a per-query window over scored docs.
+
+    Stats semantics match ``bm25_scores``: N and avgdl count every
+    non-empty document (not just hit documents)."""
+    from etl_tool_spark.operators.skew import BROADCAST_ROW_GATE
+
+    t = F.trim(F.col(text_col))
+    base = (corpus.filter(t != "")
+                  .select(F.col(id_col), tokens(F.col(text_col))
+                          .alias("_toks")))
+    toks = base.select(F.col(id_col),
+                       F.size("_toks").cast("bigint").alias("dl"),
+                       F.explode("_toks").alias("tok"))
+    postings = (toks.groupBy(id_col, "tok")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+                         F.max("dl").alias("dl"))
+                    .localCheckpoint(eager=False))
+    dls = postings.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    stats = dls.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+
+    qt = (queries.select(F.col(query_id_col),
+                         F.explode(F.array_distinct(
+                             tokens(F.col(query_text_col)))).alias("tok"))
+                 .where(F.col("tok") != ""))
+    # one eager count of the QUERY-side term frame gates every broadcast
+    # below (|qvocab| <= |dfq rows| <= |qt| by construction) — a
+    # gated_broadcast on dfq would instead materialize the corpus-sized
+    # postings at plan-build time via its count() job
+    n_qt = qt.count()
+
+    def _gated(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_qt <= BROADCAST_ROW_GATE else df
+
+    qvocab = qt.select("tok").distinct()
+    post_q = postings.join(_gated(qvocab), "tok")
+    dfq = post_q.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (post_q.join(_gated(qt), "tok")
+                    .join(_gated(dfq), "tok")
+                    .crossJoin(F.broadcast(stats))
+                    .groupBy(query_id_col, id_col)
+                    .agg(F.round(F.sum(contrib), 6).alias("bm25")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("bm25").desc(),
+                                                 F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

@@ -1756,3 +1756,37 @@ def test_ivfpq_subset_of_exact_and_deterministic(spark):
     again = S.ivfpq_topk(corpus, queries, k=3, nlist=4, nprobe=2,
                          m=2, ksub=4, shortlist=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_bm25_batch_matches_fixed_bag_single_query(spark):
+    """For one query the batch inverted-postings path must rank exactly
+    like the fixed-bag map-side path (same stats semantics, same
+    rounding, same tiebreak) — the two implementations are independent
+    plans over the same formula."""
+    docs = spark.createDataFrame(
+        [(1, "spark merges window data"), (2, "spark spark spark"),
+         (3, "window of the world"), (4, "nothing relevant here"),
+         (5, "data data window spark")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame([("q", "spark window")],
+                                "query_id string, query_text string")
+    batch = [(r["doc_id"], r["bm25"]) for r in
+             X.bm25_batch_topk(docs, qdf, k=10)
+              .orderBy("rank").collect()]
+    fixed = [(r["doc_id"], round(r["bm25_raw"], 6)) for r in
+             X.bm25_scores(docs, ["spark", "window"])
+              .orderBy(F.round("bm25_raw", 6).desc(), "doc_id").collect()]
+    assert batch == fixed
+
+
+def test_bm25_batch_empty_and_stopword_queries(spark):
+    """A query with no corpus hits returns no rows (never a null-score
+    row); duplicate terms in the query string count once."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [("hit", "beta beta"), ("miss", "zzz qqq")],
+        "query_id string, query_text string")
+    out = X.bm25_batch_topk(docs, qdf, k=10).collect()
+    assert {r["query_id"] for r in out} == {"hit"}
+    assert len(out) == 2  # both docs contain beta, counted once
