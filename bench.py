@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "llm_pq_topk",
     "llm_ivfpq_topk",
     "llm_bm25_batch_topk",
+    "llm_id3v2_tags",
 ]
 
 

@@ -1772,6 +1772,57 @@ def llm_mp4_metadata(spark, sf_dir):
     return mp4_info(media)
 
 
+@query("llm_id3v2_tags", """
+SELECT doc_id AS media_id,
+       '2.3.0' AS id3_version,
+       concat('title-', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS title,
+       concat('artist-', lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0'))
+         AS artist,
+       'corpus' AS album,
+       3 AS n_frames
+FROM documents
+""")
+def llm_id3v2_tags(spark, sf_dir):
+    """Audio-crawl TEXT metadata, end-to-end checkable: each document
+    becomes a synthetic ID3v2.3 tag (TIT2/TPE1/TALB latin1 text frames)
+    whose title/artist derive from doc_id at FIXED width, so every
+    frame size is constant and synthesis stays pure Column — constant
+    header/frame-header bytes around encode()'d per-row strings.
+    llm/multimodal.py id3v2_tags walks the real frame structure
+    (id3.org v2.3/2.4 layout: syncsafe tag size, per-frame sizes,
+    encoding byte) through the Arrow mapInPandas path; the oracle
+    recomputes every field arithmetically."""
+    import base64
+    import struct
+
+    from etl_tool_spark.llm.multimodal import id3v2_tags
+
+    def fhdr(fid: bytes, body_len: int) -> bytes:
+        # v2.3 frame: id(4) + big-endian size(4) + flags(2); body
+        # starts with the encoding byte (0 = latin1)
+        return fid + struct.pack(">I", body_len) + b"\x00\x00" + b"\x00"
+
+    title_len, artist_len, album = 14, 11, b"corpus"
+    tag_size = (10 + 1 + title_len) + (10 + 1 + artist_len) \
+        + (10 + 1 + len(album))
+    ss = bytes([(tag_size >> 21) & 0x7F, (tag_size >> 14) & 0x7F,
+                (tag_size >> 7) & 0x7F, tag_size & 0x7F])
+    p1 = b"ID3\x03\x00\x00" + ss + fhdr(b"TIT2", 1 + title_len)
+    p2 = fhdr(b"TPE1", 1 + artist_len)
+    p3 = fhdr(b"TALB", 1 + len(album)) + album
+    d = _docs(spark, sf_dir)
+    payload = F.concat(
+        F.unbase64(F.lit(base64.b64encode(p1).decode())),
+        F.encode(F.format_string("title-%08d", F.col("doc_id")), "UTF-8"),
+        F.unbase64(F.lit(base64.b64encode(p2).decode())),
+        F.encode(F.format_string("artist-%04d", F.col("doc_id") % 100),
+                 "UTF-8"),
+        F.unbase64(F.lit(base64.b64encode(p3).decode())))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     payload.alias("payload"))
+    return id3v2_tags(media)
+
+
 @query("etl_error_channel", """
 SELECT c_custkey AS cust_id, c_acctbal AS bal FROM customer
 WHERE c_acctbal BETWEEN -500 AND 8000

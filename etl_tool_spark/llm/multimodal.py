@@ -35,7 +35,7 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
            "decode_bmp_features", "decode_png_features",
            "decode_gif_features", "decode_jpeg_features", "probe_media",
-           "mp3_info", "mp4_info"]
+           "mp3_info", "mp4_info", "id3v2_tags"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -387,6 +387,99 @@ _MP3_BITRATE[("2", 3)] = _MP3_BITRATE[("2", 2)]
 _MP3_SAMPLERATE = {"1": (44100, 48000, 32000),
                    "2": (22050, 24000, 16000),
                    "2.5": (11025, 12000, 8000)}
+
+
+ID3V2_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("id3_version", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("artist", T.StringType(), True),
+    T.StructField("album", T.StringType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+])
+
+# ID3v2 text-frame encodings (public informal standard id3.org,
+# id3v2.3.0 §3.3 / id3v2.4.0 §4): byte 0 of a T*** frame body
+_ID3_ENC = {0: "latin1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _id3v2_tags(b: bytes):
+    """(version, title, artist, album, n_frames) from a leading ID3v2.3
+    or v2.4 tag — pure struct walking of the public id3.org layout, the
+    text-metadata complement of the MP3 frame walker. Frame sizes are
+    syncsafe in v2.4, plain big-endian in v2.3; text frames carry an
+    encoding byte. Returns None when no ID3v2 tag leads the payload."""
+    import struct
+
+    if b[:3] != b"ID3" or len(b) < 10:
+        return None
+    major = b[3]
+    if major not in (3, 4):
+        return None
+    tag_end = 10 + (((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+                    | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F))
+    pos = 10
+    if b[5] & 0x40:                       # extended header present
+        if pos + 4 > len(b):
+            return (f"2.{major}.0", None, None, None, 0)
+        ext, = struct.unpack_from(">I", b, pos)
+        if major == 4:                    # syncsafe, includes itself
+            ext = (((ext >> 24) & 0x7F) << 21) | (((ext >> 16) & 0x7F) << 14) \
+                | (((ext >> 8) & 0x7F) << 7) | (ext & 0x7F)
+            pos += ext
+        else:                             # v2.3: size excludes the field
+            pos += 4 + ext
+    want = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    got: dict = {}
+    n = 0
+    end = min(tag_end, len(b))
+    while pos + 10 <= end:
+        fid = b[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":    # padding reached
+            break
+        size, = struct.unpack_from(">I", b, pos + 4)
+        if major == 4:                    # syncsafe frame size
+            size = (((size >> 24) & 0x7F) << 21) \
+                | (((size >> 16) & 0x7F) << 14) \
+                | (((size >> 8) & 0x7F) << 7) | (size & 0x7F)
+        body = b[pos + 10:pos + 10 + size]
+        if len(body) < size:
+            break
+        n += 1
+        key = want.get(fid)
+        if key is not None and key not in got and size >= 1:
+            enc = _ID3_ENC.get(body[0], "latin1")
+            try:
+                got[key] = body[1:].decode(enc).rstrip("\x00")
+            except UnicodeDecodeError:
+                got[key] = None
+        pos += 10 + size
+    return (f"2.{major}.0", got.get("title"), got.get("artist"),
+            got.get("album"), n)
+
+
+def id3v2_tags(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """ID3v2 text metadata (title/artist/album) for an audio crawl —
+    the tag-walking complement of mp3_info's frame walking, again with
+    no codec dependency. Same Arrow mapInPandas shape: map-side, scales
+    with executors, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                info = None
+                if payload is not None:
+                    try:
+                        info = _id3v2_tags(bytes(payload))
+                    except Exception:
+                        info = None
+                out.append((media_id, *(info if info else (None,) * 5)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             ID3V2_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, ID3V2_SCHEMA)
 
 
 def _mp3_info(b: bytes):
