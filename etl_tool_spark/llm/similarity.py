@@ -30,7 +30,8 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "spherical_kmeans_centroids", "ivf_assign", "ivf_topk",
            "ivf_build_index", "ivf_search", "ivf_append_index",
            "ivf_cell_stats", "hard_negatives",
-           "pq_train_codebooks", "pq_encode", "pq_topk", "ivfpq_topk"]
+           "pq_train_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
+           "pq_build_index", "pq_search", "pq_append_index"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1047,3 +1048,97 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    .select(query_id_col, id_col))
     return _exact_rerank(corpus, queries, short, k,
                          id_col, vec_col, query_id_col)
+
+
+def pq_build_index(corpus: DataFrame, index_dir: str,
+                   m: int = 16, ksub: int = 64,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Persist a PQ index: the encode-once / serve-many split of
+    pq_topk. Writes
+
+      {index_dir}/codebooks — m × ksub rows (sub, cent, vec)
+      {index_dir}/codes     — (id, code array<int>) for the corpus
+
+    The codes table IS the point: at 100 TB the ADC scan reads m small
+    ints per vector instead of the raw embedding — the index is ~16×
+    narrower than the corpus it summarizes, and the full-width vectors
+    stay in the base corpus table, touched only for the per-query
+    shortlist re-rank. Returns the trained codebooks."""
+    base = index_dir.rstrip("/")
+    books = pq_train_codebooks(corpus, m=m, ksub=ksub,
+                               id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    (spark.createDataFrame(
+        [(s, c, vec) for s, cb in enumerate(books)
+         for c, vec in enumerate(cb)],
+        "sub int, cent int, vec array<double>")
+        .coalesce(1).write.mode("overwrite").parquet(f"{base}/codebooks"))
+    (pq_encode(corpus.select(id_col, vec_col), books,
+               vec_col=vec_col, code_col="code")
+        .select(id_col, "code")
+        .write.mode("overwrite").parquet(f"{base}/codes"))
+    return books
+
+
+def _pq_read_codebooks(spark, index_dir: str) -> list[list[list[float]]]:
+    rows = (spark.read.parquet(f"{index_dir.rstrip('/')}/codebooks")
+                 .orderBy("sub", "cent").collect())
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r["sub"]:
+            books.append([])
+        books[r["sub"]].append(list(r["vec"]))
+    return books
+
+
+def pq_search(spark, index_dir: str, corpus: DataFrame, queries: DataFrame,
+              k: int = 5, shortlist: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Top-k against a PERSISTED PQ index (see pq_build_index).
+    Identical results to pq_topk with the same codebooks (asserted in
+    tests); operationally no training or corpus encoding happens at
+    query time — the ADC scan reads the narrow codes table, and
+    ``corpus`` (the full-width base table) is touched only to fetch the
+    shortlist rows for the exact re-rank."""
+    from pyspark.sql import Window
+
+    base = index_dir.rstrip("/")
+    books = _pq_read_codebooks(spark, base)
+    codes = (spark.read.parquet(f"{base}/codes")
+                  .select(F.col(id_col), F.col("code").alias("_code")))
+    q = queries.select(F.col(query_id_col),
+                       _pq_lut(F.col(vec_col), books).alias("_lut"))
+    adc = F.aggregate(
+        F.zip_with(F.col("_code"), F.col("_lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (codes.crossJoin(F.broadcast(q))
+                   .filter(F.col(id_col) != F.col(query_id_col))
+                   .select(query_id_col, id_col, adc.alias("_adc")))
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc())
+    short = (scored.withColumn("_r", F.row_number().over(w_short))
+                   .filter(F.col("_r") <= shortlist)
+                   .select(query_id_col, id_col))
+    return _exact_rerank(corpus, queries, short, k,
+                         id_col, vec_col, query_id_col)
+
+
+def pq_append_index(new_df: DataFrame, index_dir: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Append new vectors' codes to a persisted PQ index WITHOUT
+    retraining: encode against the FROZEN codebooks and append to the
+    codes table — per-batch cost ∝ batch, and pq_search sees the new
+    rows immediately. Same maintenance contract as ivf_append_index:
+    the quantizer drifts as the corpus distribution shifts, so rebuild
+    via pq_build_index when shortlist recall degrades; appends never
+    mutate existing files."""
+    base = index_dir.rstrip("/")
+    books = _pq_read_codebooks(new_df.sparkSession, base)
+    (pq_encode(new_df.select(id_col, vec_col), books,
+               vec_col=vec_col, code_col="code")
+        .select(id_col, "code")
+        .write.mode("append").parquet(f"{base}/codes"))

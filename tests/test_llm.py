@@ -1790,3 +1790,37 @@ def test_bm25_batch_empty_and_stopword_queries(spark):
     out = X.bm25_batch_topk(docs, qdf, k=10).collect()
     assert {r["query_id"] for r in out} == {"hit"}
     assert len(out) == 2  # both docs contain beta, counted once
+
+
+def test_pq_persisted_index_matches_inmemory(spark, tmp_path):
+    """pq_search over a persisted index returns exactly pq_topk's
+    result (same deterministic codebooks), and append-without-retrain
+    makes new vectors immediately searchable."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), float((i * 3) % 4), 1.0])
+         for i in range(1, 30)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") <= 2) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = str(tmp_path / "pq_idx")
+    books = S.pq_build_index(corpus, idx, m=2, ksub=4)
+    served = {(r["query_id"], r["vec_id"], r["rank"], r["cosine_sim"])
+              for r in S.pq_search(spark, idx, corpus, queries,
+                                   k=3, shortlist=8).collect()}
+    inmem = {(r["query_id"], r["vec_id"], r["rank"], r["cosine_sim"])
+             for r in S.pq_topk(corpus, queries, k=3, m=2, ksub=4,
+                                shortlist=8, codebooks=books).collect()}
+    assert served == inmem
+
+    extra = spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0, 9.0])], "vec_id long, embedding array<float>")
+    S.pq_append_index(extra, idx)
+    grown = corpus.unionByName(extra)
+    # a query identical in direction to the appended vector must now
+    # retrieve it first: it reaches the shortlist via its code and wins
+    # the exact re-rank with cosine 1.0
+    probe = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "query_id long, embedding array<float>")
+    top = (S.pq_search(spark, idx, grown, probe, k=1, shortlist=8)
+            .collect())
+    assert [(r["vec_id"], r["cosine_sim"]) for r in top] == [(100, 1.0)]
