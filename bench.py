@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "llm_ivfpq_topk",
     "llm_bm25_batch_topk",
     "llm_id3v2_tags",
+    "llm_unicode_nfc",
 ]
 
 

@@ -4790,6 +4790,40 @@ def llm_url_normalize(spark, sf_dir):
         P.url_domain(url).alias("domain"))
 
 
+@query("llm_unicode_nfc", """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber '
+              || chr(65) || chr(778) AS t
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(t) AS text_nfc,
+       length(nfc_normalize(t))::BIGINT AS len_nfc,
+       length(t)::BIGINT AS len_raw
+FROM raw
+""")
+def llm_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (llm/prep.py:unicode_normalize) — the
+    canonical-equivalence pass a web corpus needs before exact/shingle
+    dedup ('caf\u00e9' composed vs 'cafe'+COMBINING ACUTE are different
+    bytes to every fingerprint). Each document gets a deliberately
+    DECOMPOSED suffix appended on BOTH engines (combining acute,
+    combining diaeresis, combining ring — 15 code points); NFC
+    composes it to 12, and the two independent UAX #15 implementations
+    (Python unicodedata here, utf8proc behind DuckDB's nfc_normalize
+    in the oracle) are hash-checked against each other
+    codepoint-for-codepoint, with len_raw > len_nfc pinning that
+    composition actually happened rather than a passthrough."""
+    suffix = " cafe\u0301 u\u0308ber A\u030a"   # decomposed on purpose
+    d = _docs(spark, sf_dir)
+    raw = F.concat(F.col("text"), F.lit(suffix))
+    return d.select(
+        "doc_id",
+        P.unicode_normalize(raw).alias("text_nfc"),
+        F.length(P.unicode_normalize(raw)).cast("bigint").alias("len_nfc"),
+        F.length(raw).cast("bigint").alias("len_raw"))
+
+
 @query("llm_repeated_spans", """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

@@ -24,6 +24,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,7 +34,8 @@ from etl_tool_spark.llm.text import hash64, tokens
 __all__ = ["split_assign", "shard_assign", "stratified_sample",
            "weighted_sample", "sample_per_group", "PII_PATTERNS",
            "redact_pii", "pii_counts", "pack_sequences", "chunk_text",
-           "contamination", "normalize_url", "url_domain", "url_parts"]
+           "contamination", "normalize_url", "url_domain", "url_parts",
+           "unicode_normalize"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -108,6 +110,33 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+\d{1,3}-\d{3}-\d{3,4}-?\d{0,4}", "<PHONE>"),
 ]
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) of a string column — the
+    canonical-equivalence step a web corpus needs BEFORE any exact or
+    shingle dedup: 'café' composed (U+00E9) and decomposed
+    (e + U+0301) are the same text to a reader but different bytes to
+    every fingerprint, so unnormalized corpora under-deduplicate and
+    split token statistics across variants. Spark has no built-in
+    normalizer, so this is one of the few genuinely-Python operators:
+    an Arrow-batched pandas UDF around unicodedata.normalize (the
+    stdlib UAX #15 implementation; DuckDB's nfc_normalize — utf8proc —
+    implements the same algorithm, which is what makes the catalog
+    query oracle-checkable). Map-side, no shuffle; nulls pass through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unicode_normalize: unknown form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: unicodedata.normalize(form, v)
+                     if v is not None else None)
+
+    return norm(col)
 
 
 def redact_pii(col: Column) -> Column:
