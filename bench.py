@@ -252,6 +252,19 @@ def main() -> None:
         print(f"# {name}: {med:.2f}s median of {sorted(runs)} ({n} rows)",
               file=sys.stderr)
         if (i + 1) % SENTINEL_EVERY == 0 and i + 1 < len(run_order):
+            # segment hygiene: localCheckpoint blocks from completed
+            # queries are reclaimed by the ContextCleaner only after
+            # their references are GC'd; one advisory GC per segment
+            # keeps the storage footprint bounded by a segment's
+            # queries instead of the whole run's. NOTE on outliers: the
+            # CC-fixpoint query has been observed spiking 4.3s → 29.7s
+            # → 104.2s ~25 min into back-to-back full-load runs while
+            # its fresh-JVM/quiet reruns stay flat — sustained-load
+            # ambient (shared-host/thermal) contention, not plan or
+            # leak (the min-of-3 in `runs` and the per-query `ambient`
+            # factor in bench_detail.json make the diagnosis readable
+            # from the artifact alone).
+            spark.sparkContext._jvm.System.gc()
             trace.append(_sentinel())
 
     drift_end = _sentinel()
