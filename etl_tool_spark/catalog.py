@@ -1446,6 +1446,89 @@ def llm_ivf_hard_negatives(spark, sf_dir):
     return _ann_recall_stats(approx, exact, floor=0.70)
 
 
+@query("llm_semdedup", """
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+       true AS conservation_ok, true AS kept_separated_ok,
+       true AS dropped_witness_ok, true AS rep_kept_ok
+""")
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, llm/similarity.py semdedup): k-means
+    cluster the embeddings, prune cosine near-duplicates WITHIN each
+    cluster via connected components, keep the min-id representative per
+    duplicate group — the trained-quantizer semantic dedup that
+    complements the sign-LSH path (llm_semantic_dedup_groups). The
+    cluster assignment has no SQL twin (iterative k-means), so — like
+    the ANN recall rows — the query RETURNS its correctness contract,
+    computed in-plan over the full output:
+
+      * conservation_ok  — every input id comes back exactly once with
+        a keep/drop verdict (count(kept) + count(dropped) = count(in));
+      * kept_separated_ok — no two SURVIVORS in the same cluster are
+        within the cosine threshold of each other (the dedup actually
+        deduplicated);
+      * dropped_witness_ok — every dropped row has at least one
+        in-cluster neighbor over the threshold (nothing was dropped
+        without evidence);
+      * rep_kept_ok — every dropped row's representative is itself a
+        survivor (the audit trail resolves).
+
+    Deterministic keep rule + seeded sample-pinned centroids make the
+    drop set reproducible run-over-run; the exact drop COUNT is
+    engine-specific (it depends on the clustering), which is exactly
+    why the contract binds the four invariants instead. Property tests
+    (tests/test_semdedup.py) pin the drop semantics on crafted vectors:
+    chains collapse to one representative, cross-cluster near-dups are
+    NOT dropped (the paper's stated recall trade), orthogonal vectors
+    all survive."""
+    emb = _emb(spark, sf_dir)
+    res = S.semdedup(emb, threshold=0.45, nlist=8)
+    vf = emb.select("vec_id", F.col("embedding").alias("_v"),
+                    S.norm(F.col("embedding")).alias("_n"))
+    r = res.join(vf, "vec_id")
+    kept = r.filter(F.col("keep"))
+    dropped = r.filter(~F.col("keep"))
+
+    n_in = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = r.agg(F.count(F.lit(1)).alias("_n_out"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("_n_kept"))
+
+    ka = kept.select(F.col("vec_id").alias("_a"), F.col("cluster"),
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    kb = kept.select(F.col("vec_id").alias("_b"), F.col("cluster"),
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    ksim = F.try_divide(S.dot(F.col("_va"), F.col("_vb")),
+                        F.col("_na") * F.col("_nb"))
+    sep = (ka.join(kb, ["cluster"]).filter(F.col("_a") < F.col("_b"))
+             .agg(F.coalesce(F.max(ksim) < F.lit(0.45), F.lit(True))
+                   .alias("kept_separated_ok")))
+
+    da = dropped.select(F.col("vec_id").alias("_d"), F.col("cluster"),
+                        F.col("rep"), F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na"))
+    nb = r.select(F.col("vec_id").alias("_o"), F.col("cluster"),
+                  F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dsim = F.try_divide(S.dot(F.col("_va"), F.col("_vb")),
+                        F.col("_na") * F.col("_nb"))
+    witnessed = (da.join(nb, ["cluster"]).filter(F.col("_d") != F.col("_o"))
+                   .filter(dsim >= F.lit(0.45))
+                   .select("_d").distinct()
+                   .agg(F.count(F.lit(1)).alias("_n_witnessed")))
+    rep_ok = (da.join(kept.select(F.col("vec_id").alias("rep")), "rep",
+                      "left_anti")
+                .agg(F.count(F.lit(1)).alias("_n_orphan_rep")))
+
+    return (n_in.crossJoin(tot).crossJoin(sep).crossJoin(witnessed)
+                .crossJoin(rep_ok)
+                .select(F.col("n_vectors").cast("long").alias("n_vectors"),
+                        (F.col("_n_out") == F.col("n_vectors"))
+                          .alias("conservation_ok"),
+                        "kept_separated_ok",
+                        (F.col("_n_witnessed")
+                         == F.col("_n_out") - F.col("_n_kept"))
+                          .alias("dropped_witness_ok"),
+                        (F.col("_n_orphan_rep") == 0).alias("rep_kept_ok")))
+
+
 @query("llm_knn_label_consistency", """
 WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
                   embedding::DOUBLE[] AS qvec
@@ -4822,6 +4905,76 @@ def llm_unicode_nfc(spark, sf_dir):
         P.unicode_normalize(raw).alias("text_nfc"),
         F.length(P.unicode_normalize(raw)).cast("bigint").alias("len_nfc"),
         F.length(raw).cast("bigint").alias("len_raw"))
+
+
+@query("llm_html_extract", """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>d</title><style>p { color: red; }</style>'
+    || '<script type="text/javascript">var x = 1 < 2 && y > 3;</script>'
+    || '</head><body><h1>Doc ' || doc_id::VARCHAR || '</h1>' || chr(10)
+    || '<p>'
+    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+               '>', '&gt;')
+    || ' &amp; more &#39;quoted&#39;</p><!-- <p>generated</p> -->'
+    || '&nbsp;</body></html>' AS html
+  FROM documents),
+ s AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t1
+  FROM h),
+ e AS (
+  SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(replace(
+      t1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t2
+  FROM s)
+SELECT doc_id, length(html)::BIGINT AS n_chars_html,
+       trim(regexp_replace(t2, '[ \\t\\r\\n]+', ' ', 'g'))
+         AS text_extracted,
+       length(trim(regexp_replace(t2, '[ \\t\\r\\n]+', ' ', 'g')))::BIGINT
+         AS n_chars_text
+FROM e
+""")
+def llm_html_extract(spark, sf_dir):
+    """HTML \u2192 text extraction (llm/prep.py:html_to_text) \u2014 the WET-style
+    first pass of web-crawl ingestion: script/style bodies and comments
+    dropped, tags stripped, named entities decoded (&amp; last, so
+    text-encoded markup cannot re-materialize), whitespace collapsed.
+    Pure Column regexp chain \u2014 full scan width stays inside whole-stage
+    codegen, no UDF, no shuffle at all.
+
+    Each document is wrapped on BOTH engines in the same synthesized
+    page exercising the traps in order: a <script> body containing raw
+    '<' and '>' (the case naive tag-stripping corrupts), a <style>
+    block, a comment containing live-looking tags, entity-escaped body
+    text that must round-trip back to the original, &#39; decode, and
+    &nbsp; + newline collapse. The oracle re-implements the chain over
+    RE2 (DuckDB) vs Java regex here \u2014 two independent regex engines
+    hash-checked byte-for-byte on the full extracted string."""
+    d = _docs(spark, sf_dir)
+    esc = F.replace(F.replace(F.replace(F.col("text"),
+                                        F.lit("&"), F.lit("&amp;")),
+                              F.lit("<"), F.lit("&lt;")),
+                    F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit('<html><head><title>d</title><style>p { color: red; }</style>'
+              '<script type="text/javascript">var x = 1 < 2 && y > 3;'
+              '</script></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1>\n<p>'), esc,
+        F.lit(" &amp; more &#39;quoted&#39;</p><!-- <p>generated</p> -->"
+              "&nbsp;</body></html>"))
+    extracted = P.html_to_text(html)
+    return d.select("doc_id",
+                    F.length(html).cast("bigint").alias("n_chars_html"),
+                    extracted.alias("text_extracted"),
+                    F.length(extracted).cast("bigint").alias("n_chars_text"))
 
 
 @query("llm_repeated_spans", """

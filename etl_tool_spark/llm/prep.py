@@ -35,7 +35,7 @@ __all__ = ["split_assign", "shard_assign", "stratified_sample",
            "weighted_sample", "sample_per_group", "PII_PATTERNS",
            "redact_pii", "pii_counts", "pack_sequences", "chunk_text",
            "contamination", "normalize_url", "url_domain", "url_parts",
-           "unicode_normalize"]
+           "unicode_normalize", "html_to_text"]
 
 
 def _key_hash(key: Column, salt: str) -> Column:
@@ -341,3 +341,43 @@ def url_domain(col: Column, strip_www: bool = True) -> Column:
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return F.when(host != "", host)
+
+
+# ordered: script/style bodies fall BEFORE the generic tag strip (the
+# generic pass would remove the <script> tags but keep the JS text);
+# entities decode AFTER it (so text-encoded '&lt;script&gt;' can never
+# re-materialize as live markup); '&amp;' decodes last of the entities
+# (decoding it first would re-interpret '&amp;lt;' as '&lt;').
+_HTML_BLOCK_STRIPS = [
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+]
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                  ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                  ("&amp;", "&")]
+
+
+def html_to_text(col: Column) -> Column:
+    """Markup-stripped text from an HTML column — the first pass of
+    every web-crawl ingestion pipeline (WET-style extraction: tags,
+    script/style bodies and comments dropped, named entities decoded,
+    whitespace collapsed). Pure Column regexp chain: stays inside
+    whole-stage codegen at full scan width, no UDF.
+
+    Contract notes: tag strip is regex-grade, not an HTML5 tree parser
+    — unclosed <script>/<style> blocks degrade safely (the opening tag
+    is stripped, the body survives as text); entity decode covers the
+    named core + &#39; (the generic numeric form needs chr(), which
+    neither engine exposes inside a regexp); whitespace collapse uses
+    the explicit class [ \\t\\r\\n] so the Spark (Java regex) and
+    DuckDB (RE2) twins agree byte-for-byte on \\x0B-class edge chars.
+    The same chain re-implemented over RE2 is this operator's oracle
+    (catalog llm_html_extract)."""
+    out = col
+    for pat in _HTML_BLOCK_STRIPS:
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, "[ \t\r\n]+", " "))

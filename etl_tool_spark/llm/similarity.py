@@ -31,7 +31,7 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "ivf_build_index", "ivf_search", "ivf_append_index",
            "ivf_cell_stats", "hard_negatives",
            "pq_train_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
-           "pq_build_index", "pq_search", "pq_append_index"]
+           "pq_build_index", "pq_search", "pq_append_index", "semdedup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1142,3 +1142,61 @@ def pq_append_index(new_df: DataFrame, index_dir: str,
                vec_col=vec_col, code_col="code")
         .select(id_col, "code")
         .write.mode("append").parquet(f"{base}/codes"))
+
+
+def semdedup(df: DataFrame, threshold: float = 0.45, nlist: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_n: int = 4096, iters: int = 10, seed: int = 7,
+             max_iter: int = 25) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-duplicates
+    WITHIN each cluster only — the trained-quantizer complement to the
+    sign-LSH path (embedding_dup_pairs → semantic dedup groups). LSH
+    banding is data-oblivious; SemDeDup's clusters follow the corpus's
+    own density, so at a fixed comparison budget it concentrates pairs
+    where duplicates actually live (web data: boilerplate families,
+    mirrored pages, templated spam).
+
+    Shape: spherical k-means centroids from a deterministic sample
+    (training NEVER scales with the corpus), map-side nearest-centroid
+    assignment, within-cluster pair generation as an equi-join on the
+    cluster id (never a cross join), exact-cosine edges at ``threshold``,
+    connected components per cluster, keep = min id per component.
+    Returns (id_col, cluster, keep, rep): ``keep`` marks survivors,
+    ``rep`` is the kept representative (its own id for survivors).
+
+    At 100 TB ``nlist`` scales with the corpus (the paper runs ~100k
+    clusters for billions of docs) so per-cluster membership — and the
+    quadratic pair fan-out — stays bounded; the cluster equi-join is an
+    ordinary shuffle join AQE can split if one cluster runs hot.
+    Determinism: centroids are seeded and sample-pinned
+    (spherical_kmeans_centroids), the keep rule is min-id — the same
+    corpus always drops the same rows, which is what makes the result
+    auditable and the incremental re-run reproducible."""
+    from etl_tool_spark.llm.graph import connected_components
+
+    vf = df.select(F.col(id_col), F.col(vec_col),
+                   norm(F.col(vec_col)).alias("_n"))
+    centroids = spherical_kmeans_centroids(df, nlist=nlist, sample_n=sample_n,
+                                           iters=iters, seed=seed,
+                                           id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(vf, centroids, vec_col=vec_col,
+                          cluster_col="cluster")
+    a = assigned.select(F.col(id_col).alias("a"), F.col("cluster"),
+                        F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    b = assigned.select(F.col(id_col).alias("b"), F.col("cluster"),
+                        F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
+    sim = F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                       F.col("_na") * F.col("_nb"))
+    edges = (a.join(b, ["cluster"])
+              .filter(F.col("a") < F.col("b"))
+              .filter(sim >= threshold)
+              .select("a", "b"))
+    labels = connected_components(edges, src="a", dst="b", max_iter=max_iter)
+    out = (assigned.select(id_col, "cluster")
+                   .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+                   .select(F.col(id_col), F.col("cluster"),
+                           (F.col("label").isNull()
+                            | (F.col("label") == F.col(id_col))).alias("keep"),
+                           F.coalesce("label", F.col(id_col)).alias("rep")))
+    return out

@@ -256,3 +256,44 @@ def test_normalize_url_rules(spark):
         "url", P.normalize_url(F.col("url")).alias("n"),
         P.url_domain(F.col("url")).alias("d")).collect()}
     assert got == cases
+
+
+def test_html_to_text_cases(spark):
+    cases = {
+        # script body with raw < > survives tag-aware stripping
+        '<p>a</p><script>if (1 < 2 && 3 > 2) { x(); }</script><p>b</p>':
+            "a b",
+        # style body dropped, attributes in tags ignored
+        '<style type="text/css">p > a { color: red; }</style>'
+        '<div class="x">text</div>': "text",
+        # comments containing live-looking tags
+        "before<!-- <script>evil()</script> -->after": "before after",
+        # entity decode order: &amp;lt; must NOT become '<'
+        "x &amp;lt; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; &apos;t&apos;":
+            'x &lt; y <tag> "q" \'s\' \'t\'',
+        # nbsp + newline/tab collapse
+        "a&nbsp;&nbsp;b\n\t c": "a b c",
+        # unclosed script degrades safely: opening tag stripped, body
+        # survives as text (regex-grade contract, not a tree parser)
+        "<script>var x = 1;": "var x = 1;",
+        # case-insensitive tags, multi-line script body
+        "<SCRIPT>\nvar a;\n</SCRIPT><B>bold</B>": "bold",
+        "": "",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    got = {r["html"]: r["t"]
+           for r in df.select("html",
+                              P.html_to_text(F.col("html")).alias("t"))
+                      .collect()}
+    assert got == cases
+
+
+def test_html_to_text_roundtrip_escaped_payload(spark):
+    # any text, entity-escaped and wrapped in markup, comes back intact
+    payload = 'if (a < b && b > c) { s = "x" + \'y\'; } & done'
+    esc = (payload.replace("&", "&amp;").replace("<", "&lt;")
+                  .replace(">", "&gt;").replace('"', "&quot;"))
+    df = spark.createDataFrame([(f"<html><body><p>{esc}</p></body></html>",)],
+                               "html string")
+    got = df.select(P.html_to_text(F.col("html")).alias("t")).head()["t"]
+    assert got == payload
