@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     "llm_bm25_batch_topk",
     "llm_id3v2_tags",
     "llm_unicode_nfc",
+    # round 6 (cont.): cluster-pruned semantic dedup + web-crawl text
+    # triage (HTML strip, script profiling, LM perplexity terciles)
+    "llm_semdedup",
+    "llm_html_extract",
+    "llm_script_detect",
+    "llm_ngram_lm_score",
 ]
 
 

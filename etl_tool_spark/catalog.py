@@ -930,6 +930,76 @@ def llm_language_id(spark, sf_dir):
                        X.language_id(F.col("text"), toks=F.col("_toks")).alias("lang_pred"))
 
 
+def _script_detect_oracle() -> str:
+    counts = ",\n       ".join(
+        f"(length(t) - length(regexp_replace(t, '\\p{{{s}}}', '', 'g')))"
+        f"::BIGINT AS n_{s.lower()}" for s in X.SCRIPTS)
+    m = "greatest(" + ", ".join(f"n_{s.lower()}" for s in X.SCRIPTS) + ")"
+    dom = ("CASE "
+           + " ".join(f"WHEN n_{s.lower()} = m AND m > 0 THEN '{s.lower()}'"
+                      for s in X.SCRIPTS)
+           + " ELSE 'unknown' END")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN ' ' || repeat(chr(1084)||chr(1080)||chr(1088), 60)
+           WHEN 2 THEN ' ' || repeat(chr(945)||chr(946)||chr(947), 60)
+           WHEN 3 THEN ' ' || repeat(chr(20013)||chr(25991), 60)
+           WHEN 4 THEN ' ' || repeat(chr(1575)||chr(1576)||chr(1578), 60)
+           ELSE '' END AS t
+  FROM documents),
+ c AS (SELECT doc_id, {counts} FROM raw),
+ g AS (SELECT *, {m} AS m FROM c)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_han,
+       {dom} AS dominant
+FROM g
+"""
+
+
+@query("llm_script_detect", _script_detect_oracle())
+def llm_script_detect(spark, sf_dir):
+    """Writing-system profiling (llm/text.py script_counts /
+    dominant_script) — the pass BEFORE language ID in a multilingual
+    crawl: stopword/n-gram langid is only meaningful within the script
+    it was built for, so documents route by dominant Unicode script
+    first. Ten script counters over Java's \\p{IsX} properties, pure
+    Column, one projection, no shuffle; the dominant label is a fixed
+    first-match-wins priority both engines replay (oracle: the same
+    CASE over greatest(), RE2's \\p{X} classes — two independent
+    Unicode script tables hash-checked against each other).
+
+    Synthesis: each document gets a long non-Latin block appended by
+    doc_id % 5 (Cyrillic / Greek / Han / Arabic, repeated 60×, built
+    from chr() codes on both engines) so every profiled branch of the
+    CASE — including the Latin-dominant default — actually carries
+    rows at every SF."""
+    phrases = {1: "\u043c\u0438\u0440",          # Cyrillic
+               2: "\u03b1\u03b2\u03b3",          # Greek
+               3: "\u4e2d\u6587",                 # Han
+               4: "\u0627\u0628\u062a"}          # Arabic
+    d = _docs(spark, sf_dir)
+    mod = F.col("doc_id") % 5
+    suffix = F.lit("")
+    for k, p in phrases.items():
+        suffix = F.when(mod == k,
+                        F.concat(F.lit(" "), F.repeat(F.lit(p), 60))) \
+                  .otherwise(suffix)
+    # the synthesized column materializes in its own projection: ten
+    # counters + the dominance chain reference it, and Project-collapse
+    # would otherwise inline the concat per reference
+    base = d.select("doc_id", F.concat(F.col("text"), suffix).alias("_t"))
+    c = X.script_counts(F.col("_t"))
+    return base.select(
+        "doc_id",
+        c["latin"].cast("bigint").alias("n_latin"),
+        c["cyrillic"].cast("bigint").alias("n_cyrillic"),
+        c["greek"].cast("bigint").alias("n_greek"),
+        c["arabic"].cast("bigint").alias("n_arabic"),
+        c["han"].cast("bigint").alias("n_han"),
+        X.dominant_script(F.col("_t"), counts=c).alias("dominant"))
+
+
 @query("llm_quality_stats", """
 WITH t AS (
   SELECT doc_id, trim(text) AS tt,
@@ -5549,6 +5619,92 @@ def llm_bigram_logprob(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.round(F.avg(F.log10(F.col("cb") / F.col("c1"))), 6)
                     .alias("avg_bigram_logprob")))
+
+
+@query("llm_ngram_lm_score", """
+WITH tr AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0),
+ toks AS (SELECT unnest(a) AS w FROM tr),
+ uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+ tot AS (SELECT sum(c1) AS n FROM uni),
+ bip AS (SELECT a[i] || ' ' || a[i+1] AS bg
+         FROM tr, unnest(range(1, len(a))) AS u(i) WHERE len(a) >= 2),
+ bi AS (SELECT bg, count(*) AS c2 FROM bip GROUP BY bg),
+ trip AS (SELECT a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS tg
+          FROM tr, unnest(range(1, len(a) - 1)) AS u(i) WHERE len(a) >= 3),
+ tri AS (SELECT tg, count(*) AS c3 FROM trip GROUP BY tg),
+ sc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents WHERE trim(text) <> ''),
+ pos AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+         FROM sc, unnest(range(1, len(a) - 1)) AS u(i) WHERE len(a) >= 3),
+ j AS (SELECT p.doc_id, t.c3, b12.c2 AS c2_12, b23.c2 AS c2_23,
+              u2.c1 AS c1_2, u3.c1 AS c1_3, tot.n
+       FROM pos p
+       LEFT JOIN tri t ON t.tg = p.w1 || ' ' || p.w2 || ' ' || p.w3
+       LEFT JOIN bi b12 ON b12.bg = p.w1 || ' ' || p.w2
+       LEFT JOIN bi b23 ON b23.bg = p.w2 || ' ' || p.w3
+       LEFT JOIN uni u2 ON u2.w = p.w2
+       LEFT JOIN uni u3 ON u3.w = p.w3
+       CROSS JOIN tot),
+ s AS (SELECT doc_id,
+              CASE WHEN c3 IS NOT NULL THEN c3 / c2_12
+                   WHEN c2_23 IS NOT NULL THEN 0.4::DOUBLE * c2_23 / c1_2
+                   ELSE 0.4::DOUBLE * 0.4::DOUBLE
+                        * coalesce(c1_3, 0.5::DOUBLE) / n
+              END AS p
+       FROM j),
+ agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                round(avg(log10(p)), 6) AS avg_logprob
+         FROM s GROUP BY doc_id),
+ r AS (SELECT *,
+              percent_rank() OVER (ORDER BY avg_logprob DESC, doc_id) AS pr
+       FROM agg)
+SELECT doc_id, n_trigrams, avg_logprob,
+       CASE WHEN pr < 1::DOUBLE / 3 THEN 'head'
+            WHEN pr < 2::DOUBLE / 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+""")
+def llm_ngram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter (llm/text.py
+    stupid_backoff_logprob + operators/globalorder.banded_cumsum): a
+    stupid-backoff trigram LM (Brants et al. 2007) trained on the
+    curated HALF of the corpus (doc_id % 2 = 0) scores EVERY document,
+    and the corpus splits into head/middle/tail perplexity terciles —
+    the Wenzek et al. 2020 recipe for keeping the fluent slice of a
+    crawl. Training on a held-out slice is what makes the score real:
+    odd documents genuinely hit unattested trigrams, so every backoff
+    arm (trigram MLE → α·bigram → α²·unigram with OOV floor) carries
+    rows, unlike a same-corpus MLE whose backoff is dead code.
+
+    The tercile assignment needs a GLOBAL rank over a corpus-sized
+    frame — the classic single-partition-window trap — so the rank
+    rides banded_cumsum over (⌊score⌋ DESC, ⌊1000·score⌋ DESC) bands:
+    only the ≤dozens-row band summary is globally ordered, and
+    percent_rank reconstructs exactly as (rank−1)/(n−1) against the
+    one-row corpus count (the oracle's window-function twin proves the
+    decomposition bit-equal, bucket labels included)."""
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    scored = X.stupid_backoff_logprob(train, d)
+    banded = (scored
+              .withColumn("_b1", F.floor(F.col("avg_logprob")))
+              .withColumn("_b2", F.floor(F.col("avg_logprob") * 1000))
+              .withColumn("_one", F.lit(1)))
+    ranked = GO.banded_cumsum(
+        banded, [("_b1", True), ("_b2", True)],
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        "_one", out="_rank")
+    n = scored.agg(F.count(F.lit(1)).alias("_n"))
+    pr = F.coalesce(F.try_divide(F.col("_rank") - 1, F.col("_n") - 1),
+                    F.lit(0.0))
+    bucket = (F.when(pr < F.lit(1.0) / 3, "head")
+               .when(pr < F.lit(2.0) / 3, "middle")
+               .otherwise("tail"))
+    return (ranked.crossJoin(F.broadcast(n))
+                  .select("doc_id", "n_trigrams", "avg_logprob",
+                          bucket.alias("bucket")))
 
 
 @query("llm_gopher_quality", """

@@ -15,6 +15,8 @@ __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "quality_features", "language_id", "fingerprint",
            "repetition_stats", "boilerplate_ngrams", "repeated_spans",
            "excise_repeated_spans", "bm25_scores", "bm25_batch_topk",
+           "script_counts", "dominant_script", "SCRIPTS",
+           "stupid_backoff_logprob",
            "STOPWORDS"]
 
 
@@ -459,3 +461,131 @@ def bm25_batch_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                                  F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+#: Unicode scripts profiled by script_counts, in dominance-priority
+#: order (first-match-wins on count ties). Values are the Unicode
+#: script property names shared by Java regex (\p{IsX}) and RE2
+#: (\p{X}) — the same table drives both the Spark chain and its
+#: DuckDB oracle.
+SCRIPTS = ["Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han",
+           "Hangul", "Hiragana", "Katakana", "Devanagari"]
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-script codepoint counts — the writing-system profile that
+    gates which language-ID / tokenization path a crawl document takes
+    (stopword n-gram langid only means anything for the script it was
+    built for). One count per script in SCRIPTS, computed as
+    length(text) − length(text with that script's codepoints removed):
+    pure Column regexp over Java's \\p{IsX} script properties, full
+    scan width inside codegen, no UDF, no shuffle. Digits, punctuation
+    and whitespace are script 'Common' and count toward nothing."""
+    return {s.lower(): (F.length(col)
+                        - F.length(F.regexp_replace(col, rf"\p{{Is{s}}}", "")))
+            for s in SCRIPTS}
+
+
+def dominant_script(col: Column,
+                    counts: dict[str, Column] | None = None) -> Column:
+    """Name of the script with the most codepoints ('unknown' when no
+    profiled script appears). Ties resolve to the earliest script in
+    SCRIPTS — a fixed priority both engines replay exactly (the oracle
+    is the same first-match CASE over greatest())."""
+    c = counts if counts is not None else script_counts(col)
+    m = F.greatest(*[c[s.lower()] for s in SCRIPTS])
+    out = F.lit("unknown")
+    for s in reversed(SCRIPTS):
+        out = F.when((c[s.lower()] == m) & (m > 0), F.lit(s.lower())) \
+               .otherwise(out)
+    return out
+
+
+def stupid_backoff_logprob(train: DataFrame, score: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           alpha: float = 0.4) -> DataFrame:
+    """Per-document average trigram log-probability under a stupid-
+    backoff LM (Brants et al., EMNLP 2007 — the web-scale n-gram
+    smoothing: no discount mass bookkeeping, just score
+    c3/c2 when the trigram is attested, else α·(c2/c1), else
+    α²·c1/N with a 0.5 OOV pseudo-count floor) trained on ``train``
+    and scored over ``score`` — the CCNet-style quality filter shape:
+    the LM comes from a curated slice, the crawl is scored against it,
+    and held-out text genuinely exercises every backoff arm.
+
+    Scale shape: the three count tables are n-gram-vocabulary sized —
+    orders below the token stream for unigrams/bigrams, potentially
+    corpus-order for trigrams on web data — so each joins back through
+    the broadcast size gate: broadcast while they fit, sort-merge with
+    AQE skew-splitting when they don't. The scored token stream is
+    traversed once (one explode over trigram positions carrying the
+    three context words), and every count lookup is a LEFT join so
+    unattested n-grams fall through the CASE, never drop rows.
+
+    Returns (id_col, n_trigrams, avg_logprob): docs with fewer than 3
+    tokens carry no trigram positions and are absent, matching the SQL
+    twin. avg_logprob is log10, rounded to 6 for cross-engine hashing.
+    """
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    a2 = float(alpha) * float(alpha)
+
+    def _toks(df: DataFrame) -> DataFrame:
+        t = F.trim(F.col(text_col))
+        return (df.filter(t != "")
+                  .select(F.col(id_col), F.split(t, r"\s+").alias("_a")))
+
+    tr = _toks(train)
+    uni = (tr.select(F.explode("_a").alias("_w"))
+             .groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+             .localCheckpoint(eager=True))
+    total = uni.agg(F.sum("_c1").alias("_n"))
+    bi = (tr.filter(F.size("_a") >= 2)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(_a) - 1),"
+                " i -> concat(element_at(_a, i), ' ', element_at(_a, i + 1)))"
+            )).alias("_bg"))
+            .groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+            .localCheckpoint(eager=True))
+    tri = (tr.filter(F.size("_a") >= 3)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(_a) - 2),"
+                 " i -> concat(element_at(_a, i), ' ', element_at(_a, i + 1),"
+                 "             ' ', element_at(_a, i + 2)))")).alias("_tg"))
+             .groupBy("_tg").agg(F.count(F.lit(1)).alias("_c3"))
+             .localCheckpoint(eager=True))
+
+    pos = (_toks(score).filter(F.size("_a") >= 3)
+           .select(F.col(id_col), F.explode(F.expr(
+               "transform(sequence(1, size(_a) - 2),"
+               " i -> struct(element_at(_a, i) AS w1,"
+               "             element_at(_a, i + 1) AS w2,"
+               "             element_at(_a, i + 2) AS w3))")).alias("_p"))
+           .select(id_col, "_p.w1", "_p.w2", "_p.w3"))
+    g = (pos
+         .withColumn("_tg", F.concat_ws(" ", "w1", "w2", "w3"))
+         .withColumn("_bg12", F.concat_ws(" ", "w1", "w2"))
+         .withColumn("_bg23", F.concat_ws(" ", "w2", "w3")))
+    g = (g.join(gated_broadcast(tri), "_tg", "left")
+          .join(gated_broadcast(bi.select(F.col("_bg").alias("_bg12"),
+                                          F.col("_c2").alias("_c2_12"))),
+                "_bg12", "left")
+          .join(gated_broadcast(bi.select(F.col("_bg").alias("_bg23"),
+                                          F.col("_c2").alias("_c2_23"))),
+                "_bg23", "left")
+          .join(gated_broadcast(uni.select(F.col("_w").alias("w2"),
+                                           F.col("_c1").alias("_c1_2"))),
+                "w2", "left")
+          .join(gated_broadcast(uni.select(F.col("_w").alias("w3"),
+                                           F.col("_c1").alias("_c1_3"))),
+                "w3", "left")
+          .crossJoin(F.broadcast(total)))
+    sc = (F.when(F.col("_c3").isNotNull(),
+                 F.col("_c3") / F.col("_c2_12"))
+           .when(F.col("_c2_23").isNotNull(),
+                 F.lit(alpha) * F.col("_c2_23") / F.col("_c1_2"))
+           .otherwise(F.lit(a2) * F.coalesce(F.col("_c1_3"), F.lit(0.5))
+                      / F.col("_n")))
+    return (g.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                  F.round(F.avg(F.log10(sc)), 6).alias("avg_logprob")))

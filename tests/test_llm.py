@@ -1851,3 +1851,70 @@ def test_unicode_normalize_forms_and_nulls(spark):
     assert twice == out
     with _pytest.raises(ValueError):
         P.unicode_normalize(F.col("t"), "NFX")
+
+
+def test_script_counts_and_dominant(spark):
+    cases = [
+        # (text, expected dominant, spot counts)
+        ("hello world", "latin", {"latin": 10, "cyrillic": 0}),
+        ("привет", "cyrillic",
+         {"cyrillic": 6, "latin": 0}),
+        ("中文处理", "han", {"han": 4}),
+        ("αβγ abc", "latin",      # tie 3-3 → priority order
+         {"greek": 3, "latin": 3}),
+        ("ابتث", "arabic", {"arabic": 4}),
+        ("カタカナ ひら", "katakana",
+         {"katakana": 4, "hiragana": 2}),
+        ("123 .,;!?", "unknown", {"latin": 0}),
+        ("", "unknown", {}),
+        # mixed: majority wins
+        ("ab миру", "cyrillic",
+         {"latin": 2, "cyrillic": 4}),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _, _) in enumerate(cases)],
+                               "id long, t string")
+    c = X.script_counts(F.col("t"))
+    rows = {r["id"]: r for r in df.select(
+        "id", X.dominant_script(F.col("t"), counts=c).alias("dom"),
+        *[c[k].alias(k) for k in ("latin", "cyrillic", "greek", "arabic",
+                                  "han", "hiragana", "katakana")]).collect()}
+    for i, (t, dom, counts) in enumerate(cases):
+        assert rows[i]["dom"] == dom, (t, rows[i]["dom"])
+        for k, v in counts.items():
+            assert rows[i][k] == v, (t, k, rows[i][k])
+
+
+def test_stupid_backoff_arms_hand_computed(spark):
+    # train corpus "a b c a b d": trigram counts {a b c, b c a, c a b,
+    # a b d}=1; bigrams {a b:2, b c:1, c a:1, b d:1}; unigrams
+    # {a:2, b:2, c:1, d:1}, N=6
+    import math
+    train = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    cases = {
+        1: ("a b c", 1 / 2),                 # trigram MLE: c3/c2(a b)
+        2: ("c b d", 0.4 * 1 / 2),           # backoff: α·c2(b d)/c1(b)
+        3: ("x y d", 0.4 * 0.4 * 1 / 6),     # unigram arm: α²·c1(d)/N
+        4: ("x y z", 0.4 * 0.4 * 0.5 / 6),   # OOV floor: α²·0.5/N
+        5: ("a b", None),                    # <3 tokens: absent
+    }
+    score = spark.createDataFrame([(i, t) for i, (t, _) in cases.items()],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           X.stupid_backoff_logprob(train, score).collect()}
+    assert 5 not in got
+    for i, (_, p) in cases.items():
+        if p is None:
+            continue
+        assert got[i]["n_trigrams"] == 1
+        assert got[i]["avg_logprob"] == round(math.log10(p), 6), (i, got[i])
+
+
+def test_stupid_backoff_multi_position_average(spark):
+    import math
+    train = spark.createDataFrame([(0, "a b c a b d")], "doc_id long, text string")
+    # "a b c a": positions (a b c) -> 1/2 and (b c a) -> c3(b c a)/c2(b c)=1/1
+    score = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    r = X.stupid_backoff_logprob(train, score).head()
+    assert r["n_trigrams"] == 2
+    expect = round((math.log10(0.5) + math.log10(1.0)) / 2, 6)
+    assert r["avg_logprob"] == expect
