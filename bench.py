@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "llm_html_extract",
     "llm_script_detect",
     "llm_ngram_lm_score",
+    "llm_mmr_topk",
 ]
 
 

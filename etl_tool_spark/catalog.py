@@ -1599,6 +1599,91 @@ def llm_semdedup(spark, sf_dir):
                         (F.col("_n_orphan_rep") == 0).alias("rep_kept_ok")))
 
 
+@query("llm_mmr_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+ c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+ scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(cv, cv))), 6) AS rel
+  FROM c, q WHERE c.vec_id != q.query_id),
+ shortlist AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= 20),
+ sims AS (
+  SELECT sa.query_id, sa.vec_id AS ida, sb.vec_id AS idb,
+         round(list_dot_product(ca.cv, cb.cv) /
+               (sqrt(list_dot_product(ca.cv, ca.cv)) *
+                sqrt(list_dot_product(cb.cv, cb.cv))), 6) AS sim
+  FROM shortlist sa
+  JOIN shortlist sb ON sa.query_id = sb.query_id
+                   AND sa.vec_id != sb.vec_id
+  JOIN c ca ON ca.vec_id = sa.vec_id
+  JOIN c cb ON cb.vec_id = sb.vec_id),
+ s1 AS (
+  SELECT query_id, vec_id, rel, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM shortlist) WHERE rn = 1),
+ o2 AS (
+  SELECT s.query_id, s.vec_id, s.rel,
+         0.5::DOUBLE * s.rel - 0.5::DOUBLE * m.sim AS obj
+  FROM shortlist s
+  JOIN s1 ON s1.query_id = s.query_id AND s.vec_id != s1.vec_id
+  JOIN sims m ON m.query_id = s.query_id AND m.ida = s.vec_id
+             AND m.idb = s1.vec_id),
+ s2 AS (
+  SELECT query_id, vec_id, rel, 2 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY obj DESC, vec_id) AS rn
+    FROM o2) WHERE rn = 1),
+ sel12 AS (SELECT query_id, vec_id FROM s1
+           UNION ALL SELECT query_id, vec_id FROM s2),
+ o3 AS (
+  SELECT s.query_id, s.vec_id, s.rel,
+         0.5::DOUBLE * s.rel - 0.5::DOUBLE * max(m.sim) AS obj
+  FROM shortlist s
+  JOIN sims m ON m.query_id = s.query_id AND m.ida = s.vec_id
+  JOIN sel12 ON sel12.query_id = m.query_id AND sel12.vec_id = m.idb
+  WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                    WHERE x.query_id = s.query_id
+                      AND x.vec_id = s.vec_id)
+  GROUP BY s.query_id, s.vec_id, s.rel),
+ s3 AS (
+  SELECT query_id, vec_id, rel, 3 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY obj DESC, vec_id) AS rn
+    FROM o3) WHERE rn = 1)
+SELECT query_id, vec_id, rel, rank FROM s1
+UNION ALL SELECT query_id, vec_id, rel, rank FROM s2
+UNION ALL SELECT query_id, vec_id, rel, rank FROM s3
+""")
+def llm_mmr_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-k (llm/similarity.py
+    mmr_topk, Carbonell & Goldstein 1998): per query, greedily select
+    k=3 of a 20-item exact shortlist maximizing λ·rel − (1−λ)·max sim
+    to the already-selected — the re-rank that keeps a RAG context or
+    a training-mix slate from being k near-copies of one passage. The
+    greedy loop unrolls into k DataFrame stages (anti-join vs
+    selected, per-candidate max over selected, per-query argmax window
+    over ≤20 rows) — no UDF, no iteration at action time — and the
+    oracle unrolls the SAME three stages in SQL, so unlike the
+    ANN-contract rows every selected id, relevance value and selection
+    rank is hash-checked exactly. λ=0.5 keeps (1−λ) bit-identical
+    across engines (1−0.7 is 0.30000000000000004 in IEEE — a real
+    cross-engine hash hazard with any other λ, documented here so the
+    default stays 0.5 in oracle-checked paths)."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (S.mmr_topk(emb, queries, k=3, shortlist=20, lam=0.5)
+              .select("query_id", "vec_id", "rel", "rank"))
+
+
 @query("llm_knn_label_consistency", """
 WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
                   embedding::DOUBLE[] AS qvec

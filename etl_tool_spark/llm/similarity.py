@@ -31,7 +31,8 @@ __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "ivf_build_index", "ivf_search", "ivf_append_index",
            "ivf_cell_stats", "hard_negatives",
            "pq_train_codebooks", "pq_encode", "pq_topk", "ivfpq_topk",
-           "pq_build_index", "pq_search", "pq_append_index", "semdedup"]
+           "pq_build_index", "pq_search", "pq_append_index", "semdedup",
+           "mmr_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1200,3 +1201,87 @@ def semdedup(df: DataFrame, threshold: float = 0.45, nlist: int = 16,
                             | (F.col("label") == F.col(id_col))).alias("keep"),
                            F.coalesce("label", F.col(id_col)).alias("rep")))
     return out
+
+
+def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             shortlist: int = 20, lam: float = 0.7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily select k items maximizing
+    λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the diversified
+    top-k that retrieval-augmented pipelines use so a context window
+    isn't k near-copies of the same passage. Pure DataFrame: relevance
+    comes from the exact shortlist (brute_force_topk), candidate-to-
+    candidate similarities from ONE within-query self-join on the
+    shortlist (fan-out ≤ shortlist² per query, never corpus²), and the
+    greedy loop unrolls into k plan stages — each an anti-join against
+    the selected set, a per-(candidate, selected) max, and a per-query
+    argmax window over ≤shortlist rows. No UDF anywhere; k and
+    shortlist are plan constants, so the shape is scale-invariant and
+    cost per stage is (queries × shortlist)-sized regardless of corpus.
+
+    All similarities round to 6 decimals BEFORE the objective so the
+    greedy argmax (ties broken by candidate id) replays identically on
+    any engine — the catalog oracle unrolls the same k stages in SQL.
+    Returns (query_id, vec_id, rel, rank) with rank 1..k in selection
+    order."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"mmr_topk needs k >= 1, got {k}")
+    lam = float(lam)
+    rel = (brute_force_topk(corpus, queries, k=shortlist,
+                            id_col=id_col, vec_col=vec_col,
+                            query_id_col=query_id_col)
+           .select(query_id_col, F.col(id_col).alias("_cand"),
+                   F.col("cosine_sim").alias("_rel"))
+           .localCheckpoint(eager=True))
+    vf = corpus.select(F.col(id_col), F.col(vec_col),
+                       norm(F.col(vec_col)).alias("_norm"))
+    ca = (rel.select(query_id_col, F.col("_cand").alias("_a"))
+             .join(vf.select(F.col(id_col).alias("_a"),
+                             F.col(vec_col).alias("_va"),
+                             F.col("_norm").alias("_na")), "_a"))
+    cb = (rel.select(query_id_col, F.col("_cand").alias("_b"))
+             .join(vf.select(F.col(id_col).alias("_b"),
+                             F.col(vec_col).alias("_vb"),
+                             F.col("_norm").alias("_nb")), "_b"))
+    pair_sim = F.round(F.try_divide(dot(F.col("_va"), F.col("_vb")),
+                                    F.col("_na") * F.col("_nb")), 6)
+    sims = (ca.join(cb, [query_id_col])
+              .filter(F.col("_a") != F.col("_b"))
+              .select(query_id_col, "_a", "_b", pair_sim.alias("_sim"))
+              .localCheckpoint(eager=True))
+
+    w = Window.partitionBy(query_id_col)
+    picked = None        # accumulated (query_id, _cand, _rel, rank)
+    for step in range(1, k + 1):
+        if picked is None:
+            cands = rel
+            objective = F.col("_rel")
+        else:
+            cands = rel.join(picked.select(query_id_col,
+                                           F.col("_cand")),
+                             [query_id_col, "_cand"], "left_anti")
+            max_sel = (sims.join(picked.select(query_id_col,
+                                               F.col("_cand").alias("_b")),
+                                 [query_id_col, "_b"])
+                           .groupBy(query_id_col, "_a")
+                           .agg(F.max("_sim").alias("_maxsim"))
+                           .withColumnRenamed("_a", "_cand"))
+            cands = cands.join(max_sel, [query_id_col, "_cand"], "left")
+            objective = (F.lit(lam) * F.col("_rel")
+                         - F.lit(1.0 - lam)
+                         * F.coalesce("_maxsim", F.lit(0.0)))
+        ranked = cands.withColumn(
+            "_rn", F.row_number().over(
+                w.orderBy(objective.desc(), F.col("_cand").asc())))
+        best = (ranked.filter(F.col("_rn") == 1)
+                      .select(query_id_col, "_cand", "_rel",
+                              F.lit(step).alias("rank")))
+        picked = best if picked is None else picked.unionByName(best)
+        picked = picked.localCheckpoint(eager=False)
+    return picked.select(F.col(query_id_col),
+                         F.col("_cand").alias(id_col),
+                         F.col("_rel").alias("rel"), "rank")

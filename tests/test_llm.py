@@ -1918,3 +1918,50 @@ def test_stupid_backoff_multi_position_average(spark):
     assert r["n_trigrams"] == 2
     expect = round((math.log10(0.5) + math.log10(1.0)) / 2, 6)
     assert r["avg_logprob"] == expect
+
+
+def test_mmr_diversifies_against_near_duplicates(spark):
+    import math
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    def rot(angle, axis=1, dim=4):
+        v = [0.0] * dim
+        v[0] = math.cos(angle)
+        v[axis] = math.sin(angle)
+        return v
+
+    # corpus: query q=e0 (id 0); A (id 1) and A' (id 2) nearly identical
+    # and most relevant; B (id 3) less relevant but diverse.
+    vecs = [rot(0.0), rot(0.10), rot(0.12), rot(0.5, axis=2)]
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], schema)
+    q = emb.filter(F.col("vec_id") == 0) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {r["rank"]: r["vec_id"]
+           for r in S.mmr_topk(emb, q, k=3, shortlist=3, lam=0.5).collect()}
+    # pure relevance would pick (1, 2, 3); MMR demotes the near-copy
+    assert got == {1: 1, 2: 3, 3: 2}
+    # lam=1.0 degenerates to pure relevance order
+    got_rel = {r["rank"]: r["vec_id"]
+               for r in S.mmr_topk(emb, q, k=3, shortlist=3, lam=1.0)
+                          .collect()}
+    assert got_rel == {1: 1, 2: 2, 3: 3}
+
+
+def test_mmr_k_exceeding_shortlist_returns_what_exists(spark):
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2])], schema)
+    q = emb.filter(F.col("vec_id") == 0) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = S.mmr_topk(emb, q, k=5, shortlist=2, lam=0.5).collect()
+    assert sorted(r["rank"] for r in rows) == [1, 2]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.mmr_topk(emb, q, k=0)
