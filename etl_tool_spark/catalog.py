@@ -7243,3 +7243,43 @@ def etl_incremental_mv_minmax_fold(spark, sf_dir):
                         F.col("mv_n").alias("n_rows"),
                         F.col("mv_min").alias("min_cents"),
                         F.col("mv_max").alias("max_cents"))
+
+
+@query("agg_heavy_hitters", """
+WITH d AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+ t AS (
+  SELECT a[i] || ' ' || a[i+1] AS bigram
+  FROM d, unnest(range(1, len(a))) AS u(i) WHERE len(a) >= 2)
+SELECT bigram, count(*)::BIGINT AS cnt
+FROM t GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 20
+""")
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact top-20 most frequent word bigrams via the bounded-shuffle
+    heavy-hitter operator (operators/heavy.py): per-partition
+    Misra-Gries candidate summaries (≤ m counters each, PODS'12 merge
+    rule) → broadcast-pruned exact recount → one-row in-plan exactness
+    gate (k-th count must clear n/(m+1), else raise_error). The shuffle
+    carries partitions × m candidate rows instead of one row per
+    distinct key — at 100 TB with billions of distinct n-grams that is
+    the difference between a candidate exchange measured in MB and a
+    full vocabulary shuffle. The toy corpus's ~930-bigram vocabulary
+    never trips m=2048 truncation (the gate clears with ≥3× margin at
+    every SF); the truncation path and both gate failure modes are
+    pinned by crafted-skew unit tests, the same prove-the-floor-bites
+    stance as the PQ recall contract."""
+    from etl_tool_spark.operators.heavy import top_k_heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    arr = (d.filter(t != "")
+            .select(F.split(t, r"\s+").alias("a"))
+            .filter(F.size("a") >= 2))
+    grams = arr.select(F.explode(F.expr(
+        "transform(sequence(1, size(a) - 1),"
+        " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+        .alias("bigram"))
+    return top_k_heavy_hitters(grams, "bigram", k=20, m=2048)
