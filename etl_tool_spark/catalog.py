@@ -7283,3 +7283,51 @@ def agg_heavy_hitters(spark, sf_dir):
         " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
         .alias("bigram"))
     return top_k_heavy_hitters(grams, "bigram", k=20, m=2048)
+
+
+@query("llm_quality_classifier", """
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS y,
+         regexp_split_to_array(trim(text), '\\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+ feats AS (
+  SELECT doc_id, y, unnest(a) AS f FROM d
+  UNION ALL
+  SELECT doc_id, y, a[i] || ' ' || a[i+1] AS f
+  FROM d, unnest(range(1, len(a))) AS u(i) WHERE len(a) >= 2),
+ counts AS (
+  SELECT f, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+  FROM feats WHERE doc_id % 2 = 0 GROUP BY f),
+ scal AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM counts),
+ w AS (SELECT f,
+              log10(((cp + 1.0) / (np + v)) / ((cn + 1.0) / (nn + v))) AS r
+       FROM counts, scal),
+ bias AS (SELECT log10(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE
+                       / sum(CASE WHEN NOT y THEN 1 ELSE 0 END)) AS b
+          FROM d WHERE doc_id % 2 = 0),
+ sc AS (SELECT doc_id, count(*) AS n_feats, avg(r) AS m
+        FROM feats JOIN w USING (f) GROUP BY doc_id)
+SELECT doc_id, n_feats::BIGINT AS n_feats,
+       round(m + b, 6) AS score,
+       CASE WHEN round(m + b, 6) > 0 THEN 'en' ELSE 'other' END AS pred
+FROM sc, bias
+""")
+def llm_quality_classifier(spark, sf_dir):
+    """Model-based quality/routing filter (llm/text.py:
+    log_odds_classifier) — the fastText-shaped linear classifier apply
+    pass (Joulin et al. 2016) with Naive-Bayes log-count-ratio weights
+    (Wang & Manning, ACL 2012): train add-1-smoothed unigram+bigram
+    log-odds on the even-id half labeled lang='en', score EVERY
+    document as mean feature weight + class-prior bias. The weight
+    table is feature-vocabulary-sized and rides the broadcast size
+    gate; one tokenization feeds train and score. Unlike the generative
+    quality scores (gopher heuristics, stupid-backoff LM) this is the
+    DISCRIMINATIVE family — the DCLM-style classifier stage — and the
+    whole thing hash-checks exactly: weights are closed-form, so both
+    engines reproduce every score to the rounded digit."""
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("y", F.col("lang") == F.lit("en"))
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    return X.log_odds_classifier(train, labeled, label_col="y",
+                                 pos_name="en", neg_name="other")

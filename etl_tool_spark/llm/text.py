@@ -16,7 +16,7 @@ __all__ = ["hash64", "tokens", "token_count", "bpe_ish_token_count",
            "repetition_stats", "boilerplate_ngrams", "repeated_spans",
            "excise_repeated_spans", "bm25_scores", "bm25_batch_topk",
            "script_counts", "dominant_script", "SCRIPTS",
-           "stupid_backoff_logprob",
+           "stupid_backoff_logprob", "log_odds_classifier",
            "STOPWORDS"]
 
 
@@ -589,3 +589,81 @@ def stupid_backoff_logprob(train: DataFrame, score: DataFrame,
     return (g.groupBy(id_col)
              .agg(F.count(F.lit(1)).alias("n_trigrams"),
                   F.round(F.avg(F.log10(sc)), 6).alias("avg_logprob")))
+
+
+def log_odds_classifier(train: DataFrame, score: DataFrame,
+                        label_col: str = "y",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        pos_name: str = "pos",
+                        neg_name: str = "neg") -> DataFrame:
+    """Bag-of-features linear classifier apply pass — the fastText /
+    model-based quality-filter shape (Joulin et al. 2016; weights are
+    the Naive-Bayes log-count ratios of Wang & Manning, ACL 2012):
+    train computes one add-1-smoothed log-odds weight per unigram and
+    word-bigram feature from ``train``'s boolean ``label_col``; scoring
+    averages the weights over each document's feature OCCURRENCES and
+    adds the class-prior bias. This is the DCLM/"quality classifier"
+    pipeline stage: a linear model over sparse text features, applied
+    corpus-wide with nothing but joins and aggregations.
+
+    Scale shape: ONE tokenization feeds train and score (features form
+    map-side via a higher-order transform — no second pass); the learned
+    weight table is feature-vocabulary-sized and joins back through the
+    broadcast size gate; the prior and smoothing scalars ride one-row
+    broadcast frames. Nothing shuffles on the raw token stream except
+    the per-feature count aggregation (map-side partial) and the final
+    per-document average — the same two shuffles a plain word count
+    pays. At 100 TB the weight table is a trained artifact: swap the
+    in-plan trainer for a persisted table and the apply side is
+    unchanged.
+
+    Returns (id_col, n_feats, score, pred): ``n_feats`` counts the
+    doc's in-vocabulary feature occurrences, ``score`` = round(mean
+    weight + bias, 6) (log10 odds; positive ⇒ ``pos_name``), and docs
+    whose every feature is out-of-vocabulary are absent (they carry no
+    evidence — downstream policy decides their fate, as with the
+    LM-score operator's <3-token docs).
+    """
+    from etl_tool_spark.operators.skew import gated_broadcast
+
+    def _feats(df: DataFrame, *keep: str) -> DataFrame:
+        t = F.trim(F.col(text_col))
+        arr = df.filter(t != "").select(*keep, F.split(t, r"\s+").alias("_a"))
+        uni = arr.select(*keep, F.explode("_a").alias("_f"))
+        bi = (arr.filter(F.size("_a") >= 2)
+                 .select(*keep, F.explode(F.expr(
+                     "transform(sequence(1, size(_a) - 1),"
+                     " i -> concat(element_at(_a, i), ' ',"
+                     "             element_at(_a, i + 1)))")).alias("_f")))
+        return uni.unionByName(bi)
+
+    trf = _feats(train, label_col)
+    counts = (trf.groupBy("_f")
+                 .agg(F.sum(F.when(F.col(label_col), 1).otherwise(0))
+                       .alias("_cp"),
+                      F.sum(F.when(~F.col(label_col), 1).otherwise(0))
+                       .alias("_cn"))
+                 .localCheckpoint(eager=True))
+    scal = counts.agg(F.sum("_cp").alias("_np"), F.sum("_cn").alias("_nn"),
+                      F.count(F.lit(1)).alias("_v"))
+    w = (counts.crossJoin(F.broadcast(scal))
+               .select("_f", F.log10(
+                   ((F.col("_cp") + 1.0) / (F.col("_np") + F.col("_v"))) /
+                   ((F.col("_cn") + 1.0) / (F.col("_nn") + F.col("_v"))))
+                   .alias("_r")))
+    t0 = F.trim(F.col(text_col))
+    bias = (train.filter(t0 != "")
+                 .agg(F.log10(
+                     F.sum(F.when(F.col(label_col), 1).otherwise(0)) /
+                     F.sum(F.when(~F.col(label_col), 1).otherwise(0)))
+                     .alias("_bias")))
+    return (_feats(score, id_col)
+            .join(gated_broadcast(w), "_f")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_feats"),
+                 F.avg("_r").alias("_m"))
+            .crossJoin(F.broadcast(bias))
+            .select(id_col, "n_feats",
+                    F.round(F.col("_m") + F.col("_bias"), 6).alias("score"))
+            .withColumn("pred", F.when(F.col("score") > 0,
+                                       pos_name).otherwise(neg_name)))

@@ -1965,3 +1965,58 @@ def test_mmr_k_exceeding_shortlist_returns_what_exists(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         S.mmr_topk(emb, q, k=0)
+
+
+def test_log_odds_classifier_hand_computed(spark):
+    """Two one-token docs per class; every weight and the final score
+    are verified against the closed-form add-1 log-count ratios."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "good", True), (2, "good", True), (3, "bad", False)],
+        "doc_id long, text string, y boolean")
+    score = spark.createDataFrame(
+        [(10, "good"), (11, "bad"), (12, "oov")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           X.log_odds_classifier(train, score, label_col="y").collect()}
+    # counts: good cp=2 cn=0, bad cp=0 cn=1; np=2 nn=1 v=2; bias=log10(2/1)
+    bias = math.log10(2.0)
+    w_good = math.log10(((2 + 1.0) / (2 + 2)) / ((0 + 1.0) / (1 + 2)))
+    w_bad = math.log10(((0 + 1.0) / (2 + 2)) / ((1 + 1.0) / (1 + 2)))
+    assert out[10]["score"] == round(w_good + bias, 6)
+    assert out[10]["pred"] == "pos"
+    assert out[11]["score"] == round(w_bad + bias, 6)
+    assert out[11]["n_feats"] == 1
+    assert 12 not in out  # all-OOV doc carries no evidence -> absent
+
+
+def test_log_odds_classifier_bigrams_separate_word_order(spark):
+    """Unigram bags identical across classes — only the bigram features
+    carry signal, so a correct pred proves bigrams participate."""
+    train = spark.createDataFrame(
+        [(i, "alpha beta", True) for i in range(1, 6)]
+        + [(i, "beta alpha", False) for i in range(6, 11)],
+        "doc_id long, text string, y boolean")
+    score = spark.createDataFrame(
+        [(20, "alpha beta"), (21, "beta alpha")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           X.log_odds_classifier(train, score, label_col="y").collect()}
+    assert out[20]["pred"] == "pos" and out[21]["pred"] == "neg"
+    assert out[20]["n_feats"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_log_odds_classifier_prior_bias(spark):
+    """A neutral-vocabulary doc falls to the class prior: with a 4:1
+    positive train split the bias is log10(4) > 0 -> pred pos."""
+    train = spark.createDataFrame(
+        [(i, "same text here", True) for i in range(1, 5)]
+        + [(5, "same text here", False)],
+        "doc_id long, text string, y boolean")
+    score = spark.createDataFrame([(9, "same text here")],
+                                  "doc_id long, text string")
+    row = X.log_odds_classifier(train, score, label_col="y").collect()[0]
+    # every feature weight is log10((c+1)/(np+v) / ((c'+1)/(nn+v))) with
+    # the SAME counts ratio across features; score = mean + log10(4)
+    assert row["pred"] == "pos" and row["score"] > 0
