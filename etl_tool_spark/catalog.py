@@ -7331,3 +7331,51 @@ def llm_quality_classifier(spark, sf_dir):
     train = labeled.filter(F.col("doc_id") % 2 == 0)
     return X.log_odds_classifier(train, labeled, label_col="y",
                                  pos_name="en", neg_name="other")
+
+
+@query("llm_flac_metadata", """
+SELECT doc_id AS media_id,
+       44100 AS sample_rate,
+       2 AS channels,
+       16 AS bits_per_sample,
+       (1 + doc_id % 120) * 22050 AS total_samples,
+       round((1 + doc_id % 120) * 0.5, 3) AS duration_s,
+       2 AS n_blocks
+FROM documents
+""")
+def llm_flac_metadata(spark, sf_dir):
+    """Lossless-audio triage metadata, end-to-end checkable: each
+    document becomes a synthetic FLAC stream ('fLaC' magic + a 34-byte
+    STREAMINFO at 44.1 kHz stereo 16-bit with total-samples
+    (1 + doc_id % 120)·22050 — exact half-second durations so the
+    3-digit rounding is float-exact on both engines — + a last-flagged
+    PADDING block). The packed STREAMINFO field is constant except the
+    low 32 bits of total-samples, which are byte-aligned, so synthesis
+    stays pure Column: constant base64 prefix/suffix around
+    unhex(lpad(hex(total))). llm/multimodal.py flac_info walks the real
+    metadata-block chain through the Arrow mapInPandas path; the oracle
+    recomputes every field arithmetically."""
+    import base64
+    import struct
+
+    from etl_tool_spark.llm.multimodal import flac_info
+
+    sent = b"\xde\xad\xbe\xef"  # low-32-bit total-samples slot
+    packed_hi = struct.pack(">I", (44100 << 12 | 1 << 9 | 15 << 4) & 0xFFFFFFFF)
+    streaminfo = (struct.pack(">HH", 4096, 4096) + bytes(3) + bytes(3)
+                  + packed_hi + sent + bytes(16))
+    assert len(streaminfo) == 34
+    blob = (b"fLaC"
+            + bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+            + bytes([0x81]) + (8).to_bytes(3, "big") + bytes(8))
+    assert blob.count(sent) == 1
+    pre, post = blob.split(sent)
+    d = _docs(spark, sf_dir)
+    tot = (F.lit(1) + F.col("doc_id") % 120) * 22050
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.unbase64(F.lit(base64.b64encode(pre).decode())),
+                 F.unhex(F.lpad(F.hex(tot), 8, "0")),
+                 F.unbase64(F.lit(base64.b64encode(post).decode())))
+         .alias("payload"))
+    return flac_info(media)

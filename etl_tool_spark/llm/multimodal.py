@@ -35,7 +35,7 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_image_features",
            "sample_video_frames", "decode_wav_features",
            "decode_bmp_features", "decode_png_features",
            "decode_gif_features", "decode_jpeg_features", "probe_media",
-           "mp3_info", "mp4_info", "id3v2_tags"]
+           "mp3_info", "mp4_info", "id3v2_tags", "flac_info"]
 
 # canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -686,6 +686,81 @@ def mp4_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         run, MP4_INFO_SCHEMA)
 
 
+FLAC_INFO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("bits_per_sample", T.IntegerType(), True),
+    T.StructField("total_samples", T.LongType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("n_blocks", T.IntegerType(), True),
+])
+
+
+def _flac_info(b: bytes):
+    """FLAC stream metadata from the METADATA_BLOCK chain only — the
+    'fLaC' magic, then 1-byte header (last-flag bit + 7-bit type) and
+    24-bit big-endian length per block, STREAMINFO (type 0, 34 bytes)
+    carrying <16 min-blocksize><16 max><24 min-framesize><24 max> then
+    one packed 64-bit field <20 sample-rate><3 channels-1><5 bps-1>
+    <36 total-samples> — per the public FLAC format spec (xiph.org /
+    RFC 9639). Pure struct walk, no audio frames touched; any length
+    that would escape the buffer ends the walk (corrupt input can never
+    loop or over-read). total-samples == 0 means 'unknown' per spec →
+    duration None. Returns None without a magic or a STREAMINFO."""
+    if len(b) < 4 or b[:4] != b"fLaC":
+        return None
+    pos, n_blocks = 4, 0
+    sr = ch = bps = tot = None
+    last = False
+    while not last and pos + 4 <= len(b):
+        hdr = b[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(b[pos + 1:pos + 4], "big")
+        pos += 4
+        if pos + length > len(b):
+            break
+        if btype == 0 and length >= 34 and sr is None:
+            packed = int.from_bytes(b[pos + 10:pos + 18], "big")
+            sr = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            tot = packed & ((1 << 36) - 1)
+        n_blocks += 1
+        pos += length
+    if sr is None:
+        return None
+    dur = round(tot / sr, 3) if sr and tot else None
+    return (sr, ch, bps, tot, dur, n_blocks)
+
+
+def flac_info(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """FLAC STREAMINFO metadata (rate/channels/bit depth/duration/block
+    count) from the metadata chain alone — lossless-audio triage for a
+    crawl (duration budgeting, resample routing, corrupt-header
+    quarantine) without any codec dependency, completing the MP3/MP4/
+    ID3 walker family. Same Arrow mapInPandas shape: map-side, scales
+    with executors, no shuffle; payload column pruned at the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                info = None
+                if payload is not None:
+                    try:
+                        info = _flac_info(bytes(payload))
+                    except Exception:
+                        info = None
+                out.append((media_id, *(info if info else (None,) * 6)))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             FLAC_INFO_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, FLAC_INFO_SCHEMA)
+
+
 PROBE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("mime_type", T.StringType(), True),
@@ -750,6 +825,8 @@ def _probe_bytes(b: bytes):
         if sub == b"WEBP":
             return ("image/webp", None, None)
         return ("application/riff", None, None)
+    if b[:4] == b"fLaC":
+        return ("audio/flac", None, None)
     if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF
                            and (b[1] & 0xE0) == 0xE0
                            and ((b[1] >> 1) & 0x3) != 0):
