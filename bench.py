@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     "llm_script_detect",
     "llm_ngram_lm_score",
     "llm_mmr_topk",
+    # round 6 (cont.): bounded-shuffle heavy hitters + discriminative
+    # quality classifier + FLAC audio triage
+    "agg_heavy_hitters",
+    "llm_quality_classifier",
+    "llm_flac_metadata",
 ]
 
 
