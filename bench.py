@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "agg_heavy_hitters",
     "llm_quality_classifier",
     "llm_flac_metadata",
+    "llm_warc_extract",
 ]
 
 
