@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["WARC_SCHEMA", "warc_records"]
+__all__ = ["WARC_SCHEMA", "warc_records", "warc_records_gz"]
 
 WARC_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -114,6 +114,66 @@ def warc_records(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 except Exception:
                     recs = []
                 out.extend((media_id, *r) for r in recs)
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             WARC_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(run, WARC_SCHEMA)
+
+
+def _gzip_members(b: bytes):
+    """Split a concatenation of gzip members (the Common Crawl layout:
+    one member per WARC record) and decompress each with stdlib zlib.
+    Returns the list of decompressed members for the well-formed
+    prefix; garbage after the last complete member ends the walk."""
+    import zlib
+
+    out = []
+    pos = 0
+    while pos + 2 <= len(b) and b[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)          # gzip wrapper
+        try:
+            data = d.decompress(b[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break                                  # truncated member
+        out.append(data)
+        consumed = len(b) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return out
+
+
+def warc_records_gz(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """warc_records over member-gzipped archives (the on-disk Common
+    Crawl format: each WARC record is its own gzip member, so ranges
+    can be fetched and decompressed independently). Each member is
+    inflated with stdlib zlib and its records parsed; rec_index numbers
+    records across the whole archive in member order. Same map-side
+    Arrow shape as warc_records — decompression is per-row CPU that
+    scales with executors, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    members = _gzip_members(bytes(payload))
+                except Exception:
+                    members = []
+                idx = 0
+                for m in members:
+                    try:
+                        recs = _warc_records(m)
+                    except Exception:
+                        recs = []
+                    for _, version, rtype, uri, clen, block in recs:
+                        out.append((media_id, idx, version, rtype, uri,
+                                    clen, block))
+                        idx += 1
             yield pd.DataFrame(out, columns=[f.name for f in
                                              WARC_SCHEMA.fields])
 

@@ -87,3 +87,56 @@ def test_header_names_case_insensitive():
          b"WARC-TARGET-URI: U\r\n\r\nhi\r\n\r\n")
     got = _warc_records(b)
     assert got == [(0, "1.1", "RESPONSE", "U", 2, b"hi")]
+
+
+def _gz(data: bytes) -> bytes:
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(data)
+    return buf.getvalue()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=60), min_size=0, max_size=5))
+def test_gzip_member_split_roundtrip(members):
+    from etl_tool_spark.llm.warc import _gzip_members
+
+    blob = b"".join(_gz(m) for m in members)
+    assert _gzip_members(blob) == members
+
+
+def test_gzip_member_corruption_keeps_prefix():
+    from etl_tool_spark.llm.warc import _gzip_members
+
+    good = _gz(b"alpha") + _gz(b"beta")
+    assert _gzip_members(good + b"\x1f\x8bgarbage") == [b"alpha", b"beta"]
+    assert _gzip_members(good + _gz(b"tail")[:8]) == [b"alpha", b"beta"]
+    assert _gzip_members(b"not gzip at all") == []
+
+
+def test_warc_records_gz_matches_plain(spark):
+    """Member-gzipped parsing ≡ plain parsing of the concatenated
+    records, driven through the Spark mapInPandas path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.llm.warc import warc_records, warc_records_gz
+
+    recs = [record("response", f"u/{i}", f"body {i}".encode())
+            for i in range(3)]
+    plain = b"".join(recs)
+    gz = b"".join(_gz(r) for r in recs)
+    df = spark.createDataFrame([(1, plain), (2, gz)],
+                               "media_id long, payload binary")
+    got_plain = (warc_records(df.filter(F.col("media_id") == 1))
+                 .orderBy("rec_index").collect())
+    got_gz = (warc_records_gz(df.filter(F.col("media_id") == 2))
+              .orderBy("rec_index").collect())
+    assert len(got_plain) == len(got_gz) == 3
+    for a, b in zip(got_plain, got_gz):
+        assert (a["rec_index"], a["warc_type"], a["target_uri"],
+                a["content_length"], bytes(a["block"])) == \
+               (b["rec_index"], b["warc_type"], b["target_uri"],
+                b["content_length"], bytes(b["block"]))
