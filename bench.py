@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "llm_quality_classifier",
     "llm_flac_metadata",
     "llm_warc_extract",
+    "llm_crawl_ingest",
 ]
 
 

@@ -7431,3 +7431,126 @@ def llm_warc_extract(spark, sf_dir):
                         "target_uri", "content_length",
                         (F.col("_payload") == F.col("text"))
                         .alias("payload_roundtrip")))
+
+
+def _oracle_crawl_ingest() -> str:
+    hits = []
+    for lang, words in sorted(X.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(regexp_split_to_array(lower(trim(tx)),"
+            f" '\\s+'), t -> list_contains([{lst}], t))) AS hits_{lang}")
+    langs = sorted(X.STOPWORDS)
+    all_zero = " AND ".join(f"hits_{lang} = 0" for lang in langs)
+    cases = []
+    for lang in sorted(langs, reverse=True)[:-1]:
+        others = [o for o in langs if o != lang]
+        cond = " AND ".join(f"hits_{lang} >= hits_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    fallback = sorted(langs)[0]
+    html_wrap = (
+        "'<html><head><title>d</title><style>p { color: red; }</style>'\n"
+        "    || '<script type=\"text/javascript\">var x = 1 < 2 && y > 3;"
+        "</script>'\n"
+        "    || '</head><body><h1>Doc ' || doc_id::VARCHAR || '</h1>'"
+        " || chr(10)\n"
+        "    || '<p>'\n"
+        "    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        "\n               '>', '&gt;')\n"
+        "    || ' &amp; more &#39;quoted&#39;</p><!-- <p>generated</p> -->'"
+        "\n    || '&nbsp;</body></html>'")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {html_wrap} AS html
+  FROM documents),
+ s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t1
+  FROM h),
+ e AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(replace(
+      t1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t2
+  FROM s),
+ x AS (
+  SELECT doc_id, trim(regexp_replace(t2, '[ \\t\\r\\n]+', ' ', 'g')) AS tx
+  FROM e),
+ l AS (SELECT doc_id, tx, {', '.join(hits)} FROM x),
+ p AS (SELECT doc_id, tx,
+              CASE WHEN {all_zero} THEN 'und' {' '.join(cases)}
+                   ELSE '{fallback}' END AS lang_pred
+       FROM l),
+ k AS (SELECT doc_id, tx, lang_pred,
+              min(doc_id) OVER (PARTITION BY tx) AS keeper
+       FROM p)
+SELECT doc_id AS media_id,
+       'https://crawl.example/doc/' || doc_id AS target_uri,
+       lang_pred,
+       length(tx)::BIGINT AS n_chars
+FROM k WHERE doc_id = keeper
+"""
+
+
+@query("llm_crawl_ingest", _oracle_crawl_ingest())
+def llm_crawl_ingest(spark, sf_dir):
+    """The crawl-ingestion pipeline END-TO-END in one oracle-checked
+    plan — the composition proof for the whole web-corpus family: each
+    document becomes a member of a two-record WARC archive whose
+    response block is a synthesized HTML page around the text
+    (Content-Length computed in-plan); llm/warc.py splits the records,
+    llm/prep.py html_to_text strips the page back to prose, language ID
+    routes the result, and the exact-dedup min-keeper drops duplicate
+    extractions — WARC split → HTML extract → langid → dedup, exactly
+    the DAG a 100 TB Common Crawl ingest runs. Every stage stays the
+    shape its standalone catalog row proved: one mapInPandas explode
+    (map-side), pure-Column regexp chains, and ONE shuffle total (the
+    min-keeper aggregation on extracted text). The oracle recomputes
+    the whole chain — WARC arithmetic, the RE2 twin of the HTML chain,
+    stopword-argmax langid, windowed keeper — so the composition
+    hash-checks byte-for-byte."""
+    from etl_tool_spark.llm.warc import warc_records
+
+    d = _docs(spark, sf_dir)
+    esc = F.replace(F.replace(F.replace(F.col("text"),
+                                        F.lit("&"), F.lit("&amp;")),
+                              F.lit("<"), F.lit("&lt;")),
+                    F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit('<html><head><title>d</title><style>p { color: red; }</style>'
+              '<script type="text/javascript">var x = 1 < 2 && y > 3;'
+              '</script></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1>\n<p>'), esc,
+        F.lit(" &amp; more &#39;quoted&#39;</p><!-- <p>generated</p> -->"
+              "&nbsp;</body></html>"))
+    uri = F.concat(F.lit("https://crawl.example/doc/"),
+                   F.col("doc_id").cast("string"))
+    base = d.select(F.col("doc_id").alias("media_id"),
+                    html.alias("_html"), uri.alias("_uri"))
+    payload = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              "Content-Length: 12\r\n\r\nsoftware: x\n\r\n\r\n"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col("_uri"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length("_html").cast("string"),
+        F.lit("\r\n\r\n"), F.col("_html"), F.lit("\r\n\r\n")).cast("binary")
+    media = base.select("media_id", payload.alias("payload"))
+    recs = warc_records(media)
+    resp = (recs.filter(F.col("warc_type") == "response")
+                .select("media_id", "target_uri",
+                        F.col("block").cast("string").alias("_h")))
+    ext = resp.select("media_id", "target_uri",
+                      P.html_to_text(F.col("_h")).alias("_tx"))
+    lang = ext.select("media_id", "target_uri", "_tx",
+                      X.language_id(F.col("_tx")).alias("lang_pred"))
+    keep = lang.groupBy("_tx").agg(F.min("media_id").alias("media_id"))
+    return (lang.join(keep, ["_tx", "media_id"])
+                .select("media_id", "target_uri", "lang_pred",
+                        F.length("_tx").cast("bigint").alias("n_chars")))
