@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "llm_flac_metadata",
     "llm_warc_extract",
     "llm_crawl_ingest",
+    "join_bucketed_colocated",
 ]
 
 

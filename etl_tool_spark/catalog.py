@@ -7554,3 +7554,45 @@ def llm_crawl_ingest(spark, sf_dir):
     return (lang.join(keep, ["_tx", "media_id"])
                 .select("media_id", "target_uri", "lang_pred",
                         F.length("_tx").cast("bigint").alias("n_chars")))
+
+
+@query("join_bucketed_colocated", """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_bucketed_colocated(spark, sf_dir):
+    """The pay-the-shuffle-once warehouse join
+    (operators/bucketing.py): orders and customer persist bucketed ×16
+    + in-bucket sorted on the customer key, and the recurring
+    fact×fact equi-join then runs as a SortMergeJoin with NO Exchange
+    on either side (merge hint so the toy-scale planner
+    doesn't broadcast away the layout being demonstrated; pytest
+    asserts the single remaining Exchange is the final ≤5-group
+    aggregation). At 100 TB this layout is what SCALE.md promises for
+    the dedup store, the CDC snapshot, and the LSH probe join — the
+    write-time shuffle is paid once, every later join on the bucket
+    key is co-located. Money sums in integer cents so the oracle
+    hash-matches exactly."""
+    import uuid
+
+    from etl_tool_spark.operators.bucketing import (bucketed_scan,
+                                                    write_bucketed)
+
+    base = _scratch("bucketed_join_")
+    tag = uuid.uuid4().hex[:12]
+    to, tc = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(_t(spark, sf_dir, "orders"), to, f"{base}/orders",
+                   ["o_custkey"], 16)
+    write_bucketed(_t(spark, sf_dir, "customer"), tc, f"{base}/customer",
+                   ["c_custkey"], 16)
+    o, c = bucketed_scan(spark, to), bucketed_scan(spark, tc)
+    joined = o.join(c.hint("merge"),
+                    o["o_custkey"] == c["c_custkey"])
+    return (joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                              .cast("bigint")).alias("total_cents")))
