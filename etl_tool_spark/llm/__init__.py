@@ -7,6 +7,6 @@ multimodal column plumbing.
 All deterministic: every hash derives from md5 so the DuckDB oracle can
 reproduce results bit-for-bit (see hash64 in text.py)."""
 
-from etl_tool_spark.llm import dedup, multimodal, prep, similarity, text
+from etl_tool_spark.llm import dedup, multimodal, prep, similarity, text, warc
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "prep"]
