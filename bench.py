@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "llm_warc_extract",
     "llm_crawl_ingest",
     "join_bucketed_colocated",
+    "llm_classifier_eval",
 ]
 
 

@@ -7596,3 +7596,43 @@ def join_bucketed_colocated(spark, sf_dir):
                   .agg(F.count(F.lit(1)).alias("n_orders"),
                        F.sum(F.round(F.col("o_totalprice") * 100, 0)
                               .cast("bigint")).alias("total_cents")))
+
+
+def _oracle_classifier_eval() -> str:
+    return f"""
+WITH clf AS ({ORACLE["llm_quality_classifier"]}),
+ truth AS (SELECT doc_id, lang = 'en' AS y FROM documents)
+SELECT pred,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(CASE WHEN (pred = 'en') = y THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN (pred = 'en') = y THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy
+FROM clf JOIN truth USING (doc_id)
+GROUP BY pred
+"""
+
+
+@query("llm_classifier_eval", _oracle_classifier_eval())
+def llm_classifier_eval(spark, sf_dir):
+    """The evaluation stage of the model-based filter loop: confusion
+    stats of llm_quality_classifier's predictions against the true
+    label, per predicted class — the number a pipeline owner reads
+    before trusting a filter with corpus admission. Composes the
+    classifier plan with one broadcast-joinable truth projection and a
+    2-group aggregate; the oracle literally embeds the classifier
+    oracle as a CTE, so classifier and eval can never drift apart."""
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("y", F.col("lang") == F.lit("en"))
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    scored = X.log_odds_classifier(train, labeled, label_col="y",
+                                   pos_name="en", neg_name="other")
+    truth = labeled.select("doc_id", "y")
+    hit = (F.col("pred") == "en") == F.col("y")
+    return (scored.join(truth, "doc_id")
+                  .groupBy("pred")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+                        .alias("n_correct"),
+                       F.round(F.avg(F.when(hit, 1.0).otherwise(0.0)), 6)
+                        .alias("accuracy")))
