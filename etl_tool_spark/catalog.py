@@ -7550,10 +7550,16 @@ def llm_crawl_ingest(spark, sf_dir):
                       P.html_to_text(F.col("_h")).alias("_tx"))
     lang = ext.select("media_id", "target_uri", "_tx",
                       X.language_id(F.col("_tx")).alias("lang_pred"))
-    keep = lang.groupBy("_tx").agg(F.min("media_id").alias("media_id"))
-    return (lang.join(keep, ["_tx", "media_id"])
-                .select("media_id", "target_uri", "lang_pred",
-                        F.length("_tx").cast("bigint").alias("n_chars")))
+    # dedup on an md5 fingerprint, not the text itself: the keeper
+    # shuffle then carries a 32-char key + 4 narrow columns instead of
+    # document bodies (same grouping — md5 injectivity is the repo-wide
+    # hashing contract; the oracle's PARTITION BY tx is identical)
+    slim = lang.select("media_id", "target_uri", "lang_pred",
+                       F.length("_tx").cast("bigint").alias("n_chars"),
+                       F.md5("_tx").alias("_fp"))
+    keep = slim.groupBy("_fp").agg(F.min("media_id").alias("media_id"))
+    return (slim.join(keep, ["_fp", "media_id"])
+                .select("media_id", "target_uri", "lang_pred", "n_chars"))
 
 
 @query("join_bucketed_colocated", """

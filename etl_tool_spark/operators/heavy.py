@@ -108,9 +108,22 @@ def top_k_heavy_hitters(df: DataFrame, key: str, k: int,
               .mapInPandas(_mg_summaries(key, m), schema=out_schema)
               .localCheckpoint(eager=False))
     cand = summ.select(F.explode("keys").alias(key)).distinct()
+    # Candidate volume is bounded by partitions × m. When that STATIC
+    # bound fits the broadcast gate, hint for free; past it, pay one
+    # eager count of the (materialized-by-then) summary to decide —
+    # an ungated hint on a data-dependent frame is an OOM at scale,
+    # not a slow plan (operators/skew.py). If even the true candidate
+    # count is too big, the join degrades to sort-merge: correct, and
+    # no worse than the baseline full-key shuffle this operator exists
+    # to avoid in the common case.
+    from etl_tool_spark.operators.skew import (BROADCAST_ROW_GATE,
+                                               gated_broadcast)
+    static_bound = df.rdd.getNumPartitions() * m
+    cand = (F.broadcast(cand) if static_bound <= BROADCAST_ROW_GATE
+            else gated_broadcast(cand))
     topk = (df.select(key)
               .where(F.col(key).isNotNull())
-              .join(F.broadcast(cand), key)
+              .join(cand, key)
               .groupBy(key)
               .agg(F.count(F.lit(1)).alias("cnt"))
               .orderBy(F.col("cnt").desc(), F.col(key).asc())
