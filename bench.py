@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "llm_crawl_ingest",
     "join_bucketed_colocated",
     "llm_classifier_eval",
+    "etl_k_anonymity",
+    "events_late_arrival_stats",
 ]
 
 

@@ -7642,3 +7642,78 @@ def llm_classifier_eval(spark, sf_dir):
                         .alias("n_correct"),
                        F.round(F.avg(F.when(hit, 1.0).otherwise(0.0)), 6)
                         .alias("accuracy")))
+
+
+@query("etl_k_anonymity", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+         count(DISTINCT CAST(round(c_acctbal) AS BIGINT)) AS sens
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT CAST(min(sz) AS BIGINT) AS k_anonymity,
+       CAST(min(sens) AS BIGINT) AS l_diversity,
+       count(*)::BIGINT AS n_groups,
+       CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0)
+            AS BIGINT) AS n_rows_below_k5
+FROM g
+""")
+def etl_k_anonymity(spark, sf_dir):
+    """Privacy / re-identification audit before a dataset release —
+    the governance gate a training-data pipeline runs next to the
+    quality checks: k-anonymity (smallest quasi-identifier group:
+    nation × market segment), l-diversity (fewest distinct sensitive
+    values — rounded account balance — within any group), and the row
+    mass living in groups below k=5. One grouped aggregate plus a
+    4-column global fold: a single shuffle on the quasi-identifier at
+    any scale, partial-agg'd map-side. Exact integers, so the oracle
+    hash-matches."""
+    c = _t(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("sz"),
+               F.countDistinct(F.round("c_acctbal", 0).cast("bigint"))
+                .alias("sens")))
+    return g.agg(F.min("sz").cast("bigint").alias("k_anonymity"),
+                 F.min("sens").cast("bigint").alias("l_diversity"),
+                 F.count(F.lit(1)).alias("n_groups"),
+                 F.coalesce(F.sum(F.when(F.col("sz") < 5, F.col("sz"))
+                                   .otherwise(0)), F.lit(0)).cast("bigint")
+                  .alias("n_rows_below_k5"))
+
+
+@query("events_late_arrival_stats", """
+WITH o AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       CAST(coalesce(sum(CASE WHEN ts < prev_max THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN ts < prev_max
+                          THEN epoch_us(prev_max) - epoch_us(ts) END), 0)
+            AS BIGINT) AS max_late_us
+FROM o GROUP BY user_id
+""")
+def events_late_arrival_stats(spark, sf_dir):
+    """Watermark-design audit for the streaming family: per key, how
+    many events arrived out-of-order (event time behind the running
+    per-key maximum at their ingest position) and the worst observed
+    lateness — THE measurement that sizes withWatermark() before
+    deploying any stateful stream (too tight drops data, too loose
+    bloats state). One window over (key, ingest order) + one grouped
+    fold — a single shuffle on the key; lateness kept in exact integer
+    microseconds so both engines agree bit-for-bit."""
+    e = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    late = F.col("ts") < F.col("_prev")
+    return (e.select("user_id", "event_id", "ts")
+             .withColumn("_prev", F.max("ts").over(w))
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.coalesce(F.sum(F.when(late, 1).otherwise(0)), F.lit(0))
+                   .cast("bigint").alias("n_late"),
+                  F.coalesce(F.max(F.when(late,
+                                          F.unix_micros("_prev")
+                                          - F.unix_micros("ts"))),
+                             F.lit(0)).cast("bigint").alias("max_late_us")))
