@@ -152,3 +152,29 @@ def test_cdc_upsert_playbook(spark, tmp_path, monkeypatch):
     res = run_pipeline(spark, cfg)
     got = {r["id"]: r["payload"] for r in res.output.collect()}
     assert got == {2: "b0"}
+
+
+def test_crawl_ingest_example(spark):
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    try:
+        from crawl_ingest import ingest_crawl
+    finally:
+        sys.path.pop(0)
+
+    out = ingest_crawl(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n, n_docs = out.count(), docs.count()
+    assert 0 < n <= n_docs                      # dedup can only shrink
+    # survivors are unique by extracted text
+    assert out.groupBy("text").count() \
+              .agg(F.max("count")).first()[0] == 1
+    # routing labels come from the language-ID operator's codomain
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    from etl_tool_spark.llm.text import STOPWORDS
+    assert langs <= set(STOPWORDS) | {"und"}
+    # the WARC/HTML round trip preserved the document text verbatim
+    # (modulo the page furniture the extractor strips): spot-check one
+    row = out.orderBy("media_id").first()
+    src = docs.filter(F.col("doc_id") == row["media_id"]) \
+              .select("text").first()[0]
+    assert src.split() == row["text"].split()[2:]  # "Doc <id>" prefix
