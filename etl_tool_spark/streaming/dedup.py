@@ -35,7 +35,7 @@ __all__ = ["near_dedup_stream", "exact_dedup_stream",
            "near_dedup_ingest_stream", "land_near_batch",
            "semantic_ingest_stream", "land_semantic_batch",
            "full_clean_ingest_stream", "land_clean_batch",
-           "budget_ingest_stream", "land_budget_batch"]
+           "budget_ingest_stream", "land_budget_batch", "crawl_ingest_stream"]
 
 
 def _batch_marker(store_dir: str, batch_id: int):
@@ -462,6 +462,46 @@ def budget_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
                           token_quota=token_quota, quota_frac=quota_frac)
 
     q = (docs.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def crawl_ingest_stream(archives: DataFrame, store_dir: str, out_dir: str,
+                        checkpoint: str, id_col: str = "media_id",
+                        payload_col: str = "payload"):
+    """Streaming web-crawl ingestion: each micro-batch of WARC archive
+    blobs is split into records (llm/warc.py — map-side explode),
+    response blocks stripped back to prose (html_to_text, pure Column),
+    language-routed, and passed through the exact dedup-on-ingest gate
+    — survivors land in ``out_dir`` with (id, target_uri, lang, text),
+    fingerprints in the persistent store, so a page crawled twice in
+    ANY later batch never lands twice. Composition of the archive
+    walker with land_batch's crash-safety contract: out_dir before
+    store, batch markers make replays no-ops, at-least-once in the
+    crash window (see land_batch). This is the Common Crawl ingest
+    loop as one availableNow stream."""
+    from etl_tool_spark.llm.prep import html_to_text
+    from etl_tool_spark.llm.text import language_id
+    from etl_tool_spark.llm.warc import warc_records
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        recs = warc_records(
+            batch_df.withColumnRenamed(id_col, "media_id"),
+            payload_col=payload_col)
+        pages = (recs.filter(F.col("warc_type") == "response")
+                     .select("media_id", "target_uri",
+                             F.col("block").cast("string").alias("_page")))
+        docs = (pages.select("media_id", "target_uri",
+                             html_to_text(F.col("_page")).alias("text"))
+                     .withColumn("lang", language_id(F.col("text"))))
+        land_batch(docs, batch_id, store_dir, out_dir,
+                   id_col="media_id", text_col="text")
+
+    q = (archives.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update")
          .trigger(availableNow=True)

@@ -960,3 +960,54 @@ def test_incremental_mv_retry_after_partial_failure(spark, tmp_path):
                                     group_col="grp", value_col="v",
                                     batch_id=1).collect()}
     assert again == got
+
+
+def test_crawl_ingest_stream_gates_duplicate_archives(spark, tmp_path):
+    """The streaming crawl loop (WARC split → HTML strip → langid →
+    exact gate) must land each distinct page once across batches: a
+    page re-crawled in a later batch is gated by the fingerprint store,
+    and the landed frame matches the one-shot batch composition."""
+    import gzip
+    import io
+
+    from etl_tool_spark.streaming.dedup import crawl_ingest_stream
+
+    def warc(doc_id: int, body: str) -> bytes:
+        page = (f"<html><body><p>{body}</p>"
+                f"<!-- boilerplate --></body></html>").encode()
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://x/" + str(doc_id).encode()
+                + b"\r\nContent-Length: " + str(len(page)).encode()
+                + b"\r\n\r\n" + page + b"\r\n\r\n")
+
+    texts = {1: "the cat and the dog of the house",
+             2: "el gato y la casa de los perros",
+             3: "one of a kind body text here the end"}
+    b1 = [(i, warc(i, t)) for i, t in texts.items()]
+    # batch 2: one re-crawl of page 1 (same body, new id) + one new page
+    b2 = [(11, warc(11, texts[1])), (4, warc(4, "fresh page four text"))]
+    schema = "media_id long, payload binary"
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1) \
+         .write.parquet(str(src / "f1"))
+
+    args = (str(tmp_path / "store"), str(tmp_path / "landed"),
+            str(tmp_path / "ckpt"))
+
+    def run():
+        s = spark.readStream.schema(schema).parquet(str(src / "*"))
+        crawl_ingest_stream(s, *args)
+
+    run()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+         .write.parquet(str(src / "f2"))
+    run()
+
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    rows = {r["media_id"]: r for r in landed.collect()}
+    assert set(rows) == {1, 2, 3, 4}          # 11 gated: duplicate body
+    assert rows[1]["lang"] == "en" and rows[2]["lang"] == "es"
+    assert rows[1]["target_uri"] == "https://x/1"
+    assert rows[1]["text"] == texts[1]        # page furniture stripped
+    assert rows[4]["batch_id"] == 1
