@@ -7403,22 +7403,14 @@ def llm_warc_extract(spark, sf_dir):
     round-trip per archive, and the oracle recomputes every field
     arithmetically. This is the first pass a 100 TB crawl corpus runs:
     record split + header routing BEFORE any text extraction."""
-    from etl_tool_spark.llm.warc import warc_records
+    from etl_tool_spark.llm.warc import two_record_archive, warc_records
 
     d = _docs(spark, sf_dir)
     uri = F.concat(F.lit("https://crawl.example/doc/"),
                    F.col("doc_id").cast("string"))
     media = d.select(
         F.col("doc_id").alias("media_id"), "text",
-        F.concat(
-            F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
-                  "Content-Length: 12\r\n\r\nsoftware: x\n\r\n\r\n"),
-            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-            uri,
-            F.lit("\r\nContent-Length: "),
-            F.octet_length("text").cast("string"),
-            F.lit("\r\n\r\n"), F.col("text"), F.lit("\r\n\r\n"))
-         .cast("binary").alias("payload"))
+        two_record_archive(uri, F.col("text")).alias("payload"))
     recs = warc_records(media)
     agg = recs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_records"))
     resp = (recs.filter(F.col("warc_type") == "response")
@@ -7514,7 +7506,7 @@ def llm_crawl_ingest(spark, sf_dir):
     the whole chain — WARC arithmetic, the RE2 twin of the HTML chain,
     stopword-argmax langid, windowed keeper — so the composition
     hash-checks byte-for-byte."""
-    from etl_tool_spark.llm.warc import warc_records
+    from etl_tool_spark.llm.warc import two_record_archive, warc_records
 
     d = _docs(spark, sf_dir)
     esc = F.replace(F.replace(F.replace(F.col("text"),
@@ -7533,23 +7525,23 @@ def llm_crawl_ingest(spark, sf_dir):
                    F.col("doc_id").cast("string"))
     base = d.select(F.col("doc_id").alias("media_id"),
                     html.alias("_html"), uri.alias("_uri"))
-    payload = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
-              "Content-Length: 12\r\n\r\nsoftware: x\n\r\n\r\n"),
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-        F.col("_uri"),
-        F.lit("\r\nContent-Length: "),
-        F.octet_length("_html").cast("string"),
-        F.lit("\r\n\r\n"), F.col("_html"), F.lit("\r\n\r\n")).cast("binary")
-    media = base.select("media_id", payload.alias("payload"))
+    media = base.select(
+        "media_id",
+        two_record_archive(F.col("_uri"), F.col("_html")).alias("payload"))
     recs = warc_records(media)
     resp = (recs.filter(F.col("warc_type") == "response")
                 .select("media_id", "target_uri",
                         F.col("block").cast("string").alias("_h")))
     ext = resp.select("media_id", "target_uri",
                       P.html_to_text(F.col("_h")).alias("_tx"))
-    lang = ext.select("media_id", "target_uri", "_tx",
-                      X.language_id(F.col("_tx")).alias("lang_pred"))
+    # token array in its own projection (the language_id contract):
+    # without it CollapseProject re-inlines the whitespace split once
+    # per stopword counter — 4x tokenization of the extracted text
+    toked = ext.select("media_id", "target_uri", "_tx",
+                       X.tokens(F.col("_tx")).alias("_toks"))
+    lang = toked.select("media_id", "target_uri", "_tx",
+                        X.language_id(F.col("_tx"), toks=F.col("_toks"))
+                         .alias("lang_pred"))
     # dedup on an md5 fingerprint, not the text itself: the keeper
     # shuffle then carries a 32-char key + 4 narrow columns instead of
     # document bodies (same grouping — md5 injectivity is the repo-wide
@@ -7582,7 +7574,13 @@ def join_bucketed_colocated(spark, sf_dir):
     the dedup store, the CDC snapshot, and the LSH probe join — the
     write-time shuffle is paid once, every later join on the bucket
     key is co-located. Money sums in integer cents so the oracle
-    hash-matches exactly."""
+    hash-matches exactly. Each invocation registers two uuid-named
+    external tables (bucket metadata must live in the catalog — a plain
+    parquet read loses it); the entries are in-memory, session-scoped,
+    and bounded by invocation count, while the data files live under
+    the atexit-removed scratch root. The timed bench run deliberately
+    includes the bucketed WRITE: the row proves the whole
+    pay-the-shuffle-once cycle, not just the free join."""
     import uuid
 
     from etl_tool_spark.operators.bucketing import (bucketed_scan,

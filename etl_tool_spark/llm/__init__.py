@@ -9,4 +9,5 @@ reproduce results bit-for-bit (see hash64 in text.py)."""
 
 from etl_tool_spark.llm import dedup, multimodal, prep, similarity, text, warc
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "prep"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "prep",
+           "warc"]

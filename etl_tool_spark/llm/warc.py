@@ -27,10 +27,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["WARC_SCHEMA", "warc_records", "warc_records_gz"]
+__all__ = ["WARC_SCHEMA", "warc_records", "warc_records_gz",
+           "two_record_archive"]
 
 WARC_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -85,10 +87,14 @@ def _warc_records(b: bytes):
             hdrs[last_key] = val.strip().decode("latin1", "replace")
         if not ok:
             break
-        try:
-            clen = int(hdrs.get("content-length", ""))
-        except ValueError:
+        # strict ASCII-digit parse: Python's int() accepts '+12', '1_2',
+        # and Unicode digits, any of which would mis-FRAME the record
+        # (wrong block offset for every record after it) instead of
+        # ending the walk as the corrupt-input contract promises
+        clen_s = hdrs.get("content-length", "")
+        if not clen_s or not all("0" <= ch <= "9" for ch in clen_s):
             break
+        clen = int(clen_s)
         if clen < 0 or pos + clen > len(b):
             break
         out.append((len(out), version, hdrs.get("warc-type"),
@@ -178,3 +184,21 @@ def warc_records_gz(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                                              WARC_SCHEMA.fields])
 
     return df.select("media_id", payload_col).mapInPandas(run, WARC_SCHEMA)
+
+
+def two_record_archive(uri: Column, body: Column) -> Column:
+    """Synthesize a two-record WARC archive (a constant warcinfo record
+    + a response record with ``uri`` and ``body``) as a binary Column —
+    Content-Length computed in-plan as octet_length, so the whole
+    archive is one pure-Column concat. Shared by the oracle-checked
+    catalog rows (llm_warc_extract, llm_crawl_ingest) and the crawl
+    example so the framing template exists exactly once and cannot
+    drift between the proved DAG and the demo."""
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              "Content-Length: 12\r\n\r\nsoftware: x\n\r\n\r\n"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n")).cast("binary")

@@ -485,7 +485,7 @@ def crawl_ingest_stream(archives: DataFrame, store_dir: str, out_dir: str,
     crash window (see land_batch). This is the Common Crawl ingest
     loop as one availableNow stream."""
     from etl_tool_spark.llm.prep import html_to_text
-    from etl_tool_spark.llm.text import language_id
+    from etl_tool_spark.llm.text import language_id, tokens
     from etl_tool_spark.llm.warc import warc_records
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -495,9 +495,14 @@ def crawl_ingest_stream(archives: DataFrame, store_dir: str, out_dir: str,
         pages = (recs.filter(F.col("warc_type") == "response")
                      .select("media_id", "target_uri",
                              F.col("block").cast("string").alias("_page")))
-        docs = (pages.select("media_id", "target_uri",
-                             html_to_text(F.col("_page")).alias("text"))
-                     .withColumn("lang", language_id(F.col("text"))))
+        ext = pages.select("media_id", "target_uri",
+                           html_to_text(F.col("_page")).alias("text"))
+        # token array in its own projection (language_id contract: stops
+        # CollapseProject re-inlining the split per stopword counter)
+        toked = ext.select("*", tokens(F.col("text")).alias("_toks"))
+        docs = toked.select("media_id", "target_uri", "text",
+                            language_id(F.col("text"), toks=F.col("_toks"))
+                             .alias("lang"))
         land_batch(docs, batch_id, store_dir, out_dir,
                    id_col="media_id", text_col="text")
 

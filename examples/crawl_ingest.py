@@ -22,26 +22,28 @@ def ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm/warc.py, stripped with html_to_text, language-identified, and
     exact-deduplicated on an md5 fingerprint (min-id keeper)."""
     from etl_tool_spark.llm.prep import html_to_text
-    from etl_tool_spark.llm.text import language_id
-    from etl_tool_spark.llm.warc import warc_records
+    from etl_tool_spark.llm.text import language_id, tokens
+    from etl_tool_spark.llm.warc import two_record_archive, warc_records
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # entity-escape the text before embedding it in markup — otherwise
+    # any document containing <, > or & would be corrupted by the
+    # extractor's tag strip (same discipline as the catalog twin)
+    esc = F.replace(F.replace(F.replace(F.col("text"),
+                                        F.lit("&"), F.lit("&amp;")),
+                              F.lit("<"), F.lit("&lt;")),
+                    F.lit(">"), F.lit("&gt;"))
     html = F.concat(F.lit("<html><body><h1>Doc "),
                     F.col("doc_id").cast("string"),
-                    F.lit("</h1><p>"), F.col("text"),
+                    F.lit("</h1><p>"), esc,
                     F.lit("</p><!-- crawler boilerplate --></body></html>"))
     uri = F.concat(F.lit("https://crawl.example/doc/"),
                    F.col("doc_id").cast("string"))
     base = docs.select(F.col("doc_id").alias("media_id"),
                        html.alias("_html"), uri.alias("_uri"))
-    payload = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
-              "Content-Length: 12\r\n\r\nsoftware: x\n\r\n\r\n"),
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
-        F.col("_uri"), F.lit("\r\nContent-Length: "),
-        F.octet_length("_html").cast("string"),
-        F.lit("\r\n\r\n"), F.col("_html"), F.lit("\r\n\r\n")).cast("binary")
-    archives = base.select("media_id", payload.alias("payload"))
+    archives = base.select(
+        "media_id",
+        two_record_archive(F.col("_uri"), F.col("_html")).alias("payload"))
 
     recs = warc_records(archives)
     pages = (recs.filter(F.col("warc_type") == "response")
@@ -49,8 +51,10 @@ def ingest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("block").cast("string").alias("_page")))
     ext = pages.select("media_id", "target_uri",
                        html_to_text(F.col("_page")).alias("text"))
-    routed = ext.select("media_id", "target_uri", "text",
-                        language_id(F.col("text")).alias("lang"))
+    toked = ext.select("*", tokens(F.col("text")).alias("_toks"))
+    routed = toked.select("media_id", "target_uri", "text",
+                          language_id(F.col("text"), toks=F.col("_toks"))
+                           .alias("lang"))
     # exact dedup: fingerprint keeper, never the text as a shuffle key
     slim = routed.withColumn("_fp", F.md5("text"))
     keep = slim.groupBy("_fp").agg(F.min("media_id").alias("media_id"))

@@ -140,3 +140,12 @@ def test_warc_records_gz_matches_plain(spark):
                 a["content_length"], bytes(a["block"])) == \
                (b["rec_index"], b["warc_type"], b["target_uri"],
                 b["content_length"], bytes(b["block"]))
+
+
+def test_content_length_must_be_ascii_digits():
+    # int()-leniency guard: '+12', '1_2' and non-ASCII numerals must END
+    # the walk (mis-framing corrupts every later record), not parse
+    for bad in [b"+12", b"1_2", b"\xef\xbc\x91\xef\xbc\x92"]:  # ＋fullwidth
+        blob = (b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+                + bad + b"\r\n\r\n" + b"x" * 20)
+        assert _warc_records(blob) == []
