@@ -115,3 +115,29 @@ def test_random_multisets_match_exact(spark):
         got = [(r["k"], r["cnt"])
                for r in top_k_heavy_hitters(df, "k", k=k, m=4096).collect()]
         assert got == _exact_topk(rows, k)
+
+
+def test_over_gate_fallback_paths_stay_exact(spark, monkeypatch):
+    """Force both non-hinted branches: a static partitions*m bound over
+    the broadcast gate routes through gated_broadcast (eager count),
+    and a gate smaller than the candidate set drops the hint entirely
+    (sort-merge fallback). Results must be identical to the hinted
+    path — the gate changes the JOIN STRATEGY, never the answer."""
+    from etl_tool_spark.operators import skew
+
+    rows = ["a"] * 50 + ["b"] * 30 + [f"s{i}" for i in range(40)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame([(r,) for r in rows], "k string").repartition(6)
+    expected = [("a", 50), ("b", 30)]
+
+    # static bound 6*16=96 > gate 64, candidates ~42 <= 64: gated hint
+    monkeypatch.setattr(skew, "BROADCAST_ROW_GATE", 64)
+    got = [(r["k"], r["cnt"])
+           for r in top_k_heavy_hitters(df, "k", k=2, m=16).collect()]
+    assert got == expected
+
+    # gate 8 < candidates: no hint at all, plain join — still exact
+    monkeypatch.setattr(skew, "BROADCAST_ROW_GATE", 8)
+    got = [(r["k"], r["cnt"])
+           for r in top_k_heavy_hitters(df, "k", k=2, m=16).collect()]
+    assert got == expected
