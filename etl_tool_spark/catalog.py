@@ -1554,7 +1554,11 @@ def llm_semdedup(spark, sf_dir):
     res = S.semdedup(emb, threshold=0.45, nlist=8)
     vf = emb.select("vec_id", F.col("embedding").alias("_v"),
                     S.norm(F.col("embedding")).alias("_n"))
-    r = res.join(vf, "vec_id")
+    # five invariant branches fan off this frame; checkpoint it once so
+    # the Arrow centroid-assignment UDF and the label joins inside
+    # semdedup don't re-execute per branch (round-6 review finding;
+    # same pattern as llm_mmr_topk's rel/sims)
+    r = res.join(vf, "vec_id").localCheckpoint(eager=True)
     kept = r.filter(F.col("keep"))
     dropped = r.filter(~F.col("keep"))
 
@@ -5055,11 +5059,17 @@ def llm_unicode_nfc(spark, sf_dir):
     suffix = " cafe\u0301 u\u0308ber A\u030a"   # decomposed on purpose
     d = _docs(spark, sf_dir)
     raw = F.concat(F.col("text"), F.lit(suffix))
-    return d.select(
-        "doc_id",
-        P.unicode_normalize(raw).alias("text_nfc"),
-        F.length(P.unicode_normalize(raw)).cast("bigint").alias("len_nfc"),
-        F.length(raw).cast("bigint").alias("len_raw"))
+    # normalize ONCE into its own projection: each unicode_normalize()
+    # call builds a distinct pandas UDF instance Catalyst cannot dedup,
+    # so referencing it twice would cross the Arrow/Python boundary
+    # twice per row for the query's one genuinely-Python (and most
+    # expensive) operator (round-6 review finding)
+    nfc = d.select("doc_id", raw.alias("_raw"),
+                   P.unicode_normalize(raw).alias("text_nfc"))
+    return nfc.select(
+        "doc_id", "text_nfc",
+        F.length("text_nfc").cast("bigint").alias("len_nfc"),
+        F.length("_raw").cast("bigint").alias("len_raw"))
 
 
 @query("llm_html_extract", """
@@ -5772,7 +5782,11 @@ def llm_ngram_lm_score(spark, sf_dir):
     decomposition bit-equal, bucket labels included)."""
     d = _docs(spark, sf_dir)
     train = d.filter(F.col("doc_id") % 2 == 0)
-    scored = X.stupid_backoff_logprob(train, d)
+    # the corpus-sized scoring subplan (trigram explode + 5 joins)
+    # feeds THREE independent action paths below (band summary, offset
+    # join-back, the n scalar) — checkpoint it once, same convention as
+    # llm_zipf_slope's freq (round-6 review finding)
+    scored = X.stupid_backoff_logprob(train, d).localCheckpoint(eager=True)
     banded = (scored
               .withColumn("_b1", F.floor(F.col("avg_logprob")))
               .withColumn("_b2", F.floor(F.col("avg_logprob") * 1000))

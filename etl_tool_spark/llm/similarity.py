@@ -215,10 +215,28 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
                  .select("a", "b", F.round(sim, 6).alias("cosine_sim")))
 
 
+def _sample_unit_matrix(df: DataFrame, sample_n: int, id_col: str,
+                        vec_col: str, what: str):
+    """Deterministic training sample shared by every driver-side
+    quantizer trainer (coarse centroids, PQ codebooks, IVF-PQ
+    residuals): the ``sample_n`` LOWEST ids (partitioning-independent,
+    unlike df.sample), L2-normalized. One definition so the samplers
+    cannot drift and composed trainers (ivfpq_topk) collect the sample
+    ONCE instead of once per trainer (round-6 review finding)."""
+    rows = (df.select(id_col, vec_col).orderBy(F.col(id_col))
+              .limit(sample_n).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError(f"cannot train {what} on an empty corpus")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
 def spherical_kmeans_centroids(df: DataFrame, nlist: int = 16,
                                sample_n: int = 4096, iters: int = 10,
                                seed: int = 7, id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> list[list[float]]:
+                               vec_col: str = "embedding",
+                               sample_matrix=None) -> list[list[float]]:
     """Deterministic spherical k-means centroids for an IVF index.
 
     Runs driver-side on a DETERMINISTIC sample (the ``sample_n`` lowest
@@ -236,13 +254,10 @@ def spherical_kmeans_centroids(df: DataFrame, nlist: int = 16,
     (deterministic tie-break by index)."""
     import numpy as np
 
-    rows = (df.select(id_col, vec_col).orderBy(F.col(id_col))
-              .limit(sample_n).collect())
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    if len(x) == 0:
-        raise ValueError("cannot train IVF centroids on an empty corpus")
+    x = (sample_matrix if sample_matrix is not None
+         else _sample_unit_matrix(df, sample_n, id_col, vec_col,
+                                  "IVF centroids"))
     nlist = min(nlist, len(x))
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=nlist, replace=False)].copy()
@@ -772,15 +787,10 @@ def pq_train_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
     Returns ``m × ksub × (dim/m)`` nested lists. ``dim % m must be 0``.
     Empty clusters reseed to the point farthest from its centroid
     (deterministic index tie-break)."""
-    rows = (df.select(id_col, vec_col).orderBy(F.col(id_col))
-              .limit(sample_n).collect())
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    if len(x) == 0:
-        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    x = _sample_unit_matrix(df, sample_n, id_col, vec_col, "PQ codebooks")
     if x.shape[1] % m:
         raise ValueError(f"pq_train_codebooks: dim {x.shape[1]} not "
                          f"divisible by m={m}")
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return _kmeans_subspaces(x, m, ksub, iters, seed)
 
 
@@ -905,6 +915,25 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     codes = pq_encode(corpus.select(id_col, vec_col), codebooks,
                       vec_col=vec_col, code_col="_code") \
         .select(id_col, "_code")
+    short = _adc_shortlist(codes, queries, codebooks, shortlist,
+                           id_col, vec_col, query_id_col)
+    return _exact_rerank(corpus, queries, short, k,
+                         id_col, vec_col, query_id_col)
+
+
+
+def _adc_shortlist(codes: DataFrame, queries: DataFrame,
+                   codebooks: list[list[list[float]]], shortlist: int,
+                   id_col: str, vec_col: str,
+                   query_id_col: str) -> DataFrame:
+    """Shared ADC scoring stage for the in-memory (pq_topk) and
+    persisted (pq_search) paths: per-query LUT broadcast, JVM
+    lookup-sum over the code array, per-query top-``shortlist`` window.
+    One implementation so the two paths' identical-results contract
+    (asserted in tests) cannot drift (round-6 review finding).
+    ``codes`` carries (id_col, _code)."""
+    from pyspark.sql import Window
+
     q = queries.select(F.col(query_id_col),
                        _pq_lut(F.col(vec_col), codebooks).alias("_lut"))
     adc = F.aggregate(
@@ -916,11 +945,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    .select(query_id_col, id_col, adc.alias("_adc")))
     w_short = Window.partitionBy(query_id_col).orderBy(
         F.col("_adc").desc(), F.col(id_col).asc())
-    short = (scored.withColumn("_r", F.row_number().over(w_short))
-                   .filter(F.col("_r") <= shortlist)
-                   .select(query_id_col, id_col))
-    return _exact_rerank(corpus, queries, short, k,
-                         id_col, vec_col, query_id_col)
+    return (scored.withColumn("_r", F.row_number().over(w_short))
+                  .filter(F.col("_r") <= shortlist)
+                  .select(query_id_col, id_col))
 
 
 def _exact_rerank(corpus: DataFrame, queries: DataFrame, short: DataFrame,
@@ -998,16 +1025,18 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     lowest-id sample; assignment and encoding are map-side."""
     from pyspark.sql import Window
 
-    centroids = spherical_kmeans_centroids(corpus, nlist=nlist,
-                                           id_col=id_col, vec_col=vec_col)
-    # residual codebooks from the same deterministic sample
-    rows = (corpus.select(id_col, vec_col).orderBy(F.col(id_col))
-                  .limit(4096).collect())
-    x = np.array([r[1] for r in rows], dtype=np.float64)
+    # ONE deterministic sample collect feeds BOTH trainers — coarse
+    # centroids and residual codebooks (review finding: this previously
+    # ran the identical lowest-id collect twice and re-implemented the
+    # normalize/guard logic inline)
+    x = _sample_unit_matrix(corpus, 4096, id_col, vec_col,
+                            "IVF-PQ quantizers")
     if x.shape[1] % m:
         raise ValueError(f"ivfpq_topk: dim {x.shape[1]} not divisible "
                          f"by m={m}")
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    centroids = spherical_kmeans_centroids(corpus, nlist=nlist,
+                                           id_col=id_col, vec_col=vec_col,
+                                           sample_matrix=x)
     CC = np.asarray(centroids, dtype=np.float64)
     assign = np.argmax(x @ CC.T, axis=1)
     books = _kmeans_subspaces(x - CC[assign], m, ksub, iters=10, seed=13)
@@ -1109,20 +1138,8 @@ def pq_search(spark, index_dir: str, corpus: DataFrame, queries: DataFrame,
     books = _pq_read_codebooks(spark, base)
     codes = (spark.read.parquet(f"{base}/codes")
                   .select(F.col(id_col), F.col("code").alias("_code")))
-    q = queries.select(F.col(query_id_col),
-                       _pq_lut(F.col(vec_col), books).alias("_lut"))
-    adc = F.aggregate(
-        F.zip_with(F.col("_code"), F.col("_lut"),
-                   lambda c, l: F.element_at(l, c + 1)),
-        F.lit(0.0), lambda acc, v: acc + v)
-    scored = (codes.crossJoin(F.broadcast(q))
-                   .filter(F.col(id_col) != F.col(query_id_col))
-                   .select(query_id_col, id_col, adc.alias("_adc")))
-    w_short = Window.partitionBy(query_id_col).orderBy(
-        F.col("_adc").desc(), F.col(id_col).asc())
-    short = (scored.withColumn("_r", F.row_number().over(w_short))
-                   .filter(F.col("_r") <= shortlist)
-                   .select(query_id_col, id_col))
+    short = _adc_shortlist(codes, queries, books, shortlist,
+                           id_col, vec_col, query_id_col)
     return _exact_rerank(corpus, queries, short, k,
                          id_col, vec_col, query_id_col)
 

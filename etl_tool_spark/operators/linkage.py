@@ -204,7 +204,12 @@ def trigram_join(left: DataFrame, right: DataFrame,
     problem: 'the' pairs everything). Exactness caveat — a true pair
     whose shared prefix grams are ALL dropped is missed, so the default
     None keeps the exact contract the oracle checks; set it at scale
-    where hot grams would otherwise dominate the candidate join.
+    where hot grams would otherwise dominate the candidate join. With
+    ``max_df`` set, the PPJoin positional filter is DISABLED (its
+    rank-based bound assumes the smallest common gram's row survives —
+    a dropped hot gram invalidates the inference and could prune a
+    qualifying pair); the size filter remains, since it uses true gram
+    counts, not ranks.
     Returns left + right columns + ``similarity``; column names must
     not overlap."""
     if not 0.0 < threshold <= 1.0:
@@ -318,8 +323,17 @@ def trigram_join(left: DataFrame, right: DataFrame,
               * F.lit(1.0 - 1e-9) - F.lit(1e-9))
              & (F.col("_n_lh") >= F.lit(threshold) * F.col("_n_rh")
                 * F.lit(1.0 - 1e-9) - F.lit(1e-9)))
+    # the positional bound's exactness proof needs the SMALLEST common
+    # gram's row to survive into the join — max_df may have dropped it
+    # (its hotness is unrelated to the pair), in which case a larger
+    # common gram's rank-based bound can spuriously prune a qualifying
+    # pair (round-6 review finding: t=0.5, |A|=|B|=10, overlap 7, hot
+    # smallest gram removed, next shared gram at rank 5 → ubound 6 <
+    # minov 7). The size filter uses true gram COUNTS, not ranks, so it
+    # stays valid under max_df; the positional filter does not.
+    cand_ok = sz_ok if max_df is not None else sz_ok & (ubound >= minov)
     cands = (lp.join(rp, "_g")
-               .filter(sz_ok & (ubound >= minov))
+               .filter(cand_ok)
                .select("_lh", "_rh").distinct())
     verify = (cands.join(lk.select("_lh", F.col("_gs").alias("_la")), "_lh")
                    .join(rk.select("_rh", F.col("_gs").alias("_ra")), "_rh")

@@ -84,3 +84,37 @@ def test_prefix_ceiling_boundary_pair_not_dropped(spark):
                                hash_keys=hash_keys).collect()
             assert [(r["lid"], r["rid"], r["similarity"]) for r in got] \
                 == [(1, 2, 0.28)], (hash_grams, hash_keys, b_txt)
+
+
+def test_max_df_disables_positional_filter_keeps_boundary_pair(spark):
+    """Review-finding regression: with max_df dropping a pair's hot
+    SMALLEST common gram, the PPJoin positional bound on the surviving
+    shared grams can spuriously prune a qualifying pair (t=0.5,
+    |A|=|B|=10, overlap 7: next shared gram at rank 5 on both sides →
+    ubound 1+min(5,5)=6 < minov 7). The positional filter must be
+    bypassed under max_df so the pair survives via that gram.
+
+    Construction (n=1 grams, string sort): keys A=abcduvwxyz and
+    B=aefguvwxyz share {a,u,v,w,x,y,z} (J=7/13≥0.5); 'a' is rank 1 in
+    both and made hot (df 3 > max_df 2) by filler keys apq/ars whose
+    2-gram prefixes contain 'a'; u..z sit at ranks 5..10, all beyond
+    the positional bound."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.operators.linkage import trigram_join
+
+    lefts = ["abcduvwxyz", "apq", "ars"]
+    rights = ["aefguvwxyz", "apq", "ars"]
+    L = spark.createDataFrame([(s,) for s in lefts], "lname string")
+    R = spark.createDataFrame([(s,) for s in rights], "rname string")
+    out = trigram_join(L, R, "lname", "rname", threshold=0.5, n=1,
+                       max_df=2, hash_grams=False)
+    pairs = {(r["lname"], r["rname"]): r["similarity"]
+             for r in out.collect()}
+    assert ("abcduvwxyz", "aefguvwxyz") in pairs
+    assert pairs[("abcduvwxyz", "aefguvwxyz")] == round(7 / 13, 6)
+    # sanity: exactness contract without max_df unchanged on same data
+    full = trigram_join(L, R, "lname", "rname", threshold=0.5, n=1,
+                        hash_grams=False)
+    assert ("abcduvwxyz", "aefguvwxyz") in {
+        (r["lname"], r["rname"]) for r in full.collect()}
