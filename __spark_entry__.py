@@ -37,9 +37,11 @@ from etl_tool_spark.catalog import ORACLE, SPARK  # noqa: E402
 #: after its siblings have rotated out. Trimmed 10 → 5 in rounds 4-5 while
 #: a large fresh-query backlog existed; re-widened to 10 for round 6
 #: (round-5 verdict item 5). Round-6 state: the 15-query backlog plus the
-#: 22 queries added this round all fit the window (10 sentinels +
-#: 37 fresh = 47 of 50, replayed green via check_oracle --window), so
-#: every catalog query has a driver CORRECTNESS row after this round.
+#: 26 queries added this round nearly fit the window (10 sentinels +
+#: 41 fresh = 51, replayed green via check_oracle --window) — the one
+#: overflow is agg_key_skew, deliberately registered LAST so it is the
+#: sole round-7 fresh entry; every other catalog query has a driver
+#: CORRECTNESS row after this round.
 _SENTINELS = [
     "q1_pricing_summary",     # TPC-H aggregation core
     "join_asof",              # join family (as-of, the custom one)

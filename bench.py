@@ -159,6 +159,12 @@ BENCH_QUERIES = [
     "llm_classifier_eval",
     "etl_k_anonymity",
     "events_late_arrival_stats",
+    # round 6 (cont.): distributed BPE train/encode, nearest-direction
+    # as-of, key-skew profiler
+    "llm_bpe_train_merges",
+    "llm_bpe_encode",
+    "join_asof_nearest",
+    "agg_key_skew",
 ]
 
 

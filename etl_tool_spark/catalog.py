@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_tool_spark.expr import translate
+from etl_tool_spark.llm import bpe as B
 from etl_tool_spark.llm import dedup as D
 from etl_tool_spark.llm import graph as G
 from etl_tool_spark.llm import prep as P
@@ -7729,3 +7730,204 @@ def events_late_arrival_stats(spark, sf_dir):
                                           F.unix_micros("_prev")
                                           - F.unix_micros("ts"))),
                              F.lit(0)).cast("bigint").alias("max_late_us")))
+
+
+# =========================================================================
+# Distributed BPE training / application (llm/bpe.py). The oracle unrolls
+# the IDENTICAL merge iterations as CTEs: both engines run leftmost
+# non-overlapping replace-all over the same double-space symbol-string
+# representation, so the learned merge table and the encoded token counts
+# hash-match exactly — the iterative trainer gets a full-value oracle, not
+# a rows-only check.
+# =========================================================================
+
+_BPE_K = 4
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """w0 (word-frequency vocabulary as symbol strings) + k unrolled
+    (pair-count, argmax-merge, apply-merge) iterations — DuckDB's twin of
+    bpe_train_merges, same tie-break (n DESC, l, r)."""
+    parts = ["""w0 AS (
+  SELECT '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS s,
+         count(*)::BIGINT AS c
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> '')
+  GROUP BY 1)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+ p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(c)::BIGINT AS n FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  j -> struct_pack(l := syms[j], r := syms[j+1]))) AS pr, c
+    FROM (SELECT list_filter(string_split(s, '  '), x -> x <> '') AS syms, c
+          FROM w{i - 1})
+    WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+ m{i} AS (SELECT {i} AS it, l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+ w{i} AS (SELECT replace(s,
+            ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
+            ' ' || (SELECT l || r FROM m{i}) || ' ') AS s, c FROM w{i - 1})""")
+    return "WITH " + ",".join(parts)
+
+
+_BPE_TRAIN_ORACLE = (
+    _bpe_oracle_ctes(_BPE_K) + "\n"
+    + "\nUNION ALL ".join(f"SELECT it, l, r, n FROM m{i}"
+                          for i in range(1, _BPE_K + 1))
+    + "\nORDER BY it")
+
+
+@query("llm_bpe_train_merges", _BPE_TRAIN_ORACLE)
+def llm_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE trainer (Sennrich et al. ACL'16), the full merge
+    loop — llm_bpe_pair_counts is one iteration of this. The corpus is
+    touched ONCE (tokenize+count collapses it to the word-frequency
+    vocabulary, eagerly localCheckpointed); each of the K=4 iterations
+    is then one VOCABULARY-sized partial-agg job plus a one-row argmax
+    collect (the IVF-centroid driver-read pattern — never data-sized),
+    and applying a merge is a single literal replace over the symbol
+    string, pure Column. At 100 TB the corpus pass dominates and runs
+    exactly once; the per-merge cost is bounded by the vocabulary, which
+    is why the published trainers keep word-frequency tables too. The
+    oracle unrolls the same four iterations as CTEs — identical
+    replace-all semantics, identical (n DESC, l, r) tie-break — so the
+    merge table hash-matches exactly."""
+    merges, _ = B.bpe_train_merges(
+        B.word_frequencies(_docs(spark, sf_dir)), _BPE_K)
+    rows = [(m["it"], m["l"], m["r"], m["n"]) for m in merges]
+    return (spark.createDataFrame(rows, "it INT, l STRING, r STRING, n BIGINT")
+                 .orderBy("it"))
+
+
+_BPE_ENCODE_ORACLE = (
+    _bpe_oracle_ctes(_BPE_K) + ",\n enc AS (\n"
+    + "  SELECT doc_id, len(list_filter(string_split("
+    + "".join("replace(" for _ in range(_BPE_K))
+    + "'  ' || regexp_replace(tok, '(.)', '\\1  ', 'g')"
+    + "".join(
+        f", ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' '"
+        f", ' ' || (SELECT l || r FROM m{i}) || ' ')"
+        for i in range(1, _BPE_K + 1))
+    + ", '  '), x -> x <> ''))::BIGINT AS k\n"
+    + """  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''))
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(k)::BIGINT AS n_subwords
+FROM enc GROUP BY doc_id""")
+
+
+@query("llm_bpe_encode", _BPE_ENCODE_ORACLE)
+def llm_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE merges back to the corpus: per-document
+    word and subword counts under the K=4 tokenizer — the
+    sequence-length measurement a packing/budget stage needs from a
+    REAL learned tokenizer rather than the bpe-ish regex proxy.
+    Encoding is the rank-ordered sequential replace-all chain
+    (Sennrich's apply order) with the merge table riding as K literals:
+    pure Column map work + one partial-agg'd shuffle on doc_id. The
+    oracle re-learns the same merges in CTEs and applies the identical
+    replace chain, so every count hash-matches."""
+    d = _docs(spark, sf_dir)
+    merges, _ = B.bpe_train_merges(B.word_frequencies(d), _BPE_K)
+    return B.bpe_token_counts(d, merges)
+
+
+@query("join_asof_nearest", """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+ clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+ b AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS bts, c.click_value AS bval
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts),
+ f AS (
+  SELECT p.event_id, c.ts AS fts, c.click_value AS fval
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts >= p.ts)
+SELECT b.event_id, b.user_id,
+       CASE WHEN fts IS NULL THEN bts WHEN bts IS NULL THEN fts
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bts
+            ELSE fts END AS click_ts,
+       CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bval
+            ELSE fval END AS value_right
+FROM b JOIN f USING (event_id)
+""")
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to the user's CLOSEST
+    click in either direction, ties to the earlier one — the shape for
+    aligning two sensor/log streams where the nearest reading matters,
+    not the last-known one. Composes the backward and forward
+    single-pass union-window joins (operators/relational.py:asof_join),
+    so it costs two shuffles on the key where one direction costs one —
+    still never a range join or a cartesian. The oracle runs DuckDB's
+    two native ASOF joins and applies the same tie rule."""
+    from etl_tool_spark.operators.relational import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    clicks = (e.filter(F.col("event_type") == "click")
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("value", "event_id").alias("click_value")))
+    clicks = clicks.withColumn("_cts", F.col("ts"))
+    joined = asof_join(purchases, clicks, on=["user_id"],
+                       left_ts="ts", right_ts="ts",
+                       payload_cols=["click_value", "_cts"],
+                       direction="nearest")
+    return joined.select("event_id", "user_id",
+                         F.col("_cts_right").alias("click_ts"),
+                         F.col("click_value_right").alias("value_right"))
+
+
+@query("agg_key_skew", """
+WITH k AS (
+  SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY o_custkey),
+ t AS (SELECT c FROM k ORDER BY c DESC, o_custkey LIMIT 10)
+SELECT (SELECT sum(c) FROM k)::BIGINT                             AS n_rows,
+       (SELECT count(*) FROM k)::BIGINT                           AS n_keys,
+       round((SELECT max(c) FROM k) / (SELECT sum(c) FROM k), 6)  AS top1_share,
+       round((SELECT sum(c) FROM t) / (SELECT sum(c) FROM k), 6)  AS top10_share,
+       round((SELECT stddev_pop(c) / avg(c) FROM k), 4)           AS cv,
+       round((SELECT quantile_cont(c, 0.99) FROM k)
+             / (SELECT quantile_cont(c, 0.50) FROM k), 6)         AS p99_over_p50
+""")
+def agg_key_skew(spark, sf_dir):
+    """Key-distribution skew profiler — the measurement that decides
+    whether a join/aggregate key needs salting or AQE skew handling
+    BEFORE the 100 TB run hits it: top-1/top-10 key share of the rows,
+    coefficient of variation of per-key counts, and the p99/p50 count
+    ratio. One partial-agg'd shuffle on the key collapses the data to
+    the KEY-sized count table (localCheckpointed so the stats fold and
+    the top-10 probe don't re-scan the fact table); everything after is
+    key-sized, and the two scalar folds attach by broadcast. Shares are
+    ratios of exact integers and percentiles interpolate sorted
+    integers, so 6-decimal rounding hash-matches; cv (a floating stddev
+    accumulation) rounds to 4 like the other moment statistics."""
+    o = _t(spark, sf_dir, "orders")
+    k = (o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    top10 = (k.orderBy(F.col("c").desc(), "o_custkey").limit(10)
+              .agg(F.sum("c").alias("t10")))
+    stats = k.agg(F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_k"),
+                  F.max("c").alias("_mx"),
+                  F.stddev_pop("c").alias("_sd"), F.avg("c").alias("_mean"),
+                  F.percentile("c", F.lit(0.99)).alias("_p99"),
+                  F.percentile("c", F.lit(0.50)).alias("_p50"))
+    return (stats.crossJoin(F.broadcast(top10))
+                 .select(F.col("_n").cast("bigint").alias("n_rows"),
+                         F.col("_k").cast("bigint").alias("n_keys"),
+                         F.round(F.col("_mx") / F.col("_n"), 6)
+                          .alias("top1_share"),
+                         F.round(F.col("t10") / F.col("_n"), 6)
+                          .alias("top10_share"),
+                         F.round(F.col("_sd") / F.col("_mean"), 4)
+                          .alias("cv"),
+                         F.round(F.col("_p99") / F.col("_p50"), 6)
+                          .alias("p99_over_p50")))

@@ -7,7 +7,8 @@ multimodal column plumbing.
 All deterministic: every hash derives from md5 so the DuckDB oracle can
 reproduce results bit-for-bit (see hash64 in text.py)."""
 
-from etl_tool_spark.llm import dedup, multimodal, prep, similarity, text, warc
+from etl_tool_spark.llm import (bpe, dedup, multimodal, prep, similarity,
+                                text, warc)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "prep",
+__all__ = ["bpe", "dedup", "similarity", "text", "multimodal", "prep",
            "warc"]

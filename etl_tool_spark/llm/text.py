@@ -8,6 +8,7 @@ results reproducible across engines (DuckDB oracle parity).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -667,3 +668,31 @@ def log_odds_classifier(train: DataFrame, score: DataFrame,
                     F.round(F.col("_m") + F.col("_bias"), 6).alias("score"))
             .withColumn("pred", F.when(F.col("score") > 0,
                                        pos_name).otherwise(neg_name)))
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """zlib-compressed-size / raw-size of UTF-8 text — the Gopher/Dolma
+    repetitiveness signal: boilerplate and template spam compress far
+    below natural prose, so a low ratio flags low-information documents
+    cheaply (one pass, no tokenization, language-agnostic). Neither the
+    JVM nor DuckDB exposes a deterministic twin of CPython's zlib
+    stream, so this ships as a library transform (unit-tested ordering
+    contract) rather than an oracle-paired catalog row. Arrow-batched
+    pandas UDF around stdlib zlib — map-side, no shuffle; nulls pass
+    through; empty text reports ratio 1.0 (nothing to judge)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            raw = v.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+        return s.map(one)
+
+    return ratio(col)

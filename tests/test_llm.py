@@ -2020,3 +2020,25 @@ def test_log_odds_classifier_prior_bias(spark):
     # every feature weight is log10((c+1)/(np+v) / ((c'+1)/(nn+v))) with
     # the SAME counts ratio across features; score = mean + log10(4)
     assert row["pred"] == "pos" and row["score"] > 0
+
+
+def test_compression_ratio_orders_repetitive_below_natural(spark):
+    """The Gopher/Dolma repetitiveness signal: template spam compresses
+    far below varied prose; ratio is exactly len(zlib(raw))/len(raw);
+    null passes through and empty text reports the neutral 1.0."""
+    import zlib
+
+    natural = ("the quick brown fox jumps over a lazy dog while seventeen "
+               "violinists argue about breakfast pastries near the harbor")
+    spam = "buy now " * 40
+    df = spark.createDataFrame(
+        [(1, natural), (2, spam), (3, ""), (4, None)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["ratio"] for r in
+           df.select("doc_id",
+                     X.compression_ratio(F.col("text")).alias("ratio"))
+             .collect()}
+    exact = len(zlib.compress(natural.encode(), 6)) / len(natural.encode())
+    assert abs(out[1] - exact) < 1e-12
+    assert out[2] < 0.2 < out[1]          # spam compresses way below prose
+    assert out[3] == 1.0 and out[4] is None

@@ -747,3 +747,41 @@ def test_substring_excise_gated_broadcast_rec_table(spark, catalog):
     p = plan(catalog["llm_substring_excise"](spark, SF_DIR))
     assert not nodes(p, "CartesianProduct")
     assert nodes(p, "BroadcastHashJoin")  # gate open on the rec table
+
+
+def test_bpe_encode_pure_column_replace_chain(spark, catalog):
+    """Encoding under the trained merges is a literal replace chain:
+    no Python anywhere (the trainer's collects happen at build time,
+    the returned plan is JVM-only), no join — the merge table rides as
+    literals — and one partial-agg'd shuffle on doc_id."""
+    p = plan(catalog["llm_bpe_encode"](spark, SF_DIR))
+    assert "EvalPython" not in p        # neither row nor Arrow UDFs
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(nodes(p, "HashAggregate")) == 2  # partial + final
+
+
+def test_asof_nearest_two_union_window_passes(spark, catalog):
+    """direction='nearest' composes the backward and forward union-window
+    joins: exactly two Windows, no range/cartesian join anywhere, and
+    every hash partitioning is on the join key (user_id), never the
+    timestamp."""
+    p = plan(catalog["join_asof_nearest"](spark, SF_DIR))
+    assert len(nodes(p, "Window")) == 2
+    assert not nodes(p, "CartesianProduct")
+    assert not nodes(p, "BroadcastNestedLoopJoin")
+    import re
+
+    # the clicks pre-agg shuffles on its compound (user_id, ts) group key;
+    # what must never happen is a partitioning on the bare time axis
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        keys = [k.strip().split("#")[0] for k in part.split(",")[:-1]]
+        assert keys != ["ts"], f"asof shuffled on the time axis: {part}"
+
+
+def test_key_skew_folds_attach_by_broadcast(spark, catalog):
+    """The fact table collapses to the key-sized count frame in one
+    shuffle; the top-10 scalar attaches by broadcast, never a shuffle
+    join of two one-row frames."""
+    p = plan(catalog["agg_key_skew"](spark, SF_DIR))
+    assert nodes(p, "BroadcastNestedLoopJoin")  # 1x1 scalar attach
+    assert not nodes(p, "SortMergeJoin") and not nodes(p, "CartesianProduct")
