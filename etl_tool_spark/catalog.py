@@ -7748,6 +7748,11 @@ def _bpe_oracle_ctes(k: int) -> str:
     """w0 (word-frequency vocabulary as symbol strings) + k unrolled
     (pair-count, argmax-merge, apply-merge) iterations — DuckDB's twin of
     bpe_train_merges, same tie-break (n DESC, l, r)."""
+    # a corpus with fewer than k learnable pairs leaves m{i} EMPTY: its
+    # scalar subqueries go NULL, and replace(s, NULL, NULL) would
+    # NULL-poison every later stage while the Spark trainer just breaks
+    # early — so each merge coalesces to the identity replacement
+    # chr(7)->chr(7), mirroring "no merge learned, apply nothing"
     parts = ["""w0 AS (
   SELECT '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS s,
          count(*)::BIGINT AS c
@@ -7766,8 +7771,10 @@ def _bpe_oracle_ctes(k: int) -> str:
   GROUP BY 1, 2),
  m{i} AS (SELECT {i} AS it, l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
  w{i} AS (SELECT replace(s,
-            ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
-            ' ' || (SELECT l || r FROM m{i}) || ' ') AS s, c FROM w{i - 1})""")
+            coalesce(' ' || (SELECT l FROM m{i}) || '  '
+                     || (SELECT r FROM m{i}) || ' ', chr(7)),
+            coalesce(' ' || (SELECT l || r FROM m{i}) || ' ', chr(7)))
+            AS s, c FROM w{i - 1})""")
     return "WITH " + ",".join(parts)
 
 
@@ -7806,8 +7813,9 @@ _BPE_ENCODE_ORACLE = (
     + "".join("replace(" for _ in range(_BPE_K))
     + "'  ' || regexp_replace(tok, '(.)', '\\1  ', 'g')"
     + "".join(
-        f", ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' '"
-        f", ' ' || (SELECT l || r FROM m{i}) || ' ')"
+        f", coalesce(' ' || (SELECT l FROM m{i}) || '  '"
+        f" || (SELECT r FROM m{i}) || ' ', chr(7))"
+        f", coalesce(' ' || (SELECT l || r FROM m{i}) || ' ', chr(7)))"
         for i in range(1, _BPE_K + 1))
     + ", '  '), x -> x <> ''))::BIGINT AS k\n"
     + """  FROM (SELECT doc_id,

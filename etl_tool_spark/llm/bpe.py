@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_tool_spark.llm.text import tokens
+
 __all__ = ["word_frequencies", "bpe_train_merges", "bpe_segment",
            "bpe_token_counts"]
 
@@ -73,10 +75,8 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (tok, c) word-frequency vocabulary: lowercased
     whitespace tokens, one partial-agg'd shuffle — the only corpus-sized
     stage of BPE training."""
-    t = F.trim(F.col(text_col))
-    return (docs.filter(t != "")
-                .select(F.explode(
-                    F.split(F.lower(t), r"\s+")).alias("tok"))
+    return (docs.filter(F.trim(F.col(text_col)) != "")
+                .select(F.explode(tokens(F.col(text_col))).alias("tok"))
                 .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
 
 
@@ -149,10 +149,9 @@ def bpe_token_counts(docs: DataFrame, merges: list[dict],
     (id, n_words, n_subwords). Map-side segment + one partial-agg'd
     shuffle on the document id; documents that are empty after trim
     carry no words and are excluded (mirror the filter on any oracle)."""
-    t = F.trim(F.col(text_col))
-    toks = (docs.filter(t != "")
+    toks = (docs.filter(F.trim(F.col(text_col)) != "")
                 .select(id_col,
-                        F.explode(F.split(F.lower(t), r"\s+")).alias("tok")))
+                        F.explode(tokens(F.col(text_col))).alias("tok")))
     return (toks.select(id_col,
                         F.size(bpe_segment(F.col("tok"), merges)).alias("_k"))
                 .groupBy(id_col)

@@ -164,3 +164,19 @@ def test_word_frequencies_skips_blank_docs(spark):
     df = spark.createDataFrame([("  ",), ("a a",)], "text STRING")
     rows = {(r["tok"], r["c"]) for r in B.word_frequencies(df).collect()}
     assert rows == {("a", 2)}
+
+
+def test_fewer_learnable_merges_than_k_matches_oracle_semantics(spark):
+    """A corpus that exhausts its pairs before K merges: the trainer
+    breaks early and encode applies only the learned merges. The DuckDB
+    oracle mirrors this with chr(7) identity replacements (catalog.py
+    _bpe_oracle_ctes) — these are the values it produces for the same
+    corpus, pinned here against the library."""
+    df = spark.createDataFrame([(1, "ab ab c"), (2, "c c")],
+                               "doc_id INT, text STRING")
+    merges, _ = B.bpe_train_merges(B.word_frequencies(df), 4)
+    assert [(m["it"], m["l"], m["r"], m["n"]) for m in merges] \
+        == [(1, "a", "b", 2)]
+    got = sorted((r["doc_id"], r["n_words"], r["n_subwords"])
+                 for r in B.bpe_token_counts(df, merges).collect())
+    assert got == [(1, 3, 3), (2, 2, 2)]
