@@ -456,12 +456,19 @@ def _load_normalize_url(params):
     return lambda c: normalize_url(c, strip_www=strip_www)
 
 
+def _load_compression_ratio(params):
+    from etl_tool_spark.llm.text import compression_ratio
+    level = int(params.get("level", 6))
+    return lambda c: compression_ratio(c, level=level)
+
+
 t_language_id = _text_transform(_load_language_id)
 t_quality_score = _text_transform(_load_quality_score)
 t_token_count = _text_transform(_load_token_count)
 t_fingerprint = _text_transform(_load_fingerprint, fips_md5=True)
 t_redact_pii = _text_transform(_load_redact_pii)
 t_normalize_url = _text_transform(_load_normalize_url)
+t_compression_ratio = _text_transform(_load_compression_ratio)
 
 
 # --------------------------------------------------------------------------
@@ -502,6 +509,7 @@ TRANSFORMS = {
     "fingerprint": t_fingerprint,
     "redactpii": t_redact_pii,
     "normalizeurl": t_normalize_url,
+    "compressionratio": t_compression_ratio,
 }
 
 # transforms whose shorthand suffix ("name:xyz") becomes the 'pattern' param

@@ -178,3 +178,22 @@ def test_crawl_ingest_example(spark):
     src = docs.filter(F.col("doc_id") == row["media_id"]) \
               .select("text").first()[0]
     assert src.split() == row["text"].split()[2:]  # "Doc <id>" prefix
+
+
+def test_tokenizer_train_example(spark, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    try:
+        from tokenizer_train import train_tokenizer
+    finally:
+        sys.path.pop(0)
+    merges, counts, fert = train_tokenizer(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "merges"), 4)
+    assert len(merges) == 4
+    assert [m["it"] for m in merges] == [1, 2, 3, 4]
+    row = fert.collect()[0]
+    # merging can only shorten: 1 <= fertility <= chars-per-word bound,
+    # and a 4-merge tokenizer still splits most words into >1 symbol
+    assert row["fertility"] > 1.0
+    assert counts.filter("n_subwords < n_words").count() == 0
+    # the artifact round-trips: encode used the RELOADED table
+    assert (tmp_path / "merges").exists()

@@ -327,3 +327,24 @@ def test_fingerprint_transform_fips_rejected(spark, tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     with pytest.raises(ConfigError, match="fingerprint"):
         load_config(str(p))
+
+
+def test_compression_ratio_transform(spark):
+    """The repetitiveness signal is reachable declaratively; spam
+    compresses far below varied prose, level is a param."""
+    from etl_tool_spark.operators.mapping import apply_mappings
+
+    df = spark.createDataFrame(
+        [("buy now " * 40, 1),
+         ("the quick brown fox argues with seventeen violinists about "
+          "breakfast pastries near the harbor before noon", 2)],
+        "text string, id long")
+    out = apply_mappings(df, [
+        {"source": "id", "target": "id"},
+        {"source": "text", "target": "cr", "transform": "compressionRatio"},
+        {"source": "text", "target": "cr9", "transform": "compressionRatio",
+         "params": {"level": 9}},
+    ], keep_error_channel=False)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["cr"] < 0.2 < rows[2]["cr"] <= 1.2
+    assert rows[1]["cr9"] <= rows[1]["cr"]  # stronger level, never larger
