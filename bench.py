@@ -280,14 +280,17 @@ def main() -> None:
             # queries are reclaimed by the ContextCleaner only after
             # their references are GC'd; one advisory GC per segment
             # keeps the storage footprint bounded by a segment's
-            # queries instead of the whole run's. NOTE on outliers: the
-            # CC-fixpoint query has been observed spiking 4.3s → 29.7s
-            # → 104.2s ~25 min into back-to-back full-load runs while
-            # its fresh-JVM/quiet reruns stay flat — sustained-load
-            # ambient (shared-host/thermal) contention, not plan or
-            # leak (the min-of-3 in `runs` and the per-query `ambient`
-            # factor in bench_detail.json make the diagnosis readable
-            # from the artifact alone).
+            # queries instead of the whole run's. HISTORY: the 5s ↔
+            # 40-100s run-to-run swings previously blamed on
+            # "sustained-load ambient contention" were root-caused to a
+            # page-fault convoy in the driver JVM — a grow-on-demand
+            # heap made G1's commit/uncommit cycles re-first-touch
+            # regions under 20+ concurrent executor threads (measured:
+            # 1-2.3M minor faults and 600-1040s of KERNEL time in a
+            # single slow run, sys ≈ 65% of all 32 CPUs, steal/iowait
+            # ≈ 0). Fixed at the engine level (session.py pins
+            # Xms = Xmx + AlwaysPreTouch); the drift sentinel trace
+            # stays as the independent witness that a run was quiet.
             spark.sparkContext._jvm.System.gc()
             trace.append(_sentinel())
 

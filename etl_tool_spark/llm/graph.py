@@ -65,11 +65,26 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """(id, label) for every vertex appearing in ``edges``; ``label`` is
     the minimum vertex id of the component. Vertices not in any edge are
     absent (callers left-join and coalesce to the vertex's own id)."""
-    e = edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e0 = edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+    # materialize the INPUT edges before symmetrizing: the union below
+    # duplicates its child subtree, and CC inputs are typically the
+    # engine's most expensive subplans (LSH candidate generation with
+    # Arrow signature stages, trigram verify joins). Without this pin
+    # the whole candidate pipeline executes once per union branch —
+    # measured 5-8s vs 47-81s on the semantic-dedup composition, where
+    # the doubled Arrow-UDF fan-out also thrashes the Python worker
+    # pool nondeterministically. Edge lists are pair-count-sized (small
+    # relative to the corpus by construction), so the extra pin is
+    # cheap at any scale; its blocks are released as soon as the
+    # symmetrized frame is materialized.
+    e0 = e0.localCheckpoint(eager=True)
+    e0_rdd = _checkpoint_rdd(e0)
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint(eager=True)  # reused every round
     e_rdd = _checkpoint_rdd(e)
+    if e0_rdd is not None:  # e reads its own blocks now; the input is dead
+        e0_rdd.unpersist(False)
 
     prev_rdd = None  # the last round's blocks, freed once superseded
     try:
@@ -157,6 +172,11 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     exactly via two anti-joins on the checkpointed frames)."""
     raw = edges.select(F.col(src).cast("long").alias("u"),
                        F.col(dst).cast("long").alias("v"))
+    # pin the input once — verts doubles the subtree via its union and
+    # the edge frame reads it a third time (same rationale, same
+    # lifecycle as connected_components' input pin)
+    raw = raw.localCheckpoint(eager=True)
+    raw_rdd = _checkpoint_rdd(raw)
     # verts from the UNfiltered edges: a vertex whose only edges are
     # self-loops must still appear (label = itself), matching
     # connected_components' contract
@@ -168,6 +188,8 @@ def connected_components_star(edges: DataFrame, src: str = "src",
 
     e = e.distinct().localCheckpoint(eager=True)
     prev_rdd = _checkpoint_rdd(e)
+    if raw_rdd is not None:  # verts + e materialized; the input is dead
+        raw_rdd.unpersist(False)
     try:
         for _ in range(max_iter):
             nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)

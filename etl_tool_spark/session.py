@@ -58,8 +58,27 @@ def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
+    # Pin the heap (Xms = Xmx) and pre-touch it at startup. With a
+    # grow-on-demand heap, G1's commit/uncommit cycles make 20+ executor
+    # threads first-touch-fault the same freshly (re)committed regions
+    # concurrently; the page-fault path convoys on kernel memory locks
+    # and identical CPU-dense stages swing 1s ↔ 40-100s run to run.
+    # Measured on the embedding verify stage: slow runs showed 1-2.3M
+    # minor faults and 600-1040s of kernel (sys) time per run with
+    # 60-75% of ALL cpu in the kernel; with Xms=Xmx+AlwaysPreTouch the
+    # same loop is flat 0.6-1.7s with jvm_stime=0.0s. Cost: one-time
+    # ~0.2s/GiB pre-touch at session start. The default is sized for
+    # the local bench/test harness; SPARK_GRAFT_DRIVER_MEM overrides
+    # (and on a real cluster, spark-submit owns executor sizing —
+    # carry the same Xms=Xmx + AlwaysPreTouch policy there).
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    builder = builder.config("spark.driver.memory", driver_mem)
+    if "spark.driver.extraJavaOptions" not in (extra_conf or {}):
+        builder = builder.config("spark.driver.extraJavaOptions",
+                                 f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
     for k, v in split_knobs(effective_master).items():
         builder = builder.config(k, v)
     if master is not None:
