@@ -167,11 +167,32 @@ BENCH_QUERIES = [
     "agg_key_skew",
 ]
 
+# round 7: FULL-catalog coverage (VERDICT r6 #3) — every registered
+# catalog query gets a timing history, so a regression anywhere shows
+# up in BENCH_r{N} rather than only in a driver replay's wall clock.
+# Auto-extension keeps future catalog additions benched by default; the
+# curated list above preserves its historical order for diffing.
+BENCH_QUERIES += sorted(set(SPARK) - set(BENCH_QUERIES))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("etl_tool_spark_bench")
+
+    # silence the per-execution WindowExec single-partition warning in
+    # the bench log ONLY: every unpartitioned window in the catalog is
+    # plan-asserted to sit above a band/vocab-summary-sized aggregate
+    # (scripts/audit_plans.py unpartitioned_window_violations + the
+    # test_plans.py catalog-wide sweep), so here the warning is
+    # verified noise that used to swamp the recorded tail
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception as e:
+        print(f"# WindowExec log tuning skipped: {e}", file=sys.stderr)
 
     # one warm-up action so JVM/codegen startup isn't billed to query 1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -196,7 +217,7 @@ def main() -> None:
              "llm_incremental_dedup", "llm_semantic_dedup_groups",
              "llm_dedup_cluster_stats", "er_edit_distance_join_d2",
              "er_trigram_join", "llm_minhash_threshold_sweep",
-             "llm_substring_excise"}
+             "llm_substring_excise", "graph_pagerank"}
 
     # compile + JIT every query's generated code on the tiny sf0.001
     # tables first: the plan SHAPE (and therefore the generated source,
@@ -363,12 +384,43 @@ def main() -> None:
     # outgrew the driver's tail-capture window and the whole line was
     # recorded as unparseable ("parsed": null), losing the round's perf
     # record. Only the slowest 10 ride the machine-readable line.
+    # frozen numeric baseline (VERDICT r6 #2): BASELINE_BENCH.json holds
+    # the round-6 per-query medians; per-query ratios make regressions
+    # mechanical instead of archaeological. Full ratio map rides the
+    # detail sidecar; the compact stdout line carries the geomean and
+    # the worst offenders only.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH.json")
+    vs_baseline: dict[str, float] = {}
+    vs_summary: dict = {}
+    try:
+        with open(base_path, encoding="utf-8") as f:
+            base_doc = json.load(f)
+        base = base_doc.get("queries", {})
+        if str(base_doc.get("sf")) != str(sf):
+            raise ValueError(
+                f"baseline frozen at sf={base_doc.get('sf')}, run is "
+                f"sf={sf}; cross-sf ratios are meaningless")
+        vs_baseline = {n: round(t / base[n], 3) for n, t in timings.items()
+                       if n in base and base[n] > 0}
+        if vs_baseline:
+            import math
+            g = math.exp(sum(math.log(v) for v in vs_baseline.values())
+                         / len(vs_baseline))
+            worst = dict(sorted(vs_baseline.items(),
+                                key=lambda kv: -kv[1])[:5])
+            vs_summary = {"geomean": round(g, 3), "n": len(vs_baseline),
+                          "worst": worst}
+    except (OSError, ValueError) as e:
+        print(f"# no baseline ratios: {e}", file=sys.stderr)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     try:
         with open(detail_path, "w", encoding="utf-8") as f:
             json.dump({"sf": sf, "queries": timings, "runs": spreads,
-                       "ambient": ambient, "drift": drift},
+                       "ambient": ambient, "drift": drift,
+                       "vs_baseline": vs_baseline},
                       f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# could not write {detail_path}: {e}", file=sys.stderr)
@@ -382,6 +434,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": slowest,
         "drift": drift,
+        "vs_baseline": vs_summary,
         "recall_vs_exact": recall,
         "plan_stats": {"queries": len(BENCH_QUERIES),
                        "cartesian_products": cartesians,

@@ -3619,6 +3619,12 @@ def events_gap_fill(spark, sf_dir):
         agg = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .select(F.col("w.start").alias("h"), "event_type", "n"))
+        # the rollup feeds THREE consumers (bounds, type dim, join
+        # probe); a lazy checkpoint makes the first action scan events
+        # once and the other two read the cell-count-sized blocks —
+        # round 6 timed this query at [1.7, 3.0, 18.4] s with the
+        # triple scan exposed to ambient noise three times over
+        agg = agg.localCheckpoint(eager=False)
         hours = (agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
                     .select(F.explode(F.expr(
                         "sequence(lo, hi, interval 1 hour)")).alias("h")))
@@ -6929,8 +6935,9 @@ def graph_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
           .select((F.col("o_custkey") * 2).alias("src"),
-                  (F.col("l_suppkey") * 2 + 1).alias("dst"))
-          .distinct())
+                  (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    # no .distinct() here: pagerank's canonical dedup subsumes it —
+    # a second distinct would just add a full shuffle of the same rows
     return (G.pagerank(e, iters=3)
               .select("node", F.col("rank").alias("pr")))
 

@@ -94,9 +94,18 @@ def _pair_counts(w: DataFrame) -> DataFrame:
              .groupBy("p.l", "p.r").agg(F.sum("c").alias("n")))
 
 
+#: Vocabulary row count up to which the merge loop runs driver-side.
+#: 2M (word, freq) rows is ≲ a few hundred MB of Python symbol lists —
+#: the size every published single-node trainer (Sennrich's learn_bpe,
+#: sentencepiece, HF tokenizers) holds in memory; web-scale corpora
+#: plateau well under this (vocab grows ~ heaps-law, not linearly).
+DRIVER_VOCAB_CAP = 2_000_000
+
+
 def bpe_train_merges(words: DataFrame, num_merges: int,
                      word_col: str = "tok", freq_col: str = "c",
                      checkpoint_every: int = 8,
+                     driver_vocab_cap: int | None = None,
                      ) -> tuple[list[dict], DataFrame]:
     """Learn ``num_merges`` BPE merges from a (word, frequency)
     vocabulary frame. Returns (merges, final_vocab): merges as
@@ -105,15 +114,129 @@ def bpe_train_merges(words: DataFrame, num_merges: int,
     binary string order on both engines), and the vocabulary frame in
     its post-merge symbol representation.
 
-    Per-iteration cost is one vocabulary-sized aggregate plus a one-row
-    collect; lineage (a chain of replaces over the cached base) is
-    truncated every ``checkpoint_every`` merges so a large-K train does
-    not accumulate an unbounded plan."""
+    The corpus-sized work (tokenize + count in word_frequencies) always
+    runs distributed and exactly once. The merge LOOP is vocab-sized,
+    and a real vocabulary fits one machine — so when the vocab is under
+    ``driver_vocab_cap`` rows it is collected ONCE and the loop runs
+    driver-side with incremental pair stats + a lazy max-heap (the
+    published single-node trainer shape): total Spark job count is a
+    small constant, independent of num_merges, instead of one
+    aggregate job per merge (32k merges must not be 32k Spark jobs).
+    Vocabularies past the cap fall back to the distributed
+    job-per-merge loop, which is slower per merge but never holds the
+    vocab in one heap."""
     w = words.select(_sym_string(F.col(word_col)).alias("s"),
                      F.col(freq_col).cast("long").alias("c"))
     # materialize the vocabulary ONCE — the corpus-sized tokenize+count
-    # must not re-run under every iteration's pair-count job
+    # must not re-run under every iteration's pair-count job (or under
+    # the driver path's count + collect)
     w = w.localCheckpoint(eager=True)
+    cap = DRIVER_VOCAB_CAP if driver_vocab_cap is None else driver_vocab_cap
+    if w.count() <= cap:
+        return _train_driver(w, num_merges)
+    return _train_distributed(w, num_merges, checkpoint_every)
+
+
+def _apply_merge_syms(syms: list, left: str, right: str) -> list:
+    """Leftmost non-overlapping replace-all of (left, right) over a
+    symbol list — the same greedy pass the delimited-string replace
+    performs."""
+    out: list = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_driver(w: DataFrame, num_merges: int
+                  ) -> tuple[list[dict], DataFrame]:
+    """Driver-side merge loop over a collected vocabulary: incremental
+    pair statistics (only words CONTAINING the merged pair are
+    recounted, via a pair→word index) and a lazily-invalidated max-heap
+    argmax, so per-merge cost is ~O(affected words + log |pairs|) —
+    never a rescan of the vocab, never a Spark job."""
+    import heapq
+
+    rows = w.collect()  # one vocab-sized job; gated by the caller
+    vocab: list = [([x for x in r["s"].split(_D * 2) if x], r["c"])
+                   for r in rows]
+    stats: dict = {}
+    index: dict = {}
+    for wi, (syms, c) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + c
+            index.setdefault(p, set()).add(wi)
+    # heap entries are (-n, l, r); stale ones (count since changed) are
+    # discarded on pop by checking against stats — the classic lazy
+    # decrease-key. Min-heap on (-n, l, r) pops count DESC then (l, r)
+    # ASC: exactly the engine/oracle tie-break.
+    heap = [(-n, p[0], p[1]) for p, n in stats.items()]
+    heapq.heapify(heap)
+    merges: list[dict] = []
+    for it in range(1, num_merges + 1):
+        best = None
+        while heap:
+            nn, hl, hr = heap[0]
+            if stats.get((hl, hr)) == -nn:
+                best = (hl, hr, -nn)
+                break
+            heapq.heappop(heap)  # stale
+        if best is None:
+            break
+        l, r, n = best
+        merges.append({"it": it, "l": l, "r": r, "n": int(n)})
+        touched: set = set()
+        for wi in list(index.get((l, r), ())):
+            syms, c = vocab[wi]
+            old = list(zip(syms, syms[1:]))
+            new_syms = _apply_merge_syms(syms, l, r)
+            vocab[wi] = (new_syms, c)
+            new = list(zip(new_syms, new_syms[1:]))
+            for p in old:
+                stats[p] -= c
+                touched.add(p)
+            for p in new:
+                stats[p] = stats.get(p, 0) + c
+                touched.add(p)
+            old_set, new_set = set(old), set(new)
+            for p in old_set - new_set:
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in new_set - old_set:
+                index.setdefault(p, set()).add(wi)
+        for p in touched:
+            if stats.get(p, 0) <= 0:
+                stats.pop(p, None)
+                index.pop(p, None)
+            else:
+                heapq.heappush(heap, (-stats[p], p[0], p[1]))
+    import pandas as pd
+    final = pd.DataFrame(
+        {"s": [_D * 2 + "".join(sym + _D * 2 for sym in syms)
+               for syms, _ in vocab],
+         "c": [c for _, c in vocab]})
+    spark = w.sparkSession
+    return merges, spark.createDataFrame(final, schema="s string, c long")
+
+
+def _train_distributed(w: DataFrame, num_merges: int,
+                       checkpoint_every: int) -> tuple[list[dict], DataFrame]:
+    """Fallback for vocabularies too large to collect: one
+    vocabulary-sized partial-agg job + a ONE-ROW argmax collect per
+    merge; lineage (a chain of replaces over the cached base) is
+    truncated every ``checkpoint_every`` merges, and each superseded
+    checkpoint's blocks are released as soon as the next one is
+    materialized (graph.py's pattern) so a large-K train holds at most
+    one vocab snapshot pinned."""
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+
+    prev_rdd = _checkpoint_rdd(w)
     merges: list[dict] = []
     for it in range(1, num_merges + 1):
         top = (_pair_counts(w)
@@ -127,6 +250,9 @@ def bpe_train_merges(words: DataFrame, num_merges: int,
                                         F.lit(repl)))
         if it % checkpoint_every == 0:
             w = w.localCheckpoint(eager=True)
+            if prev_rdd is not None:
+                prev_rdd.unpersist(False)
+            prev_rdd = _checkpoint_rdd(w)
     return merges, w
 
 

@@ -236,12 +236,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     total mass ≈ |V|·scale and no per-node 1/N division is needed).
 
     Scale shape per round: one shuffle join (ranks ⋈ edges on the
-    source vertex) + one partial-agg'd sum on the destination — the
-    same per-round account as connected_components, with the same
-    localCheckpoint lineage truncation and round-by-round block
-    release. Symmetrized edges mean no dangling vertices (every node
-    in an edge has out-degree ≥ 1), so no dangling-mass redistribution
-    pass is needed.
+    source vertex) + one partial-agg'd sum on the destination.
+    Symmetrized edges mean no dangling vertices (every node in an edge
+    has out-degree ≥ 1), so no dangling-mass redistribution pass is
+    needed. Three deliberate job-count savers (round-7 fix for the
+    eager-checkpoint-per-round variant, whose 3 materialization jobs
+    per query drove both the 4.5→10.1 s regression and the 2.3×
+    run-to-run spread in the round-6 bench):
+
+    - the edge⋈degree frame is REPARTITIONED ON THE JOIN KEY before
+      its one eager checkpoint, so every round's join reuses that
+      partitioning (LogicalRDD preserves it) and only the ranks side
+      shuffles;
+    - round 1 is join-free — rank₀ is the constant ``scale``, so the
+      first contribution is a pure column expression over ``ed``;
+    - rounds chain LAZILY (connected_components' fold-into-next-action
+      pattern); lineage is truncated by an eager checkpoint only every
+      ``checkpoint_every`` rounds (blocks of the superseded checkpoint
+      released immediately) and once at the end, so an ``iters``-round
+      run costs 2 + iters/checkpoint_every jobs, not iters.
 
     Long-domain bound: a node's rank is < damp_num · |V| · scale, so
     the default scale=10⁹ is exact to ~10⁸ vertices; beyond that pass
@@ -251,29 +264,64 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    # canonicalize BEFORE symmetrizing: distinct over (min, max) pairs
+    # costs half the rows of distinct-over-the-doubled-union (the
+    # round-6 shape), and swapped copies of distinct canonical pairs
+    # cannot collide afterward, so no second dedup is needed.
+    # Self-loops are excluded from the swap so they count once, exactly
+    # as union+distinct counted them.
+    canon = (e.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v")).distinct())
+    # pin the canonical edges before fanning out (union branches + the
+    # degree aggregate + the join each reference them — CC's e0
+    # rationale: without the pin the input subplan, often an expensive
+    # upstream join, executes once per reference)
+    canon = canon.localCheckpoint(eager=True)
+    canon_rdd = _checkpoint_rdd(canon)
+    sym = canon.union(
+        canon.filter(F.col("u") != F.col("v"))
+             .select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # no explicit repartition: the join's ENSURE_REQUIREMENTS already
+    # leaves ed hash-partitioned on u, and LogicalRDD preserves that
+    # partitioning through the checkpoint for every round's join
+    ed = sym.join(deg, "u").localCheckpoint(eager=True)
     ed_rdd = _checkpoint_rdd(ed)
+    if canon_rdd is not None:  # ed reads its own blocks now
+        canon_rdd.unpersist(False)
     teleport = (damp_den - damp_num) * scale // damp_den
-    ranks = deg.select(F.col("u").alias("node"),
-                       F.lit(scale).cast("long").alias("rank"))
+    checkpoint_every = 8
     prev_rdd = None
     try:
-        for _ in range(iters):
-            contrib = (ed.join(ranks, ed["u"] == ranks["node"])
-                         .select(F.col("v").alias("node"),
-                                 F.expr("rank div d").alias("m"))
-                         .groupBy("node").agg(F.sum("m").alias("m")))
-            new_ranks = contrib.select(
-                "node",
-                (F.lit(teleport)
-                 + F.expr(f"({damp_num} * m) div {damp_den}")).alias("rank")
-            ).localCheckpoint(eager=True)
-            if prev_rdd is not None:
-                prev_rdd.unpersist(False)
-            prev_rdd = _checkpoint_rdd(new_ranks)
-            ranks = new_ranks
+        ranks = None
+        for i in range(iters):
+            if ranks is None:
+                # rank₀ is the constant `scale`: the first round's
+                # contribution needs no join at all
+                contrib = ed.select(F.col("v").alias("node"),
+                                    F.expr(f"{scale} div d").alias("m"))
+            else:
+                contrib = (ed.join(ranks, ed["u"] == ranks["node"])
+                             .select(F.col("v").alias("node"),
+                                     F.expr("rank div d").alias("m")))
+            ranks = (contrib.groupBy("node").agg(F.sum("m").alias("m"))
+                     .select("node",
+                             (F.lit(teleport)
+                              + F.expr(f"({damp_num} * m) div {damp_den}")
+                              ).alias("rank")))
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev_rdd is not None:
+                    prev_rdd.unpersist(False)
+                prev_rdd = _checkpoint_rdd(ranks)
+        if ranks is None:  # iters == 0: every vertex at rank₀
+            ranks = (ed.select(F.col("u").alias("node")).distinct()
+                       .withColumn("rank", F.lit(scale).cast("long")))
+        # one materializing job for the whole (since-last-checkpoint)
+        # chain; the caller's actions then read these blocks
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
         prev_rdd = None  # the caller owns the returned checkpoint
         return ranks
     finally:

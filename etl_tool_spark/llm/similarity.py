@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.text import hash64
+from etl_tool_spark.operators.skew import verify_spread
 
 __all__ = ["dot", "norm", "cosine", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "sign_bits", "embedding_dup_pairs",
@@ -201,18 +202,11 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
                  .select(F.col(f"l.{id_col}").alias("a"),
                          F.col(f"r.{id_col}").alias("b"))
                  .distinct())
-    # Pin the verify stage's parallelism COUNT-based, not byte-based:
-    # the candidate stream is a narrow (a, b) pair list — a few bytes
-    # per row — but each row downstream costs an INTERPRETED 64-dim
-    # ArrayAggregate dot product (~30µs; HOFs never enter codegen). AQE
-    # coalesces the distinct's shuffle by its ~MB byte size and funnels
-    # millions of HOF evaluations onto 2-8 tasks: jstack during the
-    # stall shows 7 of 32 executor threads in ArrayAggregate.eval via
-    # the join's bound condition, and the same query swings 5s ↔ 80s
-    # run-to-run purely on AQE's partition pick. An explicit
-    # numPartitions is exempt from AQE coalescing and restores
-    # cores-wide parallelism on any cluster size.
-    cands = cands.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # per-row INTERPRETED HOF dot downstream: pin verify parallelism
+    # count-based (jstack during the 5s↔80s stall showed 7/32 threads
+    # in ArrayAggregate.eval) — rationale + opt-out knob in
+    # operators/skew.py:verify_spread
+    cands = verify_spread(cands)
     # norms hoisted to one per row (not per candidate pair): HOF
     # expressions are interpreted, so norm-in-cosine would triple the
     # verify cost (brute_force_topk's rationale)
@@ -662,9 +656,10 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
                            F.greatest(F.col(id_col), F.col("_nid")).alias("b")))
         cands = new_new.unionByName(new_old).distinct()
     # count-based verify parallelism — same AQE byte-coalescing trap as
-    # embedding_dup_pairs: a narrow pair stream into a per-row HOF dot
-    cands = cands.repartition(
-        new_df.sparkSession.sparkContext.defaultParallelism)
+    # embedding_dup_pairs: a narrow pair stream into a per-row HOF dot.
+    # Incremental runs with few new rows can skip this extra shuffle
+    # via the verifySpread conf (skew.py).
+    cands = verify_spread(cands)
 
     allv = vf_new.unionByName(vf_old)
     va = allv.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),

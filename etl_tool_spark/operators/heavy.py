@@ -118,8 +118,25 @@ def top_k_heavy_hitters(df: DataFrame, key: str, k: int,
     # to avoid in the common case.
     from etl_tool_spark.operators.skew import (BROADCAST_ROW_GATE,
                                                gated_broadcast)
-    static_bound = df.rdd.getNumPartitions() * m
-    cand = (F.broadcast(cand) if static_bound <= BROADCAST_ROW_GATE
+    # The partition count comes from confs + scan metadata, never
+    # df.rdd.getNumPartitions(): that converts the whole plan to an RDD
+    # just to read a number. A file scan's split count can exceed
+    # defaultParallelism (many files / big inputs), so take the max of
+    # every cheap upper-bound signal; if the estimate is still beaten
+    # by reality the gated path below pays one count instead — wrong
+    # estimates cost a job, never an ungated broadcast.
+    spark = df.sparkSession
+    bounds = [spark.sparkContext.defaultParallelism,
+              int(spark.conf.get("spark.sql.shuffle.partitions", "200"))]
+    try:
+        bounds.append(len(df.inputFiles()))
+    except Exception:
+        pass  # non-file plans (in-memory frames) carry no file metadata
+    static_bound = max(bounds) * m
+    # /8 margin: a single large file can split into several scan
+    # partitions, so the estimate can undercount — the free path must
+    # clear the gate with room to spare before skipping the count.
+    cand = (F.broadcast(cand) if static_bound <= BROADCAST_ROW_GATE // 8
             else gated_broadcast(cand))
     topk = (df.select(key)
               .where(F.col(key).isNotNull())

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.llm.text import hash64
+from etl_tool_spark.operators.skew import verify_spread
 
 __all__ = ["deletion_neighborhood", "edit_distance_join",
            "char_ngrams", "trigram_join"]
@@ -335,15 +336,11 @@ def trigram_join(left: DataFrame, right: DataFrame,
     cands = (lp.join(rp, "_g")
                .filter(cand_ok)
                .select("_lh", "_rh").distinct())
-    # pin verify parallelism count-based: the candidate stream is two
-    # longs per row, so AQE coalesces the distinct's shuffle to a
-    # handful of byte-sized partitions — but each row downstream costs
-    # an array_intersect over ~|key| gram hashes, and the imbalance
+    # pin verify parallelism count-based: each candidate row costs an
+    # array_intersect over ~|key| gram hashes and AQE's byte-coalescing
     # serialized the verify stage (measured 6s ↔ 55s run-to-run on the
-    # hex regime; same mechanism as embedding_dup_pairs' HOF verify).
-    # Explicit numPartitions is exempt from AQE coalescing.
-    cands = cands.repartition(
-        left.sparkSession.sparkContext.defaultParallelism)
+    # hex regime) — rationale + opt-out knob in skew.py:verify_spread
+    cands = verify_spread(cands)
     verify = (cands.join(lk.select("_lh", F.col("_gs").alias("_la")), "_lh")
                    .join(rk.select("_rh", F.col("_gs").alias("_ra")), "_rh")
                    .withColumn("_i", F.size(F.array_intersect("_la", "_ra"))))

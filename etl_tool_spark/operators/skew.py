@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join", "gated_broadcast", "BROADCAST_ROW_GATE"]
+__all__ = ["salted_agg", "salted_join", "gated_broadcast",
+           "verify_spread", "BROADCAST_ROW_GATE"]
 
 #: Max rows a frame may have and still get a broadcast hint from
 #: gated_broadcast. Sized for narrow (two-long) rows: ~32 bytes of
@@ -46,6 +47,29 @@ def gated_broadcast(df: DataFrame, row_gate: int | None = None) -> DataFrame:
     cached-block scan rather than a recompute."""
     gate = BROADCAST_ROW_GATE if row_gate is None else row_gate
     return F.broadcast(df) if df.count() <= gate else df
+
+
+def verify_spread(df: DataFrame) -> DataFrame:
+    """Pin a candidate-pair verify stage's parallelism COUNT-based, not
+    byte-based. Candidate streams are narrow (two ids per row — a few
+    bytes), so AQE coalesces the upstream distinct's shuffle by its ~MB
+    byte size and funnels millions of per-row INTERPRETED evaluations
+    (HOF dot products, array_intersect over gram arrays) onto 2-8
+    tasks; measured swings of 5s ↔ 80s run-to-run came purely from
+    AQE's partition pick. An explicit ``repartition(n)`` is exempt from
+    AQE coalescing and restores cores-wide parallelism on any cluster.
+
+    The extra full shuffle is wasted on a tiny/empty candidate set
+    (e.g. incremental runs with few new rows) where AQE coalescing was
+    the right answer — so it is a knob: set session conf
+    ``spark.etl_tool_spark.verifySpread=false`` to skip it (estimating
+    the candidate count up front would itself cost a job, which is why
+    this is a conf and not a gate)."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.etl_tool_spark.verifySpread",
+                      "true").lower() == "false":
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 # aggregates that re-combine losslessly: name -> (partial fn, final fn)
 _MERGEABLE = {

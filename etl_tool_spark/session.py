@@ -31,6 +31,27 @@ def split_knobs(effective_master: str) -> dict[str, str]:
     return {}
 
 
+def _mem_gib(spec: str) -> int:
+    """Whole GiB in a JVM memory spec ('24g', '2048m'); 0 if unparsable."""
+    try:
+        n, unit = int(spec[:-1]), spec[-1].lower()
+    except (ValueError, IndexError):
+        return 0
+    return n if unit == "g" else n // 1024 if unit == "m" else 0
+
+
+def _default_driver_mem() -> str:
+    """Driver heap default: min(24g, MemAvailable/2), floor 1g. Reads
+    /proc/meminfo (Linux); hosts without it get the 24g bench default."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = next(int(line.split()[1]) for line in f
+                      if line.startswith("MemAvailable:"))
+        return f"{max(1, min(24, kb // (2 * 1024 * 1024)))}g"
+    except (OSError, StopIteration, ValueError, IndexError):
+        return "24g"
+
+
 def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
@@ -72,11 +93,20 @@ def get_spark(app_name: str = "etl_tool_spark", master: str | None = None,
     # the local bench/test harness; SPARK_GRAFT_DRIVER_MEM overrides
     # (and on a real cluster, spark-submit owns executor sizing —
     # carry the same Xms=Xmx + AlwaysPreTouch policy there).
+    # The 24g default only applies when the host can actually back it:
+    # Xms=Xmx + AlwaysPreTouch COMMITS the full heap as resident memory
+    # at startup, so on a small host an unconditional 24g would fail or
+    # thrash where a grow-on-demand heap limped along. Size the default
+    # from MemAvailable (≤ half of it, floor 1g); the pre-touch pin is
+    # only worth its resident cost when the sized heap is large enough
+    # for the convoy to matter (≥ 4g). SPARK_GRAFT_DRIVER_MEM (or an
+    # explicit extra_conf entry) overrides both decisions.
     driver_mem = (extra_conf or {}).get(
         "spark.driver.memory",
-        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
     builder = builder.config("spark.driver.memory", driver_mem)
-    if "spark.driver.extraJavaOptions" not in (extra_conf or {}):
+    if ("spark.driver.extraJavaOptions" not in (extra_conf or {})
+            and _mem_gib(driver_mem) >= 4):
         builder = builder.config("spark.driver.extraJavaOptions",
                                  f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
     for k, v in split_knobs(effective_master).items():

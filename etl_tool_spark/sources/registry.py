@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_tool_spark.operators.errors import SEQ_COL
+from etl_tool_spark.util import guard_bridge_file
 
 
 class SourceError(ValueError):
@@ -148,6 +149,7 @@ def read_text(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFr
 def read_yaml(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFrame:
     import yaml  # PyYAML
 
+    guard_bridge_file(path, "yaml source", options.get("driverParseMaxBytes"))
     with open(path) as f:
         doc = yaml.safe_load(f)
     if doc is None:
@@ -168,6 +170,7 @@ def read_xml(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFra
     (trimmed, nested text flattened) keyed by tag; attributes ignored."""
     import xml.etree.ElementTree as ET
 
+    guard_bridge_file(path, "xml source", options.get("driverParseMaxBytes"))
     record_tag = options.get("xmlRecordTag", "record")
     records: list[dict[str, str]] = []
     for _, elem in ET.iterparse(path, events=("end",)):
@@ -196,6 +199,7 @@ def read_xlsx(spark: SparkSession, path: str, options: dict[str, Any]) -> DataFr
     display string (internal/io/xlsx.go:17-170)."""
     from etl_tool_spark.sources.xlsx import read_xlsx_records
 
+    guard_bridge_file(path, "xlsx source", options.get("driverParseMaxBytes"))
     sheet_name = options.get("sheetName")
     sheet_index = None
     if sheet_name is None and "sheetIndex" in options:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_tool_spark.operators.errors import ERROR_COL, ORIG_COL, POS_COL, SEQ_COL
+from etl_tool_spark.util import bounded_collect
 
 
 class SinkError(ValueError):
@@ -68,8 +69,10 @@ def write_json(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     if options.get("arrayFile", True):
         # parity: one indented JSON array document (json.go:46-94).
         # Collect happens on the driver — parity mode targets document-sized
-        # outputs; use arrayFile=False (JSON-lines dir) at scale.
-        records = [r.asDict(recursive=True) for r in out.collect()]
+        # outputs; use arrayFile=False (JSON-lines dir) at scale. The
+        # row cap fails fast instead of OOMing the driver.
+        records = [r.asDict(recursive=True) for r in bounded_collect(
+            out, "json arrayFile sink", options.get("driverCollectMaxRows"))]
         with open(path, "w") as f:
             _json.dump(records, f, indent=2, default=str)
     else:
@@ -208,7 +211,8 @@ def write_yaml(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     import yaml
 
     out = _sorted_cols(_clean(df))
-    records = [r.asDict(recursive=True) for r in out.collect()]
+    records = [r.asDict(recursive=True) for r in bounded_collect(
+        out, "yaml sink", options.get("driverCollectMaxRows"))]
     with open(path, "w") as f:
         yaml.safe_dump(records if records else None, f, sort_keys=True,
                        default_flow_style=False)
@@ -221,7 +225,8 @@ def write_xml(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     root_tag = options.get("xmlRootTag", "records")
     out = _sorted_cols(_clean(df))
     root = ET.Element(root_tag)
-    for r in out.collect():
+    for r in bounded_collect(out, "xml sink",
+                             options.get("driverCollectMaxRows")):
         rec = ET.SubElement(root, record_tag)
         for k in sorted(r.asDict()):
             child = ET.SubElement(rec, k)
@@ -241,7 +246,8 @@ def write_xlsx(df: DataFrame, path: str, options: dict[str, Any]) -> None:
     from etl_tool_spark.sources.xlsx import write_xlsx_records
 
     out = _stringify_complex(_sorted_cols(_clean(df)))
-    records = [r.asDict() for r in out.collect()]
+    records = [r.asDict() for r in bounded_collect(
+        out, "xlsx sink", options.get("driverCollectMaxRows"))]
     write_xlsx_records(records, path,
                        sheet_name=options.get("sheetName", "Sheet1"))
 

@@ -29,6 +29,81 @@ def plan_str(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+# Node names that collapse cardinality: a window over any subtree
+# containing one of these sees a SUMMARY (band/vocab/top-k sized), not
+# the data stream.
+_BOUNDING_NODES = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit|"
+    r"LocalLimit|CollectLimit|TakeOrderedAndProject")
+
+_TREE_NODE_RE = re.compile(r"^[\s*+:|-]*([A-Za-z][\w]*(?: [\w.]+)*) \((\d+)\)")
+
+
+def _top_groups(s: str) -> list[str]:
+    """Top-level [..] groups of a formatted Arguments line."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1:i])
+    return groups
+
+
+def unpartitioned_window_violations(p: str) -> list[str]:
+    """Window nodes with NO partition spec whose input subtree contains
+    no cardinality-collapsing node (aggregate/limit) — i.e. a
+    potentially DATA-sized frame funneled onto a single partition. The
+    engine's banded decomposition (operators/globalorder.py) only ever
+    runs unpartitioned windows over band/vocab summaries, which always
+    sit above an aggregate; this rule mechanizes that invariant so a
+    regression cannot hide behind the (expected, summary-sized)
+    WindowExec warnings in the bench tail.
+
+    Formatted-plan facts this parser relies on (probed on Spark 4):
+    a partitioned+ordered Window's ``Arguments:`` has three top-level
+    bracket groups ``[funcs], [partition], [order]``; two-group forms
+    are either ``[funcs], [order]`` (unpartitioned — the order group
+    always carries ASC/DESC markers) or ``[funcs], [partition]``
+    (partition-only frames like min-over-group — no ASC/DESC).
+    Constant partition keys are folded away by the optimizer, so they
+    cannot mask a violation."""
+    # details: node id -> its "(id) Name\n...Arguments: ..." block
+    details: dict[str, str] = {}
+    for m in re.finditer(r"^\((\d+)\) (.+?)(?=^\(\d+\) |\Z)", p,
+                         re.S | re.M):
+        details[m.group(1)] = m.group(2)
+    violations: list[str] = []
+    # every tree section (main plan + subqueries): lines with "(id)"
+    lines = [(len(l) - len(l.lstrip(" \t+:*|-")), mm.group(1), mm.group(2))
+             for l in p.splitlines()
+             if (mm := _TREE_NODE_RE.match(l))]
+    for i, (depth, name, nid) in enumerate(lines):
+        if name != "Window":
+            continue
+        args = re.search(r"Arguments: (.*)", details.get(nid, ""))
+        groups = _top_groups(args.group(1)) if args else []
+        if len(groups) >= 3:
+            continue  # partitioned (and ordered)
+        if len(groups) == 2 and not re.search(r" (ASC|DESC)\b", groups[-1]):
+            continue  # partition-only window (second group is keys)
+        # subtree below this node (greater depth until depth resets)
+        bounded = False
+        for d2, n2, _ in lines[i + 1:]:
+            if d2 <= depth:
+                break
+            if _BOUNDING_NODES.search(n2):
+                bounded = True
+                break
+        if not bounded:
+            violations.append(f"Window({nid})")
+    return violations
+
+
 def audit(name: str, df) -> dict:
     p = plan_str(df)
 
@@ -48,6 +123,7 @@ def audit(name: str, df) -> dict:
 
     return {
         "name": name,
+        "unpart_data_windows": len(unpartitioned_window_violations(p)),
         "cartesian": n("CartesianProduct"),
         "exchanges": n("Exchange"),
         "bhj": n("BroadcastHashJoin"),
@@ -77,19 +153,26 @@ def main() -> None:
             failed.append((name, str(exc).splitlines()[0][:100]))
 
     hdr = ["name", "cartesian", "exchanges", "bhj", "smj", "bnlj",
-           "windows", "python_eval", "wide_unfiltered_scans"]
+           "windows", "python_eval", "wide_unfiltered_scans",
+           "unpart_data_windows"]
     print("\t".join(hdr))
-    bad = []
+    bad, bad_win = [], []
     for r in rows:
         print("\t".join(str(r[k]) for k in hdr))
         if r["cartesian"] and r["name"] not in CARTESIAN_ALLOWLIST:
             bad.append(r["name"])
+        if r["unpart_data_windows"]:
+            bad_win.append(r["name"])
     for name, err in failed:
         print(f"# ERROR {name}: {err}")
     print(f"# {len(rows)} plans audited, {len(bad)} with cartesians, "
+          f"{len(bad_win)} with data-sized unpartitioned windows, "
           f"{len(failed)} errored")
     if bad:
         print(f"# CARTESIAN: {bad}")
+    if bad_win:
+        print(f"# UNPART_DATA_WINDOW: {bad_win}")
+    if bad or bad_win:
         sys.exit(1)
 
 

@@ -464,7 +464,9 @@ def test_catalog_wide_no_cartesian_no_row_udf(spark, catalog):
     than resting on a script nobody runs (round-4 verdict item 4)."""
     import re
 
-    offenders, row_udfs = [], []
+    from scripts.audit_plans import unpartitioned_window_violations
+
+    offenders, row_udfs, bad_windows = [], [], []
     for name, fn in sorted(catalog.items()):
         p = plan(fn(spark, SF_DIR))
         if re.search(r"\(\d+\) CartesianProduct", p):
@@ -474,8 +476,45 @@ def test_catalog_wide_no_cartesian_no_row_udf(spark, catalog):
         # sketch builders)
         if re.search(r"\(\d+\) BatchEvalPython", p):
             row_udfs.append(name)
+        # unpartitioned windows only over summary-bounded subtrees
+        # (VERDICT r6 #5): a data-sized frame on a single partition is a
+        # scale cliff even when sf0.001 hides it
+        if unpartitioned_window_violations(p):
+            bad_windows.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
     assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
+    assert not bad_windows, f"data-sized unpartitioned windows in: {bad_windows}"
+
+
+def test_unpartitioned_window_rule_flags_and_passes(spark):
+    """The audit rule itself: an unpartitioned window directly over a
+    data stream is flagged; the same window over a groupBy summary (the
+    banded-decomposition shape) passes; a partitioned window over raw
+    data passes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scripts.audit_plans import unpartitioned_window_violations
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    w_bad = Window.orderBy("id")
+    bad = df.withColumn("r", F.row_number().over(w_bad))
+    assert unpartitioned_window_violations(plan(bad))
+
+    summary = df.groupBy("k").agg(F.sum("id").alias("s"))
+    w_sum = Window.orderBy("k")
+    ok = summary.withColumn("r", F.sum("s").over(w_sum))
+    assert not unpartitioned_window_violations(plan(ok))
+
+    w_part = Window.partitionBy("k").orderBy("id")
+    ok2 = df.withColumn("r", F.row_number().over(w_part))
+    assert not unpartitioned_window_violations(plan(ok2))
+
+    # partition-only frame (no orderBy) prints two Argument groups like
+    # the unpartitioned form — the missing ASC/DESC marks it partitioned
+    w_only = Window.partitionBy("k")
+    ok3 = df.withColumn("m", F.max("id").over(w_only))
+    assert not unpartitioned_window_violations(plan(ok3))
 
 
 def test_twap_single_partitioning(spark, catalog):
