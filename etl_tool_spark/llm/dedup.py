@@ -572,17 +572,22 @@ def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
 def append_signatures(df: DataFrame, store_dir: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, bands: int = 8,
-                      shingle_n: int = 3) -> None:
+                      shingle_n: int = 3, prehashed: bool = False) -> None:
     """Append ``df``'s minhash signatures + banded keys to an
     incremental store WITHOUT running pair discovery. The ingest-gate
     path (streaming/dedup.py:near-dup gate) uses this to remember only
     the SURVIVORS of a batch — dropped duplicates must not pollute the
     store, or later docs would be compared against text the corpus never
-    kept. Parameters must match the store's (same hash family)."""
+    kept. Parameters must match the store's (same hash family).
+    ``prehashed=True`` takes ``df`` as an existing (id, _hs) signature
+    frame (e.g. the gate's staged batch signatures) instead of hashing
+    ``text_col``."""
     _migrate_legacy_flat_store(df.sparkSession, store_dir, id_col,
                                num_hashes, bands)
-    hs = df.select(F.col(id_col),
-                   shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    hs = (df.select(F.col(id_col), "_hs") if prehashed
+          else df.select(F.col(id_col),
+                         shingle_hashes(F.col(text_col), shingle_n)
+                         .alias("_hs")))
     _append_and_pin(hs, store_dir, id_col, num_hashes, bands)
 
 
@@ -591,7 +596,8 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
                               num_hashes: int = 16, bands: int = 8,
                               shingle_n: int = 3, threshold: float = 0.7,
                               max_bucket: int | None = None,
-                              update_store: bool = True) -> DataFrame:
+                              update_store: bool = True,
+                              prehashed: bool = False) -> DataFrame:
     """Near-dup pairs for a NEW batch against a growing corpus, without
     ever re-hashing old documents — the continuous corpus-building
     workflow (nightly crawl drops, streaming ingests).
@@ -628,8 +634,13 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     spark = new_df.sparkSession
 
-    hs_new = new_df.select(F.col(id_col),
-                           shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+    # prehashed: new_df already IS an (id, _hs) signature frame (the
+    # gate stages its batch hashes once and reuses them here, for the
+    # survivor append, and for every verify-side read)
+    hs_new = (new_df.select(F.col(id_col), "_hs") if prehashed
+              else new_df.select(F.col(id_col),
+                                 shingle_hashes(F.col(text_col),
+                                                shingle_n).alias("_hs")))
     # pin the read to the store's CURRENT part files: the result plan is
     # lazy, and without pinning the post-run append would leak the new
     # batch into hs_old on a later re-execution (double-counted shingles

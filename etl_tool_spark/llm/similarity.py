@@ -561,13 +561,29 @@ def append_embedding_signatures(df: DataFrame, store_dir: str,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 dim: int = 64, bands: int = 64,
-                                rows_per_band: int = 6) -> None:
+                                rows_per_band: int = 6,
+                                prenormed: bool = False,
+                                banded: DataFrame | None = None) -> None:
     """Append vectors + banded sign-LSH keys to an incremental embedding
     store WITHOUT pair discovery — the semantic ingest gate remembers
     only a batch's SURVIVORS (llm/dedup.py append_signatures rationale:
-    dropped near-dups must not pollute the store)."""
-    _append_and_pin_vec(_norm_frame(df, id_col, vec_col), store_dir,
-                        id_col, vec_col, dim, bands, rows_per_band)
+    dropped near-dups must not pollute the store). ``prenormed`` takes
+    ``df`` as an existing (id, vec, _norm) frame; ``banded`` supplies
+    the matching pre-computed band keys (both typically staged parquet
+    from the gate) so neither the norms nor the sign projections
+    recompute."""
+    import os as _os
+
+    from etl_tool_spark.util import require_local_store
+
+    vf = df if prenormed else _norm_frame(df, id_col, vec_col)
+    if banded is None:
+        _append_and_pin_vec(vf, store_dir, id_col, vec_col, dim, bands,
+                            rows_per_band)
+        return
+    require_local_store(store_dir, "embedding signature store")
+    vf.write.mode("append").parquet(_os.path.join(store_dir, "vec"))
+    banded.write.mode("append").parquet(_os.path.join(store_dir, "bands"))
 
 
 def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
@@ -577,7 +593,8 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
                                 dim: int = 64, bands: int = 64,
                                 rows_per_band: int = 6,
                                 max_bucket: int | None = None,
-                                update_store: bool = True) -> DataFrame:
+                                update_store: bool = True,
+                                staging_dir: str | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs for a NEW batch against a growing
     corpus, never re-projecting old vectors — the semantic twin of
     llm/dedup.py incremental_minhash_pairs, same two-table store
@@ -622,6 +639,18 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     if update_store:
         vf_new, banded_new = _append_and_pin_vec(
             vf_new, store_dir, id_col, vec_col, dim, bands, rows_per_band)
+    elif staging_dir:
+        # gate path: stage norms + sign projections ONCE — without this
+        # the projections recompute for each self-join side, the
+        # new×old probe, and the verify's vector read (same
+        # signatures-are-a-table shape as the minhash gate's stage)
+        vf_new.write.mode("overwrite").parquet(
+            _os.path.join(staging_dir, "vec"))
+        vf_new = spark.read.parquet(_os.path.join(staging_dir, "vec"))
+        _banded_keys(vf_new, id_col, vec_col, dim, bands, rows_per_band) \
+            .write.mode("overwrite").parquet(
+                _os.path.join(staging_dir, "bands"))
+        banded_new = spark.read.parquet(_os.path.join(staging_dir, "bands"))
     else:
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
                                   rows_per_band)

@@ -229,20 +229,43 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     (_batch_marker) — without the marker it would also re-append its
     survivors' signatures (same-id pairs are excluded by a < b, so the
     store copy cannot flag its own replay)."""
+    import os as _os
+    import shutil as _shutil
+
     applied, commit = _batch_marker(store_dir, batch_id)
     if applied:
         return
+    spark = batch_df.sparkSession
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
-                  if k in ("num_hashes", "bands", "shingle_n")}
+                  if k in ("num_hashes", "bands")}
+    shingle_n = minhash_kwargs.get("shingle_n", 3)
+    # stage the batch's shingle hashes ONCE: without this the md5 shingle
+    # pass over the text re-ran for banding, both verify sides, AND the
+    # survivor append — measured 4× the necessary hash work per batch
+    # (the dominant cost of the gate folds). Fixed staging name is safe:
+    # foreachBatch batches are sequential, and a crashed batch replays
+    # from the marker, overwriting the stage.
+    from etl_tool_spark.llm.dedup import shingle_hashes
+    staging = _os.path.join(store_dir, "gate-staging")
+    (batch_df.select(F.col(id_col),
+                     shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
+             .write.mode("overwrite").parquet(staging))
+    hs = spark.read.parquet(staging)
     pairs = incremental_minhash_pairs(
-        batch_df, store_dir, id_col=id_col, text_col=text_col,
-        update_store=False, **minhash_kwargs)
+        hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
+        **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
     survivors = _gate_survivors(batch_df, pairs, id_col)
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    append_signatures(survivors, store_dir, id_col=id_col,
-                      text_col=text_col, **sig_kwargs)
+    # survivor ids pinned to what just landed (no recompute of the gate
+    # join); their signatures come from the stage (no re-hash)
+    landed_ids = (spark.read.parquet(out_dir)
+                  .filter(F.col("batch_id") == batch_id)
+                  .select(id_col).distinct())
+    append_signatures(hs.join(landed_ids, id_col), store_dir,
+                      id_col=id_col, prehashed=True, **sig_kwargs)
     commit()
+    _shutil.rmtree(staging, ignore_errors=True)
 
 
 def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
@@ -278,21 +301,38 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     the store (llm/similarity.py incremental store). Same
     land-before-store crash order and _batch_marker replay no-op as
     land_near_batch."""
+    import os as _os
+    import shutil as _shutil
+
     from etl_tool_spark.llm.similarity import (append_embedding_signatures,
                                                incremental_embedding_pairs)
 
     applied, commit = _batch_marker(store_dir, batch_id)
     if applied:
         return
+    spark = batch_df.sparkSession
+    # norms + sign projections stage once (see land_near_batch); the
+    # survivor append below reuses the staged tables, so the batch is
+    # projected exactly once per landing
+    staging = _os.path.join(store_dir, "gate-staging")
     pairs = incremental_embedding_pairs(
         batch_df, store_dir, threshold=threshold, id_col=id_col,
-        vec_col=vec_col, update_store=False, **lsh_kwargs)
+        vec_col=vec_col, update_store=False, staging_dir=staging,
+        **lsh_kwargs)
     survivors = _gate_survivors(batch_df, pairs, id_col)
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    append_embedding_signatures(survivors, store_dir, id_col=id_col,
-                                vec_col=vec_col, **lsh_kwargs)
+    landed_ids = (spark.read.parquet(out_dir)
+                  .filter(F.col("batch_id") == batch_id)
+                  .select(id_col).distinct())
+    staged_vf = spark.read.parquet(_os.path.join(staging, "vec"))
+    staged_bands = spark.read.parquet(_os.path.join(staging, "bands"))
+    append_embedding_signatures(
+        staged_vf.join(landed_ids, id_col), store_dir, id_col=id_col,
+        vec_col=vec_col, prenormed=True,
+        banded=staged_bands.join(landed_ids, id_col), **lsh_kwargs)
     commit()
+    _shutil.rmtree(staging, ignore_errors=True)
 
 
 def semantic_ingest_stream(vecs: DataFrame, store_dir: str, out_dir: str,
@@ -340,26 +380,46 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     markers (land-before-store order; replay of a fully-applied batch
     is a no-op)."""
     import os
+    import shutil as _shutil
 
     applied, commit = _batch_marker(store_dir, batch_id)
     if applied:
         return
+    spark = batch_df.sparkSession
     fresh = incremental_exact_dedup(batch_df, os.path.join(store_dir, "fp"),
                                     id_col=id_col, text_col=text_col,
                                     update_store=False)
+    # stage the exact-dedup survivors WITH their shingle hashes and
+    # fingerprint in one pass: `fresh` is an anti-join plan and the md5
+    # shingle pass is the batch's dominant cost — without staging both
+    # re-ran for banding, each verify side, the landing write, and both
+    # store appends (same rationale as land_near_batch's stage)
+    from etl_tool_spark.llm.dedup import shingle_hashes
+    shingle_n = minhash_kwargs.get("shingle_n", 3)
+    staging = os.path.join(store_dir, "gate-staging")
+    (fresh.withColumn("_hs", shingle_hashes(F.col(text_col), shingle_n))
+          .withColumn("_fp", fingerprint(F.col(text_col)))
+          .write.mode("overwrite").parquet(staging))
+    staged = spark.read.parquet(staging)
+    hs = staged.select(id_col, "_hs")
     pairs = incremental_minhash_pairs(
-        fresh, store_dir, id_col=id_col, text_col=text_col,
-        update_store=False, **minhash_kwargs)
-    survivors = _gate_survivors(fresh, pairs, id_col)
-    (survivors.withColumn("batch_id", F.lit(batch_id))
+        hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
+        **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
+    survivors = _gate_survivors(staged, pairs, id_col)
+    (survivors.drop("_hs", "_fp").withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    (survivors.select(fingerprint(F.col(text_col)).alias("_fp"))
-              .write.mode("append").parquet(os.path.join(store_dir, "fp")))
+    landed_ids = (spark.read.parquet(out_dir)
+                  .filter(F.col("batch_id") == batch_id)
+                  .select(id_col).distinct())
+    landed_staged = staged.join(landed_ids, id_col)
+    (landed_staged.select("_fp")
+                  .write.mode("append").parquet(os.path.join(store_dir, "fp")))
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
-                  if k in ("num_hashes", "bands", "shingle_n")}
-    append_signatures(survivors, store_dir, id_col=id_col,
-                      text_col=text_col, **sig_kwargs)
+                  if k in ("num_hashes", "bands")}
+    append_signatures(landed_staged.select(id_col, "_hs"), store_dir,
+                      id_col=id_col, prehashed=True, **sig_kwargs)
     commit()
+    _shutil.rmtree(staging, ignore_errors=True)
 
 
 def full_clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
