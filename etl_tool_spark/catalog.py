@@ -6779,6 +6779,9 @@ def llm_token_budget_select(spark, sf_dir):
     base = d.select("doc_id",
                     X.token_count(F.col("text")).alias("n_tokens"),
                     feats["quality_score"].alias("quality_score"))
+    # three consumers (budget total, band summary, offset join-back):
+    # lazy-checkpoint so the tokenize+quality pass runs once
+    base = base.localCheckpoint(eager=False)
     total = base.agg(F.sum("n_tokens").alias("_total"))
     base = base.crossJoin(F.broadcast(total))
     sel = GO.budget_select(base, band="quality_score",

@@ -491,6 +491,10 @@ def land_budget_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     scored = base.select("*", feats["quality_score"].alias("_q"),
                          token_count(F.col(text_col)).alias("_nt")) \
                  .drop("_toks")
+    # the scored frame feeds the quota total, the band summary, and the
+    # offset join-back — a lazy checkpoint runs the tokenize+quality
+    # pass once instead of once per reference
+    scored = scored.localCheckpoint(eager=False)
     if quota_frac is not None:
         total = scored.agg(F.sum("_nt").alias("_total"))
         scored = scored.crossJoin(F.broadcast(total))
