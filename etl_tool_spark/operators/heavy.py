@@ -126,8 +126,13 @@ def top_k_heavy_hitters(df: DataFrame, key: str, k: int,
     # by reality the gated path below pays one count instead — wrong
     # estimates cost a job, never an ungated broadcast.
     spark = df.sparkSession
-    bounds = [spark.sparkContext.defaultParallelism,
-              int(spark.conf.get("spark.sql.shuffle.partitions", "200"))]
+    bounds = [spark.sparkContext.defaultParallelism]
+    try:
+        # "auto" on AQE-managed clusters is not an int — just skip it
+        bounds.append(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                         "200")))
+    except ValueError:
+        pass
     try:
         bounds.append(len(df.inputFiles()))
     except Exception:

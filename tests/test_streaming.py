@@ -1011,3 +1011,45 @@ def test_crawl_ingest_stream_gates_duplicate_archives(spark, tmp_path):
     assert rows[1]["target_uri"] == "https://x/1"
     assert rows[1]["text"] == texts[1]        # page furniture stripped
     assert rows[4]["batch_id"] == 1
+
+
+def test_ingest_gates_handle_empty_batches(spark, tmp_path):
+    """An empty micro-batch (routine under availableNow/file triggers)
+    must be a harmless no-op for every gate — pinned because the
+    round-7 signature-staging rewrite reads the staged batch parquet
+    back, and an empty write must not break that read or poison the
+    store for later batches."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.streaming.dedup import (land_clean_batch,
+                                                land_near_batch,
+                                                land_semantic_batch)
+
+    d = spark.createDataFrame(
+        [(1, "hello world hello again"), (2, "other text here now")],
+        "doc_id INT, text STRING")
+    empty = d.filter(F.col("doc_id") > 99)
+    d3 = spark.createDataFrame([(3, "fresh third document text")],
+                               "doc_id INT, text STRING")
+    for land in (land_near_batch, land_clean_batch):
+        base = tmp_path / land.__name__
+        store, out = str(base / "store"), str(base / "out")
+        land(d, 0, store, out)
+        land(empty, 1, store, out)   # no-op, must not corrupt the store
+        land(d3, 2, store, out)
+        got = sorted((r["doc_id"], r["batch_id"])
+                     for r in spark.read.parquet(out).collect())
+        assert got == [(1, 0), (2, 0), (3, 2)], land.__name__
+
+    e = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(4)],
+        "vec_id INT, embedding ARRAY<FLOAT>")
+    base = tmp_path / "sem"
+    store, out = str(base / "store"), str(base / "out")
+    kw = dict(threshold=0.999999)
+    land_semantic_batch(e.filter(F.col("vec_id") < 2), 0, store, out, **kw)
+    land_semantic_batch(e.filter(F.col("vec_id") > 99), 1, store, out, **kw)
+    land_semantic_batch(e.filter(F.col("vec_id") >= 2), 2, store, out, **kw)
+    got = sorted((r["vec_id"], r["batch_id"])
+                 for r in spark.read.parquet(out).collect())
+    assert got == [(0, 0), (1, 0), (2, 2), (3, 2)]
