@@ -234,39 +234,27 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; the timed run will report
 
-    def _timed_runs(name: str, n_timed: int = 3,
-                    extra_warm: int = 0) -> tuple[list[float], int]:
-        """One (or more) UNTIMED warm-up executions at the target sf —
-        first-run Janino compilation, HotSpot JIT, page-cache fill —
-        then ``n_timed`` timed executions."""
-        fn = SPARK[name]
-        rows = 0
-        for _ in range(1 + extra_warm):
-            fn(spark, sf_dir).count()
-        runs: list[float] = []
-        for _ in range(n_timed):
-            t0 = time.time()
-            rows = fn(spark, sf_dir).count()  # materialize the result
-            runs.append(time.time() - t0)
-        return runs, rows
+    def _run_once(name: str) -> tuple[float, int]:
+        t0 = time.time()
+        rows = SPARK[name](spark, sf_dir).count()  # materialize the result
+        return time.time() - t0, rows
 
     def _median(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2]
 
     # ambient-drift sentinel: a fixed scan-agg query timed at the start,
-    # after every SENTINEL_EVERY queries, and at the end. Round 4's
-    # record could not distinguish a real regression from JVM/GC
-    # pressure drifting EVERY query +10-20% over a 105-query run, and
+    # after every SENTINEL_EVERY queries, and at the end of each pass.
+    # Round 4's record could not distinguish a real regression from
+    # JVM/GC pressure drifting EVERY query +10-20% over a long run, and
     # round 5's start/end-only sentinel could not attribute WHICH
     # queries ran under the 2.1× ambient slowdown it recorded. The
-    # interleaved trace gives each query the sentinel reading of its
-    # segment, so its `ambient` factor (segment sentinel / best
-    # sentinel of the run) is recorded next to its median.
+    # interleaved trace gives each (query, pass) the sentinel reading
+    # of its segment.
     SENTINEL = "q6_forecast_revenue"
     SENTINEL_EVERY = 10
 
     def _sentinel() -> float:
-        return _median(_timed_runs(SENTINEL)[0])
+        return _median([_run_once(SENTINEL)[0] for _ in range(3)])
 
     # POSITION-INDEPENDENT ORDER: queries are timed in sorted-name
     # order, NOT registration/rotation order — round 5 showed per-query
@@ -276,52 +264,77 @@ def main() -> None:
     # driver rotation or this list's append history does.
     run_order = sorted(BENCH_QUERIES)
 
-    drift_start = _sentinel()
-    trace: list[float] = [drift_start]
+    # one UNTIMED full pass at the target sf: first-run Janino
+    # compilation, HotSpot JIT, page-cache fill. The multi-stage heavy
+    # pipelines get a second warm run (measured: identical plans go
+    # 15.7s → 6.3s while HotSpot is still compiling their codegen).
+    for name in run_order:
+        try:
+            _run_once(name)
+            if name in heavy:
+                _run_once(name)
+        except Exception:
+            pass  # warm-up is best-effort; the timed pass will report
+
+    # INTERLEAVED WHOLE-CATALOG PASSES (round-7 verdict item 4): the
+    # catalog is timed once per pass, and each query's median is taken
+    # ACROSS passes. Back-to-back per-query repeats shared whatever
+    # contention window the host was in — all three samples rode the
+    # same spike and the median kept it (round-7: max_over_best 6.99,
+    # 14 queries needed a retry). Samples minutes apart decorrelate
+    # from contention, so one loud window costs one sample, which the
+    # median discards.
+    N_PASSES = 3
+    trace: list[float] = []
+    pass_times: dict[str, list[float]] = {n: [] for n in run_order}
+    pass_seg: dict[str, list[int]] = {n: [] for n in run_order}
+    rows_of: dict[str, int] = {}
+    for p in range(N_PASSES):
+        trace.append(_sentinel())
+        for i, name in enumerate(run_order):
+            t, rows_of[name] = _run_once(name)
+            pass_times[name].append(t)
+            pass_seg[name].append(len(trace) - 1)
+            if (i + 1) % SENTINEL_EVERY == 0 and i + 1 < len(run_order):
+                # segment hygiene: localCheckpoint blocks from completed
+                # queries are reclaimed by the ContextCleaner only after
+                # their references are GC'd; one advisory GC per segment
+                # keeps the storage footprint bounded. HISTORY: the 5s ↔
+                # 40-100s run-to-run swings previously blamed on ambient
+                # contention were root-caused to a page-fault convoy in
+                # the driver JVM (grow-on-demand heap × G1 commit/
+                # uncommit × 20+ executor threads); fixed at the engine
+                # level (session.py pins Xms = Xmx + AlwaysPreTouch).
+                # The drift sentinel trace stays as the independent
+                # witness that a run was quiet.
+                spark.sparkContext._jvm.System.gc()
+                trace.append(_sentinel())
+        print(f"# pass {p + 1}/{N_PASSES} done "
+              f"({sum(t[-1] for t in pass_times.values()):.1f}s)",
+              file=sys.stderr)
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     segment_of: dict[str, int] = {}
-    total = 0.0
-    for i, name in enumerate(run_order):
-        # median-of-3 after an untimed warm-up run: the median is robust
-        # to one contended run in either direction, and the warm-up
-        # absorbs first-run codegen so the medians compare round-over-
-        # round (min-of-N, used through round 4, hid ambient inflation
-        # until it hit every repeat)
-        runs, n = _timed_runs(name, extra_warm=1 if name in heavy else 0)
+    for name in run_order:
+        runs = pass_times[name]
         med = _median(runs)
         timings[name] = round(med, 3)
         spreads[name] = [round(t, 3) for t in sorted(runs)]
-        segment_of[name] = len(trace) - 1
-        total += med
-        print(f"# {name}: {med:.2f}s median of {sorted(runs)} ({n} rows)",
-              file=sys.stderr)
-        if (i + 1) % SENTINEL_EVERY == 0 and i + 1 < len(run_order):
-            # segment hygiene: localCheckpoint blocks from completed
-            # queries are reclaimed by the ContextCleaner only after
-            # their references are GC'd; one advisory GC per segment
-            # keeps the storage footprint bounded by a segment's
-            # queries instead of the whole run's. HISTORY: the 5s ↔
-            # 40-100s run-to-run swings previously blamed on
-            # "sustained-load ambient contention" were root-caused to a
-            # page-fault convoy in the driver JVM — a grow-on-demand
-            # heap made G1's commit/uncommit cycles re-first-touch
-            # regions under 20+ concurrent executor threads (measured:
-            # 1-2.3M minor faults and 600-1040s of KERNEL time in a
-            # single slow run, sys ≈ 65% of all 32 CPUs, steal/iowait
-            # ≈ 0). Fixed at the engine level (session.py pins
-            # Xms = Xmx + AlwaysPreTouch); the drift sentinel trace
-            # stays as the independent witness that a run was quiet.
-            spark.sparkContext._jvm.System.gc()
-            trace.append(_sentinel())
+        # the segment whose pass produced the median — its sentinel
+        # reading is the machine context of the RECORDED number
+        segment_of[name] = pass_seg[name][runs.index(med)]
+        print(f"# {name}: {med:.2f}s median of {sorted(runs)} "
+              f"({rows_of[name]} rows)", file=sys.stderr)
 
-    # RETRY PASS: a query timed inside a contended segment (its segment
-    # sentinel ≥ 1.5× the run's best) carries machine noise, not plan
-    # cost — round-7 recorded a 17× sentinel spike that made a trivial
-    # broadcast join "regress" 16×. Re-time the worst-hit queries at the
-    # end, each bracketed by a fresh sentinel reading, and keep the
-    # better median. Both attempts' machine context stays in the trace;
-    # capped so a persistently loud host can't double the run.
+    # RETRY PASS: a query whose MEDIAN still came from a contended
+    # segment (sentinel ≥ 1.5× the run's best — i.e. at least two of
+    # its three interleaved passes were hit) carries machine noise, not
+    # plan cost. Re-time it bracketed by fresh sentinel readings and
+    # accept the retry median ONLY when both brackets are clean
+    # (≤ 1.2× best) — round-7's keep-the-minimum rule gave retried
+    # queries best-of-two sampling the rest of the catalog didn't get,
+    # biasing them low vs the frozen baseline (round-7 advisor).
     retried: list[str] = []
     try:
         best_so_far = min(trace)
@@ -330,23 +343,34 @@ def main() -> None:
              if trace[segment_of[n]] / max(best_so_far, 1e-9) > 1.5),
             key=lambda n: -trace[segment_of[n]])[:25]
         for name in noisy:
-            trace.append(_sentinel())
+            pre = _sentinel()
+            trace.append(pre)
             seg = len(trace) - 1
-            runs2, _ = _timed_runs(name)
-            med2 = _median(runs2)
-            if med2 < timings[name]:
+            runs2 = [_run_once(name)[0] for _ in range(3)]
+            post = _sentinel()
+            trace.append(post)
+            best_now = min(trace)
+            if max(pre, post) <= 1.2 * best_now:
+                med2 = _median(runs2)
                 timings[name] = round(med2, 3)
                 spreads[name] = [round(t, 3) for t in sorted(runs2)]
                 segment_of[name] = seg
                 retried.append(name)
-                print(f"# retry {name}: {med2:.2f}s (was contended)",
+                print(f"# retry {name}: {med2:.2f}s (clean bracket)",
                       file=sys.stderr)
-        total = sum(timings.values())
+            else:
+                print(f"# retry {name}: discarded (bracket "
+                      f"{pre:.2f}/{post:.2f}s vs best {best_now:.2f}s)",
+                      file=sys.stderr)
     except Exception as e:  # diagnostics must never sink the bench
         print(f"# retry pass aborted: {e}", file=sys.stderr)
+    # unconditional: totals must match the per-query map they ride with
+    # even if the retry pass died mid-update
+    total = sum(timings.values())
 
     drift_end = _sentinel()
     trace.append(drift_end)
+    drift_start = trace[0]
     best = min(trace)
     ambient = {name: round(trace[seg] / max(best, 1e-9), 3)
                for name, seg in segment_of.items()}
@@ -444,6 +468,37 @@ def main() -> None:
                           "worst": worst}
     except (OSError, ValueError) as e:
         print(f"# no baseline ratios: {e}", file=sys.stderr)
+
+    # RE-FREEZE MODE (round-7 verdict item 2): the round-6 baseline was
+    # frozen on a different machine state, so four unchanged queries
+    # read >2× on today's host and the exoneration lived in prose. With
+    # SPARK_GRAFT_FREEZE_BASELINE=1, this run's interleaved-pass medians
+    # BECOME the baseline: the superseded file is kept as
+    # BASELINE_BENCH_r6.json and the ratios vs the old numbers (the
+    # documented drift) ride the new file's provenance block, making
+    # any future >2× flag a same-host, same-harness comparison.
+    if os.environ.get("SPARK_GRAFT_FREEZE_BASELINE") == "1":
+        try:
+            backup = os.path.join(os.path.dirname(base_path),
+                                  "BASELINE_BENCH_r6.json")
+            if os.path.exists(base_path) and not os.path.exists(backup):
+                os.rename(base_path, backup)
+            with open(base_path, "w", encoding="utf-8") as f:
+                json.dump({
+                    "frozen_from": "round 8 interleaved-pass bench "
+                                   "(3 whole-catalog passes, medians "
+                                   "across passes) on the current host",
+                    "note": "Per-query median seconds at sf0.1 on "
+                            "local[32]. bench.py emits per-query ratios "
+                            "vs these; superseded round-6 numbers kept "
+                            "in BASELINE_BENCH_r6.json.",
+                    "sf": sf,
+                    "drift_vs_r6": vs_summary,
+                    "queries": timings,
+                }, f, indent=1, sort_keys=True)
+            print(f"# baseline re-frozen to {base_path}", file=sys.stderr)
+        except OSError as e:
+            print(f"# baseline re-freeze failed: {e}", file=sys.stderr)
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")

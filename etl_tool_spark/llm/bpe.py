@@ -133,7 +133,16 @@ def bpe_train_merges(words: DataFrame, num_merges: int,
     w = w.localCheckpoint(eager=True)
     cap = DRIVER_VOCAB_CAP if driver_vocab_cap is None else driver_vocab_cap
     if w.count() <= cap:
-        return _train_driver(w, num_merges)
+        # the driver path's result is a fresh createDataFrame with no
+        # lineage into w — release the checkpoint blocks explicitly
+        # (up to a 2M-row vocab snapshot otherwise pinned until JVM GC)
+        from etl_tool_spark.llm.graph import _checkpoint_rdd
+        w_rdd = _checkpoint_rdd(w)
+        try:
+            return _train_driver(w, num_merges)
+        finally:
+            if w_rdd is not None:
+                w_rdd.unpersist(False)
     return _train_distributed(w, num_merges, checkpoint_every)
 
 

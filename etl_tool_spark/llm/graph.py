@@ -282,10 +282,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         canon.filter(F.col("u") != F.col("v"))
              .select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # no explicit repartition: the join's ENSURE_REQUIREMENTS already
-    # leaves ed hash-partitioned on u, and LogicalRDD preserves that
-    # partitioning through the checkpoint for every round's join
-    ed = sym.join(deg, "u").localCheckpoint(eager=True)
+    # explicit repartition, not ENSURE_REQUIREMENTS: a sort-merge plan
+    # would leave ed hash-partitioned on u anyway, but AQE is free to
+    # plan sym⋈deg as a broadcast join (deg is small), which preserves
+    # sym's — wrong — partitioning and silently re-shuffles ed every
+    # round. One guaranteed build-time shuffle buys iters reused ones
+    # (LogicalRDD carries the partitioning through the checkpoint).
+    ed = sym.join(deg, "u").repartition("u").localCheckpoint(eager=True)
     ed_rdd = _checkpoint_rdd(ed)
     if canon_rdd is not None:  # ed reads its own blocks now
         canon_rdd.unpersist(False)

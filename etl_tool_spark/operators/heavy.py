@@ -82,6 +82,56 @@ def _mg_summaries(key: str, m: int):
     return f
 
 
+def _scan_partition_bound(df: DataFrame) -> int | None:
+    """A provable UPPER bound on the plan's source partition count, or
+    ``None`` when no cheap proof exists.
+
+    For scan-free plans (in-memory frames, shuffle outputs) the bound is
+    the session's parallelism knobs. For file scans, each file yields at
+    most ``ceil(size / minSplit) + 1`` read splits, where ``minSplit =
+    min(maxPartitionBytes, openCostInBytes)`` is the smallest split size
+    Spark's ``maxSplitBytes`` formula can pick — ``len(inputFiles())``
+    alone is NOT a bound (one large file splits into hundreds of 128 MB
+    pieces; round-7 advisor finding). Sizes are statted for ``file:``
+    URIs only; remote filesystems return ``None`` and the caller falls
+    back to a counted gate."""
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None  # scan metadata unavailable: nothing is provable
+    if not files:
+        conf_bounds = [spark.sparkContext.defaultParallelism]
+        try:
+            # "auto" on AQE-managed clusters is not an int — just skip it
+            conf_bounds.append(int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")))
+        except ValueError:
+            pass
+        return max(conf_bounds)
+    import os
+    from urllib.parse import unquote, urlparse
+    try:
+        max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                      str(128 * 1024 * 1024)))
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes",
+                                       str(4 * 1024 * 1024)))
+    except ValueError:
+        return None
+    min_split = max(1, min(max_part, open_cost))
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote URI: can't stat cheaply from the driver
+        try:
+            size = os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+        splits += size // min_split + 1
+    return splits
+
+
 def top_k_heavy_hitters(df: DataFrame, key: str, k: int,
                         m: int = 4096) -> DataFrame:
     """Exact top-``k`` most frequent non-null values of ``key`` (count
@@ -118,30 +168,20 @@ def top_k_heavy_hitters(df: DataFrame, key: str, k: int,
     # to avoid in the common case.
     from etl_tool_spark.operators.skew import (BROADCAST_ROW_GATE,
                                                gated_broadcast)
-    # The partition count comes from confs + scan metadata, never
-    # df.rdd.getNumPartitions(): that converts the whole plan to an RDD
-    # just to read a number. A file scan's split count can exceed
-    # defaultParallelism (many files / big inputs), so take the max of
-    # every cheap upper-bound signal; if the estimate is still beaten
-    # by reality the gated path below pays one count instead — wrong
-    # estimates cost a job, never an ungated broadcast.
-    spark = df.sparkSession
-    bounds = [spark.sparkContext.defaultParallelism]
-    try:
-        # "auto" on AQE-managed clusters is not an int — just skip it
-        bounds.append(int(spark.conf.get("spark.sql.shuffle.partitions",
-                                         "200")))
-    except ValueError:
-        pass
-    try:
-        bounds.append(len(df.inputFiles()))
-    except Exception:
-        pass  # non-file plans (in-memory frames) carry no file metadata
-    static_bound = max(bounds) * m
-    # /8 margin: a single large file can split into several scan
-    # partitions, so the estimate can undercount — the free path must
-    # clear the gate with room to spare before skipping the count.
-    cand = (F.broadcast(cand) if static_bound <= BROADCAST_ROW_GATE // 8
+    # The free-hint path is taken only when a TRUE upper bound on the
+    # scan's partition count is provable (confs + statted file sizes,
+    # never df.rdd.getNumPartitions(), which converts the whole plan to
+    # an RDD just to read a number). Anything unprovable — remote URIs,
+    # scan metadata errors — routes through gated_broadcast, which pays
+    # one eager count of the (lazily-checkpointed, materialized-by-then)
+    # summary: an over-cautious bound costs a job; an undercount would
+    # cost the ungated-broadcast driver OOM this gate exists to prevent.
+    static_bound = _scan_partition_bound(df)
+    # /8 margin: bin-packing slack and conf races still deserve headroom
+    # even on a provable bound.
+    cand = (F.broadcast(cand)
+            if static_bound is not None
+            and static_bound * m <= BROADCAST_ROW_GATE // 8
             else gated_broadcast(cand))
     topk = (df.select(key)
               .where(F.col(key).isNotNull())

@@ -254,17 +254,23 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
-    survivors = _gate_survivors(batch_df, pairs, id_col)
+    # lazy checkpoint: the landing write materializes the gate join once
+    # and the signature append reads the SAME batch-sized blocks — never
+    # a recompute, and never a re-scan of the whole (ever-growing)
+    # out_dir just to recover ids this batch computed (round-7 advisor:
+    # that read made per-batch gate cost grow with corpus history)
+    survivors = _gate_survivors(batch_df, pairs, id_col) \
+        .localCheckpoint(eager=False)
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    # survivor ids pinned to what just landed (no recompute of the gate
-    # join); their signatures come from the stage (no re-hash)
-    landed_ids = (spark.read.parquet(out_dir)
-                  .filter(F.col("batch_id") == batch_id)
-                  .select(id_col).distinct())
+    landed_ids = survivors.select(id_col).distinct()
     append_signatures(hs.join(landed_ids, id_col), store_dir,
                       id_col=id_col, prehashed=True, **sig_kwargs)
     commit()
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+    surv_rdd = _checkpoint_rdd(survivors)
+    if surv_rdd is not None:  # release batch blocks; streams run forever
+        surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -319,12 +325,13 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         batch_df, store_dir, threshold=threshold, id_col=id_col,
         vec_col=vec_col, update_store=False, staging_dir=staging,
         **lsh_kwargs)
-    survivors = _gate_survivors(batch_df, pairs, id_col)
+    # same survivors-checkpoint shape as land_near_batch: ids come from
+    # the batch's own materialized frame, not an out_dir re-scan
+    survivors = _gate_survivors(batch_df, pairs, id_col) \
+        .localCheckpoint(eager=False)
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    landed_ids = (spark.read.parquet(out_dir)
-                  .filter(F.col("batch_id") == batch_id)
-                  .select(id_col).distinct())
+    landed_ids = survivors.select(id_col).distinct()
     staged_vf = spark.read.parquet(_os.path.join(staging, "vec"))
     staged_bands = spark.read.parquet(_os.path.join(staging, "bands"))
     append_embedding_signatures(
@@ -332,6 +339,10 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
         vec_col=vec_col, prenormed=True,
         banded=staged_bands.join(landed_ids, id_col), **lsh_kwargs)
     commit()
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+    surv_rdd = _checkpoint_rdd(survivors)
+    if surv_rdd is not None:
+        surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -405,13 +416,14 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
-    survivors = _gate_survivors(staged, pairs, id_col)
+    # survivors carry their own staged _hs/_fp columns, so the store
+    # appends read the checkpoint blocks directly — no out_dir re-scan,
+    # no join-back through `staged`
+    survivors = _gate_survivors(staged, pairs, id_col) \
+        .localCheckpoint(eager=False)
     (survivors.drop("_hs", "_fp").withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
-    landed_ids = (spark.read.parquet(out_dir)
-                  .filter(F.col("batch_id") == batch_id)
-                  .select(id_col).distinct())
-    landed_staged = staged.join(landed_ids, id_col)
+    landed_staged = survivors
     (landed_staged.select("_fp")
                   .write.mode("append").parquet(os.path.join(store_dir, "fp")))
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
@@ -419,6 +431,10 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     append_signatures(landed_staged.select(id_col, "_hs"), store_dir,
                       id_col=id_col, prehashed=True, **sig_kwargs)
     commit()
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+    surv_rdd = _checkpoint_rdd(survivors)
+    if surv_rdd is not None:
+        surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -117,6 +117,48 @@ def test_random_multisets_match_exact(spark):
         assert got == _exact_topk(rows, k)
 
 
+def test_scan_partition_bound_counts_splits_not_files(spark, tmp_path):
+    """One large file is many scan splits (round-7 advisor finding): the
+    bound must scale with file size / min split size, never with
+    len(inputFiles()) — an undercount here would take the ungated
+    F.broadcast path on an arbitrarily large candidate frame."""
+    from etl_tool_spark.operators.heavy import _scan_partition_bound
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(0, 20000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    import glob as _glob
+    import os as _os
+    size = sum(_os.path.getsize(f)
+               for f in _glob.glob(p + "/*.parquet"))
+    for key, val in ((u"spark.sql.files.maxPartitionBytes", "4096"),
+                     (u"spark.sql.files.openCostInBytes", "4096")):
+        spark.conf.set(key, val)
+    try:
+        bound = _scan_partition_bound(df)
+        assert bound is not None
+        # each data file contributes size//4096 + 1 potential splits
+        assert bound >= size // 4096, (bound, size)
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+
+
+def test_scan_partition_bound_memory_and_remote(spark, monkeypatch):
+    """Scan-free plans bound by session parallelism; un-stattable URIs
+    are unprovable -> None (caller then uses the counted gate)."""
+    from etl_tool_spark.operators.heavy import _scan_partition_bound
+
+    mem = spark.createDataFrame([(1,), (2,)], "k long")
+    b = _scan_partition_bound(mem)
+    assert b is not None
+    assert b >= spark.sparkContext.defaultParallelism
+
+    monkeypatch.setattr(
+        mem, "inputFiles", lambda: ["s3a://bucket/part-0000.parquet"])
+    assert _scan_partition_bound(mem) is None
+
+
 def test_over_gate_fallback_paths_stay_exact(spark, monkeypatch):
     """Force both non-hinted branches: a static partitions*m bound over
     the broadcast gate routes through gated_broadcast (eager count),
