@@ -519,9 +519,11 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
         if not _os.path.isdir(bands_dir):
             # staged bands lost mid-crash: rebuild from the promoted
             # sig/ (atomic rename ⇒ it holds exactly the migrated rows)
-            _band_frame(spark.read.parquet(sig_dir), id_col,
-                        num_hashes, bands) \
-                .write.mode("overwrite").parquet(bands_dir)
+            from etl_tool_spark.llm import store as _st
+            _st.append_bands(
+                _band_frame(spark.read.parquet(sig_dir), id_col,
+                            num_hashes, bands),
+                bands_dir, ["_band", "_bucket"])
         for part in legacy:
             _os.remove(part)
         for stale in (stage_sig, stage_bands):
@@ -538,35 +540,43 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
             f"not a legacy ({id_col}, _hs) signature table — refusing to "
             "guess; rebuild the store or migrate it manually")
     hs.write.mode("overwrite").parquet(stage_sig)
+    from etl_tool_spark.llm import store as _st
     _band_frame(spark.read.parquet(stage_sig), id_col, num_hashes, bands) \
-        .write.mode("overwrite").parquet(stage_bands)
+        .withColumn("_shard", _st.shard_col("_band", "_bucket")) \
+        .write.mode("overwrite").partitionBy("_shard").parquet(stage_bands)
     _os.rename(stage_sig, sig_dir)
     _finish()
 
 
 def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
                     num_hashes: int, bands: int):
-    """Append a signature frame to the two-table store (sig/ + bands/)
-    and return both sides re-read PINNED to the just-written part files
-    — hashing and banding execute exactly once (during the writes);
-    every later consumer scans parquet."""
+    """Append a signature frame to the two-table store (sig/ + SHARDED
+    bands/, see llm/store.py) and return both sides re-read PINNED to
+    the just-written part files — hashing and banding execute exactly
+    once (during the writes); every later consumer scans parquet."""
     import glob as _glob
     import os as _os
+
+    from etl_tool_spark.llm import store as _st
 
     spark = hs.sparkSession
     sig_dir = _os.path.join(store_dir, "sig")
     bands_dir = _os.path.join(store_dir, "bands")
     pre_sig = set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
-    pre_band = set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    pre_band = set(_st.sharded_files(bands_dir))
     hs.write.mode("append").parquet(sig_dir)
     new_sig = sorted(set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
                      - pre_sig)
     hs = spark.read.parquet(*new_sig)
-    _band_frame(hs, id_col, num_hashes, bands) \
-        .write.mode("append").parquet(bands_dir)
-    new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
-                      - pre_band)
-    return hs, spark.read.parquet(*new_band)
+    banded = _band_frame(hs, id_col, num_hashes, bands)
+    _st.append_bands(banded, bands_dir, ["_band", "_bucket"])
+    new_band = sorted(set(_st.sharded_files(bands_dir)) - pre_band)
+    # a partitioned write of an EMPTY frame creates no shard dirs at
+    # all (unlike the flat layout's schema-only part file) — pin the
+    # schema, not a schema-less read
+    banded = (spark.read.parquet(*new_band) if new_band
+              else spark.createDataFrame([], banded.schema))
+    return hs, banded
 
 
 def append_signatures(df: DataFrame, store_dir: str,
@@ -582,8 +592,17 @@ def append_signatures(df: DataFrame, store_dir: str,
     ``prehashed=True`` takes ``df`` as an existing (id, _hs) signature
     frame (e.g. the gate's staged batch signatures) instead of hashing
     ``text_col``."""
-    _migrate_legacy_flat_store(df.sparkSession, store_dir, id_col,
-                               num_hashes, bands)
+    import os as _os
+
+    from etl_tool_spark.llm import store as _st
+
+    spark = df.sparkSession
+    _migrate_legacy_flat_store(spark, store_dir, id_col, num_hashes, bands)
+    sig_dir = _os.path.join(store_dir, "sig")
+    _st.ensure_sharded(
+        spark, _os.path.join(store_dir, "bands"), ["_band", "_bucket"],
+        lambda: _band_frame(spark.read.parquet(sig_dir), id_col,
+                            num_hashes, bands))
     hs = (df.select(F.col(id_col), "_hs") if prehashed
           else df.select(F.col(id_col),
                          shingle_hashes(F.col(text_col), shingle_n)
@@ -597,18 +616,22 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
                               shingle_n: int = 3, threshold: float = 0.7,
                               max_bucket: int | None = None,
                               update_store: bool = True,
-                              prehashed: bool = False) -> DataFrame:
+                              prehashed: bool = False,
+                              staging_dir: str | None = None) -> DataFrame:
     """Near-dup pairs for a NEW batch against a growing corpus, without
     ever re-hashing old documents — the continuous corpus-building
     workflow (nightly crawl drops, streaming ingests).
 
     ``store_dir`` is a two-table parquet store, created on first call:
     ``sig/`` holds (id, _hs shingle-hash array) for exact verification,
-    ``bands/`` holds the banded LSH keys (id, _band, _bucket) — so old
-    documents are neither re-hashed NOR re-banded, ever; the per-batch
-    cost is proportional to the batch, not the store (at 100 TB, bands/
-    is additionally bucketed by (band, bucket) so the probe join is
-    co-located and prunes to matching buckets). Each call:
+    ``bands/`` holds the banded LSH keys (id, _band, _bucket) SHARDED
+    by a hash of the band key (llm/store.py) — so old documents are
+    neither re-hashed NOR re-banded, ever, the store read prunes to
+    the shards the batch actually probes, and the probe join
+    broadcasts the (row-gated) batch side against that pruned scan
+    instead of shuffling the store: per-batch cost is proportional to
+    the batch plus the probed store fraction, never the whole store.
+    Each call:
 
       1. hashes + bands only the new batch (written once, then every
          consumer — banding join, both verify sides, lazy re-executions
@@ -649,17 +672,26 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
     import glob as _glob
     import os as _os
 
+    from etl_tool_spark.llm import store as _st
+
     _migrate_legacy_flat_store(spark, store_dir, id_col, num_hashes, bands)
     sig_dir = _os.path.join(store_dir, "sig")
     bands_dir = _os.path.join(store_dir, "bands")
+    # flat two-table stores (pre-round-8, or a bands/ compacted without
+    # partition_by=['_shard']) reshard from the signature table once
+    _st.ensure_sharded(
+        spark, bands_dir, ["_band", "_bucket"],
+        lambda: _band_frame(spark.read.parquet(sig_dir), id_col,
+                            num_hashes, bands))
     sig_files = sorted(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
-    band_files = sorted(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    band_files = _st.sharded_files(bands_dir)
     first_batch = not sig_files
     if first_batch:
         hs_old = spark.createDataFrame([], hs_new.schema)
     else:
         hs_old = spark.read.parquet(*sig_files)
 
+    new_file_backed = True
     if update_store:
         # append FIRST, then pin the new side to its just-written part
         # files: hashing and banding run exactly once — the banding
@@ -669,19 +701,33 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # via staging_dir).
         hs_new, banded_new = _append_and_pin(hs_new, store_dir, id_col,
                                              num_hashes, bands)
+    elif staging_dir:
+        # gate path: the batch's band keys feed the shard probe, the
+        # broadcast row gate, and the candidate join — staged once so
+        # none of those re-runs the minhash banding
+        _band_frame(hs_new, id_col, num_hashes, bands) \
+            .write.mode("overwrite").parquet(staging_dir)
+        banded_new = spark.read.parquet(staging_dir)
     else:
         banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
+        new_file_backed = False
 
     if first_batch:
         new_new = (_bucket_pairs(banded_new, id_col, max_bucket=max_bucket)
                    .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
         cands = new_new.distinct()
     else:
-        # the store's banded table, pinned pre-append — old docs are
-        # never re-banded (band_files can only be absent here if the
-        # store predates the bands/ table; rebuild from signatures then)
-        banded_old = (spark.read.parquet(*band_files) if band_files
-                      else _band_frame(hs_old, id_col, num_hashes, bands))
+        # the store's banded table, pinned pre-append and PRUNED to the
+        # shards the batch probes — old docs are never re-banded, and
+        # non-matching shard directories are never read (band_files can
+        # only be absent here if the store predates the bands/ table;
+        # rebuild from signatures then)
+        if band_files:
+            banded_old = _st.prune_to_shards(
+                _st.read_pinned(spark, bands_dir, band_files),
+                _st.probe_shards(banded_new, ["_band", "_bucket"]))
+        else:
+            banded_old = _band_frame(hs_old, id_col, num_hashes, bands)
         if max_bucket is not None:
             # the hot-bucket guard must bound the new×old JOIN too, and
             # bucket size is the COMBINED (store + batch) population — a
@@ -703,10 +749,17 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
             banded_old = banded_old.join(hot, ["_band", "_bucket"], "left_anti")
         new_new = (_bucket_pairs(banded_new, id_col)
                    .select(F.col("l._id").alias("a"), F.col("r._id").alias("b")))
+        # broadcast the (micro-batch-sized) probe side so the store scan
+        # never shuffles; the row gate falls back to sort-merge for an
+        # oversized backfill batch. Only when the batch bands are
+        # file-backed — the gate's count would otherwise recompute the
+        # banding pass (skew.py gated_broadcast contract).
+        probe = banded_new.withColumnRenamed(id_col, "_nid")
+        if new_file_backed:
+            from etl_tool_spark.operators.skew import gated_broadcast
+            probe = gated_broadcast(probe)
         new_old = (banded_old
-                   .join(banded_new
-                         .withColumnRenamed(id_col, "_nid"),
-                         ["_band", "_bucket"])
+                   .join(probe, ["_band", "_bucket"])
                    .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),
                            F.greatest(F.col(id_col), F.col("_nid")).alias("b")))
         cands = new_new.unionByName(new_old).distinct()

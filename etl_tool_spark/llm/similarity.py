@@ -536,20 +536,25 @@ def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,
 
     require_local_store(store_dir, "embedding signature store")
 
+    from etl_tool_spark.llm import store as _st
+
     spark = vf.sparkSession
     vec_dir = _os.path.join(store_dir, "vec")
     bands_dir = _os.path.join(store_dir, "bands")
     pre_vec = set(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
-    pre_band = set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    pre_band = set(_st.sharded_files(bands_dir))
     vf.write.mode("append").parquet(vec_dir)
     new_vec = sorted(set(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
                      - pre_vec)
     vf = spark.read.parquet(*new_vec)
-    _banded_keys(vf, id_col, vec_col, dim, bands, rows_per_band) \
-        .write.mode("append").parquet(bands_dir)
-    new_band = sorted(set(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
-                      - pre_band)
-    return vf, spark.read.parquet(*new_band)
+    banded = _banded_keys(vf, id_col, vec_col, dim, bands, rows_per_band)
+    _st.append_bands(banded, bands_dir, ["_bkt"])
+    new_band = sorted(set(_st.sharded_files(bands_dir)) - pre_band)
+    # empty partitioned writes create no shard dirs — pin the schema,
+    # not a schema-less read (llm/dedup.py _append_and_pin rationale)
+    banded = (spark.read.parquet(*new_band) if new_band
+              else spark.createDataFrame([], banded.schema))
+    return vf, banded
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -582,8 +587,9 @@ def append_embedding_signatures(df: DataFrame, store_dir: str,
                             rows_per_band)
         return
     require_local_store(store_dir, "embedding signature store")
+    from etl_tool_spark.llm import store as _st
     vf.write.mode("append").parquet(_os.path.join(store_dir, "vec"))
-    banded.write.mode("append").parquet(_os.path.join(store_dir, "bands"))
+    _st.append_bands(banded, _os.path.join(store_dir, "bands"), ["_bkt"])
 
 
 def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
@@ -624,14 +630,21 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
 
     from etl_tool_spark.util import require_local_store
 
+    from etl_tool_spark.llm import store as _st
+
     require_local_store(store_dir, "embedding signature store")
     spark = new_df.sparkSession
     vf_new = _norm_frame(new_df, id_col, vec_col)
 
     vec_dir = _os.path.join(store_dir, "vec")
     bands_dir = _os.path.join(store_dir, "bands")
+    # flat bands tables (pre-round-8 stores) reshard from vec/ once
+    _st.ensure_sharded(
+        spark, bands_dir, ["_bkt"],
+        lambda: _banded_keys(spark.read.parquet(vec_dir), id_col, vec_col,
+                             dim, bands, rows_per_band))
     vec_files = sorted(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
-    band_files = sorted(_glob.glob(_os.path.join(bands_dir, "*.parquet")))
+    band_files = _st.sharded_files(bands_dir)
     first_batch = not vec_files
     vf_old = (spark.createDataFrame([], vf_new.schema) if first_batch
               else spark.read.parquet(*vec_files))
@@ -655,11 +668,18 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
                                   rows_per_band)
 
+    new_file_backed = update_store or bool(staging_dir)
     banded_old = None
     if not first_batch:
-        banded_old = (spark.read.parquet(*band_files) if band_files
-                      else _banded_keys(vf_old, id_col, vec_col, dim,
-                                        bands, rows_per_band))
+        # pinned pre-append and pruned to the batch's probed shards:
+        # non-matching shard directories are never read
+        if band_files:
+            banded_old = _st.prune_to_shards(
+                _st.read_pinned(spark, bands_dir, band_files),
+                _st.probe_shards(banded_new, ["_bkt"]))
+        else:
+            banded_old = _banded_keys(vf_old, id_col, vec_col, dim,
+                                      bands, rows_per_band)
     if max_bucket is not None:
         pop = (banded_new.select("_bkt") if banded_old is None
                else banded_new.select("_bkt")
@@ -678,9 +698,17 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     if banded_old is None:
         cands = new_new.distinct()
     else:
+        # broadcast the micro-batch's band keys against the pruned
+        # store scan so the store never shuffles (row-gated: an
+        # oversized backfill batch falls back to sort-merge). Only when
+        # the batch bands are file-backed — the gate's count would
+        # otherwise recompute the sign projections.
+        probe = banded_new.withColumnRenamed(id_col, "_nid")
+        if new_file_backed:
+            from etl_tool_spark.operators.skew import gated_broadcast
+            probe = gated_broadcast(probe)
         new_old = (banded_old
-                   .join(banded_new.withColumnRenamed(id_col, "_nid"),
-                         "_bkt")
+                   .join(probe, "_bkt")
                    .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),
                            F.greatest(F.col(id_col), F.col("_nid")).alias("b")))
         cands = new_new.unionByName(new_old).distinct()

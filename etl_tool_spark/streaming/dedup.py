@@ -251,8 +251,11 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                      shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
              .write.mode("overwrite").parquet(staging))
     hs = spark.read.parquet(staging)
+    # band keys staged too (sibling dir): the shard probe, broadcast row
+    # gate, and candidate join all read them without re-banding
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
+        staging_dir=staging + "-bands",
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
     # lazy checkpoint: the landing write materializes the gate join once
     # and the signature append reads the SAME batch-sized blocks — never
@@ -272,6 +275,7 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     if surv_rdd is not None:  # release batch blocks; streams run forever
         surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
+    _shutil.rmtree(staging + "-bands", ignore_errors=True)
 
 
 def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
@@ -415,6 +419,7 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     hs = staged.select(id_col, "_hs")
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
+        staging_dir=staging + "-bands",
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
     # survivors carry their own staged _hs/_fp columns, so the store
     # appends read the checkpoint blocks directly — no out_dir re-scan,
@@ -436,6 +441,7 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     if surv_rdd is not None:
         surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
+    _shutil.rmtree(staging + "-bands", ignore_errors=True)
 
 
 def full_clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
