@@ -1855,6 +1855,52 @@ def llm_multimodal_features(spark, sf_dir):
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"))
 
 
+#: 54-byte file+info header of a 4×2 uncompressed 24-bit BMP (stride 12,
+#: pixel data offset 54, file size 78) — the fixed prefix of the payloads
+#: llm_image_decode synthesizes per document.
+_BMP_HEADER_HEX = ("424D4E000000000000003600000028000000040000000200000001001"
+                   "800000000001800000000000000000000000000000000000000")
+
+
+@query("llm_image_decode", """
+SELECT doc_id AS media_id, 4 AS width, 2 AS height,
+       round((doc_id % 251) / 255.0, 6) AS f0,
+       0.5 AS f1,
+       round(8 / 65536.0, 6) AS f2,
+       1.0 AS f3
+FROM documents
+""")
+def llm_image_decode(spark, sf_dir):
+    """REAL image decode end-to-end (no stub, no codec library): each
+    document synthesizes a 4×2 uncompressed 24-bit BMP whose every
+    pixel byte is doc_id % 251 (header built in-plan from hex literals,
+    pixels via repeat(hex(v))), and decode_image_features routes it
+    through the repo's own stdlib BMP decoder. The oracle recomputes
+    the decoded dimensions and the rational feature formulas exactly:
+    f0 = mean/255 = (doc_id % 251)/255, f1 = aspect min(w,h)/max(w,h)
+    = 0.5, f2 = 8 px / 65536, f3 = min(1, 78 bytes / 24 pixel bytes)
+    = 1. Reference parity: the reference has no binary-media surface —
+    this is the Spark-native multimodal path with plumbing AND decode
+    both value-checked (llm_multimodal_features keeps covering the
+    unrecognized-payload fallback)."""
+    from etl_tool_spark.llm.multimodal import decode_image_features
+
+    d = _docs(spark, sf_dir)
+    v = F.pmod(F.col("doc_id"), F.lit(251)).cast("int")
+    hexv = F.lpad(F.upper(F.hex(v)), 2, "0")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_BMP_HEADER_HEX), F.repeat(hexv, 24)))
+         .alias("payload"))
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.round(F.element_at("feature", 3), 6).alias("f2"),
+        F.round(F.element_at("feature", 4), 6).alias("f3"))
+
+
 @query("llm_winnow_contamination", """
 WITH d AS (SELECT doc_id, lower(substr(text, 1, 400)) AS s FROM documents),
  g AS (SELECT doc_id,

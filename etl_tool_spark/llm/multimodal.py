@@ -69,29 +69,107 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
               .withColumn("sha256", F.sha2(F.col(payload_col), 256)))
 
 
+def _still_image_meta(b: bytes):
+    """(width, height, mean_pixel) via the repo's own stdlib decoders —
+    PNG, GIF, BMP, baseline JPEG — or None when the payload is not a
+    recognized still-image container. mean_pixel may be None (each
+    decoder's documented header-only degradation). Raises on a
+    recognized container too malformed to header-parse; callers map
+    that to null features for the row."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        r = _png_decode(b)
+        return (r[0], r[1], r[4]) if r else None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        r = _gif_decode(b)
+        return (r[0], r[1], r[3]) if r else None
+    if b[:2] == b"BM":
+        r = _bmp_decode(b)
+        return (r[0], r[1], r[3]) if r else None
+    if b[:3] == b"\xff\xd8\xff":
+        r = _jpeg_decode(b)
+        return (r[0], r[1], r[3]) if r else None
+    return None
+
+
 def decode_image_features(df: DataFrame, payload_col: str = "payload",
                           strict: bool = False, feature_dim: int = 8) -> DataFrame:
-    """Image decode + feature extraction via mapInPandas. STUB decode:
-    deterministic pseudo-features from the payload's sha256 (or
-    NotImplementedError in strict mode). The Arrow batch shape, output
-    schema and partition-level parallelism are the real contract."""
+    """Still-image decode + feature extraction via mapInPandas.
+
+    Decode is REAL for every container this repo already parses —
+    PNG / GIF / BMP / baseline JPEG route through the same stdlib
+    decoders as their dedicated operators (_png_decode, _gif_decode,
+    _bmp_decode, _jpeg_decode) — and through PIL for other formats when
+    it is installed. Only a payload NO available decoder recognizes
+    falls back to the documented deterministic sha256 pseudo-features
+    (so text/opaque payloads still exercise the full dataflow), or
+    raises NotImplementedError in strict mode. A recognized container
+    that fails to decode yields null features for that row, never a
+    failed batch.
+
+    Real features (length ``feature_dim``, zero-padded), engine-exact
+    rational arithmetic so an SQL oracle can reproduce them:
+
+      f0  mean pixel intensity / 255 (null when only the header parses)
+      f1  aspect ratio  min(w,h) / max(w,h)
+      f2  resolution scale  min(1, w·h / 65536)  (caps at 64k pixels)
+      f3  byte density  min(1, n_bytes / (3·w·h))  (compression proxy)
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
             have_pil = True
         except ImportError:
             have_pil = False
+
+        def real_feats(media_id, bb, w, h, mean):
+            feat = [None] * feature_dim
+            feat[0] = mean / 255.0 if mean is not None else None
+            if feature_dim > 1:
+                feat[1] = min(w, h) / max(w, h) if w and h else None
+            if feature_dim > 2:
+                feat[2] = min(1.0, w * h / 65536.0)
+            if feature_dim > 3:
+                feat[3] = min(1.0, len(bb) / (3.0 * w * h)) if w and h else None
+            for j in range(4, feature_dim):
+                feat[j] = 0.0
+            return (media_id, w, h, feat)
+
         for pdf in batches:
-            if strict and not have_pil:
-                raise NotImplementedError(
-                    "image decode requires PIL — not available in this environment")
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
                 if payload is None:
                     out.append((media_id, None, None, None))
                     continue
-                digest = hashlib.sha256(bytes(payload)).digest()
+                bb = bytes(payload)
+                try:
+                    meta = _still_image_meta(bb)
+                except Exception:
+                    # recognized container, unparseable content
+                    out.append((media_id, None, None, None))
+                    continue
+                if meta is not None:
+                    out.append(real_feats(media_id, bb, *meta))
+                    continue
+                if have_pil:
+                    try:
+                        import io
+
+                        import numpy as np
+                        img = Image.open(io.BytesIO(bb))
+                        w, h = img.size
+                        mean = round(float(np.asarray(
+                            img.convert("RGB"), dtype=np.float64).mean()), 6)
+                        out.append(real_feats(media_id, bb, w, h, mean))
+                        continue
+                    except Exception:
+                        pass  # not an image PIL knows either → fallback
+                if strict:
+                    raise NotImplementedError(
+                        "unrecognized image payload and no codec library "
+                        "available (stdlib decoders cover PNG/GIF/BMP/"
+                        "baseline JPEG; install PIL for other formats)")
+                digest = hashlib.sha256(bb).digest()
                 # deterministic fake: dims + features from digest bytes
                 width = 1 + digest[0]
                 height = 1 + digest[1]
@@ -194,41 +272,47 @@ def decode_wav_features(df: DataFrame,
         run, AUDIO_FEATURE_SCHEMA)
 
 
+def _bmp_decode(b: bytes):
+    """(width, height, bits_per_pixel, mean_pixel) for a BMP payload, or
+    None if not a BMP; mean_pixel is None for anything but uncompressed
+    24-bit (header-only degradation, like the other decoders)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        return None
+    off, = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, = struct.unpack_from("<H", b, 28)
+    comp, = struct.unpack_from("<I", b, 30)
+    mean = None
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h),
+                           offset=off).reshape(abs(h), stride)
+        mean = round(float(px[:, :w * 3].astype(np.float64).mean()), 6)
+    return (w, abs(h), bpp, mean)
+
+
 def decode_bmp_features(df: DataFrame,
                         payload_col: str = "payload") -> DataFrame:
     """REAL image decode for uncompressed 24-bit BMP (struct + numpy —
     no codec library needed): dimensions, bit depth, and mean pixel
     intensity. Non-BMP or compressed payloads yield null features —
-    PNG has its own real decoder (decode_png_features); JPEG stays on
-    decode_image_features' stub until a codec library is present."""
+    PNG/GIF/JPEG have their own real decoders, and
+    decode_image_features dispatches across all four."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        import numpy as np
-
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
                 row = (media_id, None, None, None, None)
                 if payload is not None:
                     try:
-                        b = bytes(payload)
-                        if b[:2] == b"BM":
-                            off, = struct.unpack_from("<I", b, 10)
-                            w, h = struct.unpack_from("<ii", b, 18)
-                            bpp, = struct.unpack_from("<H", b, 28)
-                            comp, = struct.unpack_from("<I", b, 30)
-                            mean = None
-                            if bpp == 24 and comp == 0:
-                                stride = (w * 3 + 3) & ~3
-                                px = np.frombuffer(
-                                    b, dtype=np.uint8, count=stride * abs(h),
-                                    offset=off).reshape(abs(h), stride)
-                                mean = round(float(
-                                    px[:, :w * 3].astype(np.float64).mean()),
-                                    6)
-                            row = (media_id, w, abs(h), bpp, mean)
+                        r = _bmp_decode(bytes(payload))
+                        if r is not None:
+                            row = (media_id, *r)
                     except Exception:
                         pass
                 out.append(row)

@@ -126,6 +126,54 @@ def test_multimodal_stub_pipeline(spark):
     assert len(frames) == 3 and {r["media_id"] for r in frames} == {1}
 
 
+def test_image_features_real_decode_dispatch(spark):
+    """decode_image_features must route recognized containers through
+    the REAL stdlib decoders (round-7 verdict item 6): a PNG payload
+    reports its actual dimensions and pixel mean (not sha-derived
+    fakes), a recognized-but-corrupt container yields null features,
+    and only unrecognized payloads fall back to the documented stub."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    grey = np.full((5, 6), 80, dtype=np.int32)
+    png = _png_bytes(grey, 0, [0, 0, 0, 0, 0])
+    broken_png = png[:16]  # magic matches, structure does not
+    rows = [(1, bytearray(png)), (2, bytearray(broken_png)),
+            (3, bytearray(b"plain text payload"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in M.decode_image_features(media).collect()}
+
+    # real decode: dims from IHDR, f0 = mean/255, f1 aspect, f2/f3 ratios
+    assert (got[1]["width"], got[1]["height"]) == (6, 5)
+    f = got[1]["feature"]
+    assert abs(f[0] - 80 / 255.0) < 1e-9
+    assert abs(f[1] - 5 / 6) < 1e-9
+    assert abs(f[2] - 30 / 65536.0) < 1e-9
+    assert abs(f[3] - min(1.0, len(png) / 90.0)) < 1e-9
+    assert f[4] == 0.0 and len(f) == 8
+
+    # recognized container, unparseable → null row, batch survives
+    assert got[2]["width"] is None and got[2]["feature"] is None
+
+    # unrecognized → documented deterministic sha fallback
+    digest = _hl.sha256(b"plain text payload").digest()
+    assert got[3]["width"] == 1 + digest[0]
+    assert got[3]["feature"][0] == digest[2] / 255.0
+
+    # strict mode: unrecognized payloads raise instead of stubbing
+    import pytest as _pytest
+
+    only_text = spark.createDataFrame([rows[2]],
+                                      "media_id long, payload binary")
+    with _pytest.raises(Exception, match="unrecognized image payload"):
+        M.decode_image_features(only_text, strict=True).collect()
+    # ...but a REAL decodable payload passes strict mode fine
+    only_png = spark.createDataFrame([rows[0]],
+                                     "media_id long, payload binary")
+    assert M.decode_image_features(only_png, strict=True).count() == 1
+
+
 def test_mp3_frame_header_metadata(spark):
     """mp3_info reads version/layer/bitrate/sample-rate/channels and an
     exact frame-walked duration from hand-built MPEG1 Layer III CBR
