@@ -80,3 +80,35 @@ def test_utc_query_no_session_tz_leak(spark, catalog):
         assert sorted(map(str, df.collect())) == base
     finally:
         spark.conf.set(key, prev)
+
+
+def test_scratch_roots_vacuum_across_processes(tmp_path):
+    """_scratch must (a) reap its own root at interpreter exit and
+    (b) on first use, vacuum roots orphaned by killed processes —
+    atexit never fires after SIGKILL/OOM (round-7 verdict item 8)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    # a root whose "owning pid" is certainly dead, with content
+    orphan = os.path.join(tmp, "etl_catalog_scratch_999999999_dead")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "leftover.parquet"), "w") as f:
+        f.write("x")
+
+    code = (
+        "from etl_tool_spark.catalog import _scratch\n"
+        "import os\n"
+        "p = _scratch('vacuum_test_')\n"
+        "open(os.path.join(p, 'data'), 'w').write('1')\n"
+        "print(p)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                         capture_output=True, text=True, check=True)
+    own_root = out.stdout.strip()
+    # (a) the process's own root is gone after clean exit
+    assert not os.path.exists(own_root)
+    # (b) the dead process's root was vacuumed on _scratch init
+    assert not os.path.exists(orphan)
