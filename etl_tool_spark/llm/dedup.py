@@ -543,6 +543,7 @@ def _migrate_legacy_flat_store(spark, store_dir: str, id_col: str,
     from etl_tool_spark.llm import store as _st
     _band_frame(spark.read.parquet(stage_sig), id_col, num_hashes, bands) \
         .withColumn("_shard", _st.shard_col("_band", "_bucket")) \
+        .repartition(_st.band_shards(), F.col("_shard")) \
         .write.mode("overwrite").partitionBy("_shard").parquet(stage_bands)
     _os.rename(stage_sig, sig_dir)
     _finish()

@@ -441,8 +441,12 @@ def ivf_build_index(corpus: DataFrame, index_dir: str, nlist: int = 16,
         [(i, c) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>")
         .coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids"))
+    # repartition ON the partition column first: without it every task
+    # opens a writer per cell it holds (tasks × nlist files); with it,
+    # each cell's rows land in one task → one file per cell per build
     (ivf_assign(corpus, centroids, vec_col=vec_col, cluster_col="cell")
         .withColumn("_cnorm", norm(F.col(vec_col)))
+        .repartition(F.col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(f"{base}/vectors"))
     return centroids
@@ -507,6 +511,7 @@ def ivf_append_index(new_df: DataFrame, index_dir: str,
     centroids = [list(r["centroid"]) for r in cent_rows]
     (ivf_assign(new_df, centroids, vec_col=vec_col, cluster_col="cell")
         .withColumn("_cnorm", norm(F.col(vec_col)))
+        .repartition(F.col("cell"))  # one file per touched cell, not per task×cell
         .write.mode("append").partitionBy("cell")
         .parquet(f"{base}/vectors"))
 

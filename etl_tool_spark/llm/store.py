@@ -78,8 +78,18 @@ def flat_files(bands_dir: str) -> list[str]:
 
 def append_bands(banded: DataFrame, bands_dir: str,
                  key_cols: Sequence[str]) -> None:
-    (banded.withColumn("_shard", shard_col(*key_cols))
-           .write.mode("append").partitionBy("_shard").parquet(bands_dir))
+    """Append ``banded`` under the sharded layout. The frame is
+    hash-repartitioned ON ``_shard`` before the partitioned write —
+    without it every input partition opens a writer per shard value it
+    holds (measured: 32 tasks × 32 shards = 1,024 files PER batch at
+    bench scale, and every later pinned probe re-lists and re-opens all
+    of them; llm_incremental_dedup went 2.6× slower the round sharding
+    landed, entirely on this). Repartitioned, an append emits at most
+    one file per (task, shard) ≈ one per shard, for one extra
+    batch-sized shuffle of narrow band rows."""
+    sharded = banded.withColumn("_shard", shard_col(*key_cols))
+    (sharded.repartition(band_shards(), F.col("_shard"))
+            .write.mode("append").partitionBy("_shard").parquet(bands_dir))
 
 
 def read_pinned(spark: SparkSession, bands_dir: str,
@@ -123,6 +133,7 @@ def ensure_sharded(spark: SparkSession, bands_dir: str,
     flat = flat_files(bands_dir)
     if flat:
         (rebuild().withColumn("_shard", shard_col(*key_cols))
+                  .repartition(band_shards(), F.col("_shard"))
                   .write.mode("overwrite").partitionBy("_shard")
                   .parquet(staged))
         for f in flat_files(bands_dir):  # re-glob: idempotent on retry
