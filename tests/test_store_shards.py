@@ -139,3 +139,26 @@ def test_shard_count_env_knob(monkeypatch):
     assert st.band_shards() == 32
     monkeypatch.delenv("SPARK_GRAFT_BAND_SHARDS")
     assert st.band_shards() == 32
+
+
+def test_append_writes_one_file_per_shard(spark, tmp_path):
+    """An append must emit at most one data file per shard, no matter
+    how many partitions the input frame arrives in. Without the
+    repartition-on-_shard inside append_bands, every input partition
+    opens a writer per shard value it holds (tasks × shards tiny files
+    per batch) and every later pinned probe re-lists and re-opens all
+    of them — measured as llm_incremental_dedup going 2.6× slower the
+    round the sharded layout landed."""
+    store = str(tmp_path / "s")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(64)]
+    # many input partitions on purpose: the pre-fix writer fan-out was
+    # (input partitions that hold the shard) × shard
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+              .repartition(16)
+    D.append_signatures(df, store)
+    files = st.sharded_files(os.path.join(store, "bands"))
+    assert files, "no sharded files written"
+    assert len(files) <= st.band_shards(), (
+        f"append fan-out: {len(files)} files for {st.band_shards()} "
+        "shards — a writer per (task, shard) instead of per shard")
