@@ -4016,6 +4016,39 @@ def llm_incremental_dedup(spark, sf_dir):
     return p1.unionByName(p2)
 
 
+@query("llm_store_compaction", _oracle_minhash())
+def llm_store_compaction(spark, sf_dir):
+    """The store MAINTENANCE lifecycle under the correctness gate
+    (llm/store.py compact_store): the corpus arrives as three batches;
+    after the second the two-table signature store is compacted in
+    place — sig/ coalesced, sharded bands/ rewritten to one file per
+    shard through the manifest-promoted crash-safe protocol — and the
+    third batch probes the compacted layout. Compaction must be
+    invisible to results, so the union of the three batches' pairs
+    still equals the one-shot pipeline and shares
+    llm_minhash_lsh_pairs' full SQL oracle. This is what bounds a
+    long-lived ingest store's file count (shards × batches grows for
+    months at 100 TB; listing cost follows) without a table format."""
+    from etl_tool_spark.llm import store as ST
+
+    d = _docs(spark, sf_dir)
+    store = _scratch("etl_compact_sig_") + "/store"
+    batches = [d.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    p1 = D.incremental_minhash_pairs(batches[0], store)
+    p2 = D.incremental_minhash_pairs(batches[1], store)
+    # The pair frames are lazy but their appends already ran (writes
+    # are actions); compaction DELETES the pre-compaction files p1/p2's
+    # plans are pinned to, so their results must be made file-backed
+    # BEFORE the maintenance window — exactly the "probes planned
+    # before compaction must finish first" contract in compact_dir's
+    # docstring, demonstrated rather than worked around.
+    staged = _scratch("etl_compact_pairs_")
+    p1.unionByName(p2).write.mode("overwrite").parquet(staged)
+    ST.compact_store(spark, store)
+    p3 = D.incremental_minhash_pairs(batches[2], store)
+    return spark.read.parquet(staged).unionByName(p3)
+
+
 # =========================================================================
 # TPC-H completion: Q11/Q13/Q15/Q16/Q17/Q20/Q21/Q22 shapes (adapted to
 # this schema: no partsupp/comment/phone columns — see each docstring)

@@ -85,6 +85,8 @@ def incremental_exact_dedup(new_df: DataFrame, store_dir: str,
     from etl_tool_spark.util import require_local_store
 
     require_local_store(store_dir, "exact-dedup fingerprint store")
+    from etl_tool_spark.llm.store import finish_pending_compaction
+    finish_pending_compaction(store_dir)
     part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
     if part_files:
         seen = spark.read.parquet(*part_files)
@@ -563,6 +565,7 @@ def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
     spark = hs.sparkSession
     sig_dir = _os.path.join(store_dir, "sig")
     bands_dir = _os.path.join(store_dir, "bands")
+    _st.finish_pending_compaction(sig_dir)
     pre_sig = set(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
     pre_band = set(_st.sharded_files(bands_dir))
     hs.write.mode("append").parquet(sig_dir)
@@ -684,6 +687,7 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         spark, bands_dir, ["_band", "_bucket"],
         lambda: _band_frame(spark.read.parquet(sig_dir), id_col,
                             num_hashes, bands))
+    _st.finish_pending_compaction(sig_dir)
     sig_files = sorted(_glob.glob(_os.path.join(sig_dir, "*.parquet")))
     band_files = _st.sharded_files(bands_dir)
     first_batch = not sig_files
@@ -947,6 +951,8 @@ def incremental_paragraph_dedup(new_df: DataFrame, store_dir: str,
     marked = (paras.join(keeper, "_pfp")
                    .withColumn("_first",
                                F.struct("_id", "_pos") == F.col("_k")))
+    from etl_tool_spark.llm.store import finish_pending_compaction
+    finish_pending_compaction(store_dir)
     part_files = sorted(_glob.glob(_os.path.join(store_dir, "*.parquet")))
     if part_files:
         seen = spark.read.parquet(*part_files)

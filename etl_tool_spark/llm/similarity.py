@@ -546,6 +546,7 @@ def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,
     spark = vf.sparkSession
     vec_dir = _os.path.join(store_dir, "vec")
     bands_dir = _os.path.join(store_dir, "bands")
+    _st.finish_pending_compaction(vec_dir)
     pre_vec = set(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
     pre_band = set(_st.sharded_files(bands_dir))
     vf.write.mode("append").parquet(vec_dir)
@@ -648,6 +649,7 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         spark, bands_dir, ["_bkt"],
         lambda: _banded_keys(spark.read.parquet(vec_dir), id_col, vec_col,
                              dim, bands, rows_per_band))
+    _st.finish_pending_compaction(vec_dir)
     vec_files = sorted(_glob.glob(_os.path.join(vec_dir, "*.parquet")))
     band_files = _st.sharded_files(bands_dir)
     first_batch = not vec_files

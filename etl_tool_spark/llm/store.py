@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["band_shards", "shard_col", "sharded_files", "flat_files",
            "append_bands", "read_pinned", "probe_shards", "prune_to_shards",
-           "ensure_sharded"]
+           "ensure_sharded", "compact_dir", "finish_pending_compaction"]
 
 
 def band_shards() -> int:
@@ -129,6 +129,7 @@ def ensure_sharded(spark: SparkSession, bands_dir: str,
     stage directory present). Flat band files are only removed after
     the staged copy is completely written.
     """
+    finish_pending_compaction(bands_dir)
     staged = bands_dir.rstrip("/") + "_reshard"
     flat = flat_files(bands_dir)
     if flat:
@@ -151,3 +152,135 @@ def ensure_sharded(spark: SparkSession, bands_dir: str,
                 os.rename(os.path.join(shard_dir, part),
                           os.path.join(dst, part))
     shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Compaction: bounding file counts for long-lived stores
+# ---------------------------------------------------------------------------
+# One-file-per-shard appends keep a batch cheap, but a store ingesting
+# for months still accumulates shards × batches files, and file-index
+# listing cost grows with every batch. Compaction rewrites a table's
+# current snapshot into one file per shard (sharded) or a handful of
+# files (flat) during a maintenance window between batches.
+#
+# Raw parquet has no transaction log, so crash safety comes from the
+# same discipline as ensure_sharded: nothing in the live directory is
+# deleted until a complete staged copy exists, and the promotion step
+# is driven by a MANIFEST of exactly the files the staged copy
+# replaces — so a batch that appends between a crashed promotion and
+# its recovery can never lose data (recovery deletes only manifest
+# files, every one of which is duplicated in the stage). The stage is
+# authoritative the moment its manifest exists; before that it is
+# garbage and recovery discards it.
+
+_COMPACT_SUFFIX = "_compact"
+_MANIFEST = "_compact_manifest.json"
+
+
+def _stage_data_files(stage: str) -> list[str]:
+    """Data files of a staged compaction, flat or hive-partitioned."""
+    return sorted(glob.glob(os.path.join(stage, "*.parquet"))
+                  + glob.glob(os.path.join(stage, "_shard=*", "*.parquet")))
+
+
+def _promote_compaction(d: str, stage: str) -> None:
+    """Finish a staged compaction whose manifest exists: remove the
+    replaced files (tolerating ones a crashed promotion already
+    removed), move the staged files in, drop the stage. Idempotent —
+    safe to re-run from any interruption point."""
+    import json as _json
+    with open(os.path.join(stage, _MANIFEST), encoding="utf-8") as f:
+        replaced = _json.load(f)["files"]
+    for f in replaced:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    for src in _stage_data_files(stage):
+        rel = os.path.relpath(src, stage)
+        dst = os.path.join(d, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def finish_pending_compaction(d: str) -> None:
+    """Recover an interrupted ``compact_dir`` run on ``d``. A stage
+    with a manifest is complete and promotes (data files in ``d`` stay
+    a superset of one full snapshot throughout); a stage without one
+    died mid-write and is discarded. Called from every store-open path
+    so readers never see the missing-rows window a crashed promotion
+    leaves behind."""
+    stage = d.rstrip("/") + _COMPACT_SUFFIX
+    if not os.path.isdir(stage):
+        return
+    if os.path.exists(os.path.join(stage, _MANIFEST)):
+        _promote_compaction(d, stage)
+    else:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def compact_dir(spark: SparkSession, d: str, sharded: bool | None = None,
+                target_files: int = 4) -> dict:
+    """Compact a store table directory in place; returns
+    ``{"before": n_files, "after": n_files}``.
+
+    ``sharded=None`` auto-detects the layout (``_shard=`` partition
+    directories → sharded). A sharded table compacts to one file per
+    shard; a flat table coalesces to ``target_files``. No-op when the
+    table is already at or under the target.
+
+    Concurrency contract: run between batches (a maintenance window).
+    Probes pin pre-append file lists, so a probe planned BEFORE the
+    compaction must finish before promotion deletes its files — same
+    snapshot caveat as the append paths, and the reason a production
+    deployment would put these stores on Iceberg/Delta. Crash at any
+    point is recovered by the next store open or ``compact_dir`` call
+    (see finish_pending_compaction)."""
+    finish_pending_compaction(d)
+    if sharded is None:
+        sharded = bool(glob.glob(os.path.join(d, "_shard=*")))
+    files = sharded_files(d) if sharded else flat_files(d)
+    n_shards = len({os.path.basename(os.path.dirname(f))
+                    for f in files}) if sharded else 0
+    target = n_shards if sharded else max(1, target_files)
+    if len(files) <= target:
+        return {"before": len(files), "after": len(files)}
+    stage = d.rstrip("/") + _COMPACT_SUFFIX
+    shutil.rmtree(stage, ignore_errors=True)
+    if sharded:
+        # re-derive _shard from the directory names (basePath read), and
+        # repartition on it — one file per shard (see append_bands)
+        (spark.read.option("basePath", d).parquet(*files)
+              .repartition(F.col("_shard"))
+              .write.mode("overwrite").partitionBy("_shard").parquet(stage))
+    else:
+        (spark.read.parquet(*files).coalesce(target)
+              .write.mode("overwrite").parquet(stage))
+    import json as _json
+    manifest = os.path.join(stage, _MANIFEST)
+    with open(manifest + ".tmp", "w", encoding="utf-8") as f:
+        _json.dump({"files": files}, f)
+    os.rename(manifest + ".tmp", manifest)  # stage becomes authoritative
+    _promote_compaction(d, stage)
+    return {"before": len(files),
+            "after": len(sharded_files(d) if sharded else flat_files(d))}
+
+
+def compact_store(spark: SparkSession, store_dir: str,
+                  target_files: int = 4) -> dict:
+    """Compact every table of an incremental store (minhash: sig/ +
+    bands/; embedding: vec/ + bands/; clean gate adds fp/; a bare
+    exact-dedup store is its own flat table). Returns per-table
+    before/after file counts."""
+    out: dict = {}
+    for sub, is_sharded in (("sig", False), ("vec", False),
+                            ("fp", False), ("bands", True)):
+        p = os.path.join(store_dir, sub)
+        if os.path.isdir(p):
+            out[sub] = compact_dir(spark, p, sharded=is_sharded,
+                                   target_files=target_files)
+    if not out and flat_files(store_dir):
+        out["."] = compact_dir(spark, store_dir, sharded=False,
+                               target_files=target_files)
+    return out

@@ -162,3 +162,93 @@ def test_append_writes_one_file_per_shard(spark, tmp_path):
     assert len(files) <= st.band_shards(), (
         f"append fan-out: {len(files)} files for {st.band_shards()} "
         "shards — a writer per (task, shard) instead of per shard")
+
+
+def _probe_pairs(df):
+    return {(r["a"], r["b"], round(r["jaccard"], 9)) for r in df.collect()}
+
+
+def test_compaction_preserves_results_and_bounds_files(spark, tmp_path):
+    """compact_store must leave probe results byte-identical while
+    collapsing the store to ≤ one file per shard (bands) / target_files
+    (sig): the maintenance op that bounds file-index listing cost for a
+    store ingesting for months."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i % 4}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [df.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    plain_store = str(tmp_path / "plain")
+    compacted_store = str(tmp_path / "compacted")
+    plain, compacted = set(), set()
+    for k, b in enumerate(batches):
+        plain |= _probe_pairs(D.incremental_minhash_pairs(b, plain_store))
+        if k == 2:  # compact between batch 2 and the last probe
+            stats = st.compact_store(spark, compacted_store)
+            assert stats["bands"]["after"] <= st.band_shards()
+            assert stats["bands"]["after"] < stats["bands"]["before"]
+            assert stats["sig"]["after"] <= 4
+        compacted |= _probe_pairs(
+            D.incremental_minhash_pairs(b, compacted_store))
+    assert compacted == plain and plain
+    files = st.sharded_files(os.path.join(compacted_store, "bands"))
+    # post-compaction appends resume on top of the compacted layout
+    assert files and len(files) <= 2 * st.band_shards()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A promotion interrupted at the worst point (manifest written,
+    some replaced files deleted, some staged files moved) must be
+    finished by the next store open, with no rows lost or duplicated —
+    and a stage that died before its manifest must be discarded."""
+    import json
+    import shutil
+
+    store = str(tmp_path / "s")
+    _mk_store(spark, store)
+    _mk_store(spark, store)  # two appends → multiple files
+    sig = os.path.join(store, "sig")
+    rows_before = spark.read.parquet(sig).count()
+
+    # stage a compacted copy by hand, exactly as compact_dir would
+    files = st.flat_files(sig)
+    stage = sig + "_compact"
+    spark.read.parquet(*files).coalesce(1).write.mode("overwrite") \
+         .parquet(stage)
+    with open(os.path.join(stage, "_compact_manifest.json"), "w") as f:
+        json.dump({"files": files}, f)
+    # simulate the mid-promotion crash: delete ONE replaced file, move
+    # NO staged files yet
+    os.remove(files[0])
+    st.finish_pending_compaction(sig)
+    assert spark.read.parquet(sig).count() == rows_before
+    assert not os.path.isdir(stage)
+
+    # manifest-less stage (died mid-write): discarded, data untouched
+    os.makedirs(os.path.join(stage), exist_ok=True)
+    with open(os.path.join(stage, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    st.finish_pending_compaction(sig)
+    assert not os.path.isdir(stage)
+    assert spark.read.parquet(sig).count() == rows_before
+    shutil.rmtree(store)
+
+
+def test_compact_bare_flat_store(spark, tmp_path):
+    """An exact-dedup fingerprint store (flat parquet in the store root)
+    compacts through compact_store's bare-directory path and keeps
+    rejecting previously seen fingerprints afterwards."""
+    store = str(tmp_path / "fp")
+    d1 = spark.createDataFrame([(1, "aaa"), (2, "bbb")],
+                               "doc_id long, text string")
+    d2 = spark.createDataFrame([(3, "ccc"), (4, "aaa")],
+                               "doc_id long, text string")
+    assert D.incremental_exact_dedup(d1, store).count() == 2
+    assert {r["doc_id"] for r in
+            D.incremental_exact_dedup(d2, store).collect()} == {3}
+    stats = st.compact_store(spark, store, target_files=1)
+    assert stats["."]["after"] == 1
+    d3 = spark.createDataFrame([(5, "ccc"), (6, "ddd")],
+                               "doc_id long, text string")
+    assert {r["doc_id"] for r in
+            D.incremental_exact_dedup(d3, store).collect()} == {6}
