@@ -4016,6 +4016,41 @@ def llm_incremental_dedup(spark, sf_dir):
     return p1.unionByName(p2)
 
 
+@query("llm_webdataset_roundtrip", """
+SELECT doc_id,
+       2::BIGINT AS n_members,
+       octet_length(encode(coalesce(text, '')))::BIGINT AS txt_bytes
+FROM documents
+""")
+def llm_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar shards end to end (llm/webdataset.py): the
+    documents table packs into 4 deterministic tar shards (members
+    ``<doc_id>.txt`` = utf-8 text, ``<doc_id>.json`` = metadata), the
+    shards re-read through the binaryFile → tarfile mapInPandas walk,
+    and the oracle pins per-document member count and exact txt
+    payload byte length against the source table — the shard container
+    round-trip loses nothing. WebDataset is the public de-facto
+    sharded container for multimodal training corpora (webdataset/
+    webdataset); the reference has no shard container at all."""
+    from etl_tool_spark.llm import webdataset as W
+
+    d = _docs(spark, sf_dir)
+    packed = d.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("txt"),
+        F.encode(F.to_json(F.struct("lang", "source")), "utf-8")
+         .alias("json"))
+    out = _scratch("etl_wds_")
+    n_shards = W.write_webdataset(packed, out, n_shards=4).count()
+    assert n_shards <= 4
+    members = W.read_webdataset(spark, out)
+    return (members.groupBy(F.col("key").cast("long").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max(F.when(F.col("ext") == "txt",
+                              F.octet_length("payload")))
+                  .cast("bigint").alias("txt_bytes")))
+
+
 @query("llm_store_compaction", _oracle_minhash())
 def llm_store_compaction(spark, sf_dir):
     """The store MAINTENANCE lifecycle under the correctness gate
