@@ -4051,37 +4051,37 @@ def llm_webdataset_roundtrip(spark, sf_dir):
                   .cast("bigint").alias("txt_bytes")))
 
 
-@query("llm_store_compaction", _oracle_minhash())
+@query("llm_store_compaction", f"""
+SELECT * FROM ({_oracle_minhash(
+    src="(SELECT * FROM documents WHERE doc_id % 2 = 0) half")})
+WHERE a % 6 = 4 OR b % 6 = 4
+""")
 def llm_store_compaction(spark, sf_dir):
     """The store MAINTENANCE lifecycle under the correctness gate
-    (llm/store.py compact_store): the corpus arrives as three batches;
-    after the second the two-table signature store is compacted in
-    place — sig/ coalesced, sharded bands/ rewritten to one file per
-    shard through the manifest-promoted crash-safe protocol — and the
-    third batch probes the compacted layout. Compaction must be
-    invisible to results, so the union of the three batches' pairs
-    still equals the one-shot pipeline and shares
-    llm_minhash_lsh_pairs' full SQL oracle. This is what bounds a
-    long-lived ingest store's file count (shards × batches grows for
-    months at 100 TB; listing cost follows) without a table format."""
+    (llm/store.py compact_store): two batches append their signatures
+    (the gate-path append_signatures API — survivors-only stores never
+    run pair discovery on append), the two-table store is compacted in
+    place — sig/ coalesced, sharded bands/ rewritten back to one file
+    per shard through the manifest-promoted crash-safe protocol — and
+    a third batch probes the COMPACTED layout. Compaction must be
+    invisible to results, so the probe's pairs equal the one-shot
+    minhash SQL oracle restricted to pairs touching batch 3. This is
+    what bounds a long-lived ingest store's file count (shards ×
+    batches grows for months at 100 TB; listing cost follows) without
+    a table format."""
     from etl_tool_spark.llm import store as ST
 
-    d = _docs(spark, sf_dir)
+    # even-id half corpus (the oracle filters identically): the point
+    # is the maintenance lifecycle, not another full minhash fold —
+    # llm_incremental_dedup already pays for the full-corpus fold
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
     store = _scratch("etl_compact_sig_") + "/store"
-    batches = [d.filter(F.col("doc_id") % 3 == k) for k in range(3)]
-    p1 = D.incremental_minhash_pairs(batches[0], store)
-    p2 = D.incremental_minhash_pairs(batches[1], store)
-    # The pair frames are lazy but their appends already ran (writes
-    # are actions); compaction DELETES the pre-compaction files p1/p2's
-    # plans are pinned to, so their results must be made file-backed
-    # BEFORE the maintenance window — exactly the "probes planned
-    # before compaction must finish first" contract in compact_dir's
-    # docstring, demonstrated rather than worked around.
-    staged = _scratch("etl_compact_pairs_")
-    p1.unionByName(p2).write.mode("overwrite").parquet(staged)
-    ST.compact_store(spark, store)
-    p3 = D.incremental_minhash_pairs(batches[2], store)
-    return spark.read.parquet(staged).unionByName(p3)
+    b = [d.filter(F.col("doc_id") % 6 == 2 * k) for k in range(3)]
+    D.append_signatures(b[0], store)
+    D.append_signatures(b[1], store)  # bands now hold 2 files per shard
+    stats = ST.compact_store(spark, store)
+    assert stats["bands"]["after"] <= ST.band_shards()
+    return D.incremental_minhash_pairs(b[2], store)
 
 
 # =========================================================================
