@@ -3200,6 +3200,45 @@ def llm_label_centroids(spark, sf_dir):
                    .alias("centroid")))
 
 
+@query("etl_zorder_pruned_scan", """
+SELECT event_id, user_id, value
+FROM events
+WHERE user_id BETWEEN 0 AND (SELECT CAST(floor(max(user_id) / 10) AS BIGINT)
+                             FROM events)
+""")
+def etl_zorder_pruned_scan(spark, sf_dir):
+    """The warehouse LAYOUT path under the correctness gate: events are
+    written z-ordered on (user_id, value) (sinks.py zorderBy — Morton
+    code over per-column quantile ranks), a one-scan stats manifest is
+    recorded (sources/skipping.py write_manifest), and a user_id range
+    probe reads ONLY the manifest-overlapping files (pruned_read). The
+    oracle is the plain full-scan filter — data skipping must be
+    invisible to results — and an in-plan gate asserts the probe
+    actually skipped files, so the query fails loudly if the layout or
+    manifest logic ever stops pruning. At 100 TB this is the
+    list-16-files-instead-of-16k needle path that vanilla parquet
+    (footer-only row-group pruning, but every file listed and opened)
+    cannot give without a table format."""
+    from etl_tool_spark.sources.sinks import write_parquet
+    from etl_tool_spark.sources.skipping import pruned_read, write_manifest
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    table = _scratch("etl_zorder_") + "/events_z"
+    write_parquet(ev, table, {"zorderBy": ["user_id", "value"],
+                              "sortPartitions": 16})
+    write_manifest(spark, table, ["user_id", "value"])
+    # one-row bound collect (index-build convention): the probe range is
+    # the bottom decile of the observed id space, same as the oracle's
+    hi = ev.agg(F.floor(F.max("user_id") / 10).cast("long")).first()[0]
+    out = pruned_read(spark, table, "user_id", 0, hi)
+    n_all = len([f for f in spark.read.parquet(table).inputFiles()
+                 if "/_manifest/" not in f])
+    n_hit = len(out.inputFiles())
+    assert n_hit < n_all, \
+        f"z-order probe skipped nothing ({n_hit}/{n_all} files read)"
+    return out.select("event_id", "user_id", "value")
+
+
 @query("etl_profile_orders", """
 WITH w AS (
   SELECT count(*) AS n_rows,
