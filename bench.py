@@ -175,6 +175,30 @@ BENCH_QUERIES = [
 BENCH_QUERIES += sorted(set(SPARK) - set(BENCH_QUERIES))
 
 
+def baseline_outliers(timings: dict, already: list, sf: str,
+                      base_path: str, ratio: float = 1.8,
+                      cap: int = 10) -> list:
+    """Queries reading > ``ratio`` x their frozen same-host baseline —
+    the mechanical selection for the clean-bracket retry pass (a >1.8x
+    reading on an unchanged plan is far more often JVM-state noise,
+    sub-second queries especially, than a real regression). Returns []
+    on any baseline problem (missing file, cross-sf freeze): retries
+    are diagnostics and must never sink the bench."""
+    import json as _json
+    import os as _os
+    try:
+        with open(base_path, encoding="utf-8") as f:
+            doc = _json.load(f)
+        if str(doc.get("sf")) != str(sf):
+            return []
+        base = doc.get("queries", {})
+        return [n for n in timings
+                if n not in already and base.get(n, 0) > 0
+                and timings[n] / base[n] > ratio][:cap]
+    except (OSError, ValueError):
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -342,6 +366,15 @@ def main() -> None:
             (n for n in run_order
              if trace[segment_of[n]] / max(best_so_far, 1e-9) > 1.5),
             key=lambda n: -trace[segment_of[n]])[:25]
+        # baseline-outlier retries: give apparent >1.8x regressions a
+        # second clean-bracketed sample too, so drift exoneration (or
+        # confirmation) is mechanical, not prose. Replacement follows
+        # the same clean-bracket rule as contention retries: a genuine
+        # regression re-measures slow and the flag stands.
+        noisy += baseline_outliers(
+            timings, noisy, sf,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_BENCH.json"))
         for name in noisy:
             pre = _sentinel()
             trace.append(pre)

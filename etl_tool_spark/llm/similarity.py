@@ -463,7 +463,9 @@ def ivf_search(spark, index_dir: str, queries: DataFrame, k: int = 5,
     partitions via dynamic partition pruning."""
     from pyspark.sql import Window
 
+    from etl_tool_spark.llm.store import finish_pending_compaction
     base = index_dir.rstrip("/")
+    finish_pending_compaction(f"{base}/vectors")
     cent_rows = spark.read.parquet(f"{base}/centroids") \
                      .orderBy("cell").collect()
     centroids = [list(r["centroid"]) for r in cent_rows]
@@ -504,7 +506,9 @@ def ivf_append_index(new_df: DataFrame, index_dir: str,
     rebuild via ivf_build_index when cell imbalance degrades recall —
     appends never mutate existing files, so a rebuild can run alongside
     reads and swap in atomically."""
+    from etl_tool_spark.llm.store import finish_pending_compaction
     base = index_dir.rstrip("/")
+    finish_pending_compaction(f"{base}/vectors")
     spark = new_df.sparkSession
     cent_rows = spark.read.parquet(f"{base}/centroids") \
                      .orderBy("cell").collect()
@@ -521,7 +525,9 @@ def ivf_cell_stats(spark, index_dir: str) -> DataFrame:
     trigger (a cell holding a large corpus fraction means probes scan
     too much; many near-empty cells mean wasted nlist). Reads only
     partition metadata + counts; one aggregate over the index."""
+    from etl_tool_spark.llm.store import finish_pending_compaction
     base = index_dir.rstrip("/")
+    finish_pending_compaction(f"{base}/vectors")
     return (spark.read.parquet(f"{base}/vectors")
                  .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors")))
 

@@ -178,9 +178,20 @@ _MANIFEST = "_compact_manifest.json"
 
 
 def _stage_data_files(stage: str) -> list[str]:
-    """Data files of a staged compaction, flat or hive-partitioned."""
+    """Data files of a staged compaction, flat or hive-partitioned
+    (any single-level partition column — ``_shard=`` band stores,
+    ``cell=`` IVF indexes)."""
     return sorted(glob.glob(os.path.join(stage, "*.parquet"))
-                  + glob.glob(os.path.join(stage, "_shard=*", "*.parquet")))
+                  + glob.glob(os.path.join(stage, "*=*", "*.parquet")))
+
+
+def partition_column(d: str) -> str | None:
+    """The hive partition column of a table directory, or None for a
+    flat layout — detected from the ``col=value`` directory names."""
+    for p in sorted(glob.glob(os.path.join(d, "*=*"))):
+        if os.path.isdir(p):
+            return os.path.basename(p).split("=", 1)[0]
+    return None
 
 
 def _promote_compaction(d: str, stage: str) -> None:
@@ -238,22 +249,28 @@ def compact_dir(spark: SparkSession, d: str, sharded: bool | None = None,
     point is recovered by the next store open or ``compact_dir`` call
     (see finish_pending_compaction)."""
     finish_pending_compaction(d)
+    # any single-level hive layout compacts to one file per partition
+    # value: _shard= band stores, cell= IVF indexes. `sharded` keeps
+    # its boolean meaning for callers; the column is detected.
+    part = partition_column(d)
     if sharded is None:
-        sharded = bool(glob.glob(os.path.join(d, "_shard=*")))
-    files = sharded_files(d) if sharded else flat_files(d)
-    n_shards = len({os.path.basename(os.path.dirname(f))
-                    for f in files}) if sharded else 0
-    target = n_shards if sharded else max(1, target_files)
+        sharded = part is not None
+    files = (sorted(glob.glob(os.path.join(d, f"{part}=*", "*.parquet")))
+             if sharded else flat_files(d))
+    n_parts = len({os.path.basename(os.path.dirname(f))
+                   for f in files}) if sharded else 0
+    target = n_parts if sharded else max(1, target_files)
     if len(files) <= target:
         return {"before": len(files), "after": len(files)}
     stage = d.rstrip("/") + _COMPACT_SUFFIX
     shutil.rmtree(stage, ignore_errors=True)
     if sharded:
-        # re-derive _shard from the directory names (basePath read), and
-        # repartition on it — one file per shard (see append_bands)
+        # re-derive the partition column from the directory names
+        # (basePath read), and repartition on it — one file per
+        # partition value (see append_bands)
         (spark.read.option("basePath", d).parquet(*files)
-              .repartition(F.col("_shard"))
-              .write.mode("overwrite").partitionBy("_shard").parquet(stage))
+              .repartition(F.col(part))
+              .write.mode("overwrite").partitionBy(part).parquet(stage))
     else:
         (spark.read.parquet(*files).coalesce(target)
               .write.mode("overwrite").parquet(stage))
@@ -263,19 +280,22 @@ def compact_dir(spark: SparkSession, d: str, sharded: bool | None = None,
         _json.dump({"files": files}, f)
     os.rename(manifest + ".tmp", manifest)  # stage becomes authoritative
     _promote_compaction(d, stage)
-    return {"before": len(files),
-            "after": len(sharded_files(d) if sharded else flat_files(d))}
+    after = (sorted(glob.glob(os.path.join(d, f"{part}=*", "*.parquet")))
+             if sharded else flat_files(d))
+    return {"before": len(files), "after": len(after)}
 
 
 def compact_store(spark: SparkSession, store_dir: str,
                   target_files: int = 4) -> dict:
     """Compact every table of an incremental store (minhash: sig/ +
-    bands/; embedding: vec/ + bands/; clean gate adds fp/; a bare
-    exact-dedup store is its own flat table). Returns per-table
-    before/after file counts."""
+    bands/; embedding: vec/ + bands/; clean gate adds fp/; an IVF
+    index dir adds cell-partitioned vectors/, which appends grow by
+    one file per touched cell per batch; a bare exact-dedup store is
+    its own flat table). Returns per-table before/after file counts."""
     out: dict = {}
     for sub, is_sharded in (("sig", False), ("vec", False),
-                            ("fp", False), ("bands", True)):
+                            ("fp", False), ("bands", True),
+                            ("vectors", None)):
         p = os.path.join(store_dir, sub)
         if os.path.isdir(p):
             out[sub] = compact_dir(spark, p, sharded=is_sharded,

@@ -252,3 +252,52 @@ def test_compact_bare_flat_store(spark, tmp_path):
                                "doc_id long, text string")
     assert {r["doc_id"] for r in
             D.incremental_exact_dedup(d3, store).collect()} == {6}
+
+
+def test_compact_ivf_index_vectors(spark, tmp_path):
+    """A persisted IVF index's cell-partitioned vectors/ table grows one
+    file per touched cell per append; compact_store must collapse it to
+    one file per cell under the same manifest-promoted protocol, with
+    ivf_search results identical before and after."""
+    import glob
+
+    from etl_tool_spark.llm import similarity as S
+
+    rng_rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+                for i in range(40)]
+    corpus = spark.createDataFrame(rng_rows,
+                                   "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    S.ivf_build_index(corpus.filter(F.col("vec_id") < 20), idx, nlist=4)
+    more = corpus.filter(F.col("vec_id") >= 20)
+    S.ivf_append_index(more.filter(F.col("vec_id") < 30), idx)
+    S.ivf_append_index(more.filter(F.col("vec_id") >= 30), idx)
+
+    vec_dir = os.path.join(idx, "vectors")
+    cells = {os.path.basename(p)
+             for p in glob.glob(os.path.join(vec_dir, "cell=*"))}
+    files_before = glob.glob(os.path.join(vec_dir, "cell=*", "*.parquet"))
+    assert len(files_before) > len(cells), "appends did not add files"
+
+    queries = corpus.filter(F.col("vec_id") % 13 == 0) \
+                    .withColumnRenamed("vec_id", "query_id")
+    def topk_set(df):
+        return {(r["query_id"], r["vec_id"], r["rank"])
+                for r in df.collect()}
+    before = topk_set(S.ivf_search(spark, idx, queries, k=3, nprobe=2))
+
+    stats = st.compact_store(spark, idx)
+    assert "vectors" in stats
+    files_after = glob.glob(os.path.join(vec_dir, "cell=*", "*.parquet"))
+    assert len(files_after) == len(cells), (
+        f"{len(files_after)} files for {len(cells)} cells after compaction")
+    assert topk_set(S.ivf_search(spark, idx, queries, k=3, nprobe=2)) == before
+
+    # a further append lands on the compacted layout and is searchable
+    S.ivf_append_index(
+        corpus.filter(F.col("vec_id") == 39)
+              .withColumn("vec_id", F.lit(99).cast("long")), idx)
+    seen = {r["vec_id"]
+            for r in S.ivf_search(spark, idx, queries, k=40,
+                                  nprobe=4).collect()}
+    assert 99 in seen

@@ -125,3 +125,29 @@ def test_cli_diff_and_restore(tmp_path, capsys, spark):
     assert "as new version 3" in capsys.readouterr().out
     got = {r["id"]: r["payload"] for r in read_snapshot(spark, snap).collect()}
     assert got == {1: "a0"}
+
+
+def test_bench_baseline_outlier_selection(tmp_path):
+    """The mechanical retry selector: >1.8x-vs-frozen-baseline queries
+    are picked (capped, excluding already-selected), and any baseline
+    problem — missing file, cross-sf freeze — selects nothing rather
+    than sinking the bench."""
+    import json
+
+    from bench import baseline_outliers
+
+    base = tmp_path / "BASELINE_BENCH.json"
+    base.write_text(json.dumps(
+        {"sf": "0.1", "queries": {"a": 1.0, "b": 0.5, "c": 2.0}}))
+    timings = {"a": 1.85, "b": 0.55, "c": 4.1, "d": 9.9}
+    # a: 1.85x > 1.8 -> picked; b: 1.1x -> no; c: 2.05x -> picked
+    # unless already retried; d: not in the baseline -> never picked
+    assert baseline_outliers(timings, [], "0.1", str(base)) == ["a", "c"]
+    assert baseline_outliers(timings, ["c"], "0.1", str(base)) == ["a"]
+    # cross-sf freeze and missing file are both a clean no-op
+    assert baseline_outliers(timings, [], "0.01", str(base)) == []
+    assert baseline_outliers(timings, [], "0.1",
+                             str(tmp_path / "missing.json")) == []
+    # zero/negative frozen medians can never divide
+    base.write_text(json.dumps({"sf": "0.1", "queries": {"a": 0.0}}))
+    assert baseline_outliers(timings, [], "0.1", str(base)) == []
