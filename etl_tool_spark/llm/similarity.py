@@ -1215,7 +1215,9 @@ def pq_search(spark, index_dir: str, corpus: DataFrame, queries: DataFrame,
     shortlist rows for the exact re-rank."""
     from pyspark.sql import Window
 
+    from etl_tool_spark.llm.store import finish_pending_compaction
     base = index_dir.rstrip("/")
+    finish_pending_compaction(f"{base}/codes")
     books = _pq_read_codebooks(spark, base)
     codes = (spark.read.parquet(f"{base}/codes")
                   .select(F.col(id_col), F.col("code").alias("_code")))
@@ -1235,7 +1237,9 @@ def pq_append_index(new_df: DataFrame, index_dir: str,
     the quantizer drifts as the corpus distribution shifts, so rebuild
     via pq_build_index when shortlist recall degrades; appends never
     mutate existing files."""
+    from etl_tool_spark.llm.store import finish_pending_compaction
     base = index_dir.rstrip("/")
+    finish_pending_compaction(f"{base}/codes")
     books = _pq_read_codebooks(new_df.sparkSession, base)
     (pq_encode(new_df.select(id_col, vec_col), books,
                vec_col=vec_col, code_col="code")

@@ -290,12 +290,13 @@ def compact_store(spark: SparkSession, store_dir: str,
     """Compact every table of an incremental store (minhash: sig/ +
     bands/; embedding: vec/ + bands/; clean gate adds fp/; an IVF
     index dir adds cell-partitioned vectors/, which appends grow by
-    one file per touched cell per batch; a bare exact-dedup store is
-    its own flat table). Returns per-table before/after file counts."""
+    one file per touched cell per batch; a PQ index dir adds the flat
+    codes/ table; a bare exact-dedup store is its own flat table).
+    Returns per-table before/after file counts."""
     out: dict = {}
     for sub, is_sharded in (("sig", False), ("vec", False),
                             ("fp", False), ("bands", True),
-                            ("vectors", None)):
+                            ("vectors", None), ("codes", False)):
         p = os.path.join(store_dir, sub)
         if os.path.isdir(p):
             out[sub] = compact_dir(spark, p, sharded=is_sharded,

@@ -301,3 +301,38 @@ def test_compact_ivf_index_vectors(spark, tmp_path):
             for r in S.ivf_search(spark, idx, queries, k=40,
                                   nprobe=4).collect()}
     assert 99 in seen
+
+
+def test_compact_pq_index_codes(spark, tmp_path):
+    """A persisted PQ index's flat codes/ table accumulates one file
+    set per append; compact_store must coalesce it (target_files) with
+    pq_search results identical before and after, and appends resume
+    on the compacted layout."""
+    from etl_tool_spark.llm import similarity as S
+
+    rows = [(i, [float((i * 5 + d) % 9) - 4.0 for d in range(8)])
+            for i in range(48)]
+    corpus = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "pq")
+    S.pq_build_index(corpus.filter(F.col("vec_id") < 24), idx, m=4, ksub=8)
+    S.pq_append_index(corpus.filter((F.col("vec_id") >= 24)
+                                    & (F.col("vec_id") < 36)), idx)
+    S.pq_append_index(corpus.filter(F.col("vec_id") >= 36), idx)
+
+    codes_dir = os.path.join(idx, "codes")
+    assert len(st.flat_files(codes_dir)) > 4
+
+    queries = corpus.filter(F.col("vec_id") % 11 == 0) \
+                    .withColumnRenamed("vec_id", "query_id")
+
+    def topk_set(df):
+        return {(r["query_id"], r["vec_id"], r["rank"])
+                for r in df.collect()}
+
+    before = topk_set(S.pq_search(spark, idx, corpus, queries,
+                                  k=3, shortlist=16))
+    stats = st.compact_store(spark, idx)
+    assert stats["codes"]["after"] <= 4
+    assert topk_set(S.pq_search(spark, idx, corpus, queries,
+                                k=3, shortlist=16)) == before
