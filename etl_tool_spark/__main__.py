@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-zorder", "--zorder", metavar="COLS",
                    help="comma-separated columns: -compact clusters "
                         "output by Morton code over quantile ranks")
+    p.add_argument("-compact-store", "--compact-store", metavar="STORE",
+                   dest="compact_store",
+                   help="compact an incremental dedup/embedding store or "
+                        "ANN index dir in place (crash-safe manifest "
+                        "promotion), then exit")
     p.add_argument("-versions", "--versions", metavar="SNAP",
                    help="list a CDC snapshot store's retained versions")
     p.add_argument("-vacuum", "--vacuum", metavar="SNAP",
@@ -116,6 +121,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted {stats['files_before']} files -> "
               f"{stats['files_after']} ({stats['rows']} rows, "
               f"{stats['bytes']} bytes)")
+        return 0
+
+    if args.compact_store:
+        from etl_tool_spark.llm.store import compact_store
+
+        try:
+            stats = compact_store(spark, args.compact_store)
+        except Exception as e:
+            print(f"compact-store failed: {e}", file=sys.stderr)
+            return 1
+        if not stats:
+            print(f"no store tables found under {args.compact_store}",
+                  file=sys.stderr)
+            return 1
+        for table, s in sorted(stats.items()):
+            print(f"{table}: {s['before']} files -> {s['after']}")
         return 0
 
     if args.versions or args.vacuum or args.diff or args.restore:

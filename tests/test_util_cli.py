@@ -151,3 +151,26 @@ def test_bench_baseline_outlier_selection(tmp_path):
     # zero/negative frozen medians can never divide
     base.write_text(json.dumps({"sf": "0.1", "queries": {"a": 0.0}}))
     assert baseline_outliers(timings, [], "0.1", str(base)) == []
+
+
+def test_cli_compact_store(tmp_path, capsys, spark):
+    """-compact-store compacts an incremental store in place and
+    reports per-table file counts; a directory with no store tables is
+    a failure exit, not a silent success."""
+    from etl_tool_spark.__main__ import main
+    from etl_tool_spark.llm import dedup as D
+
+    store = str(tmp_path / "store")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(i, base + f" t{i % 3}") for i in range(k * 10, k * 10 + 10)],
+            "doc_id long, text string")
+        D.incremental_minhash_pairs(batch, store).count()
+    assert main(["-compact-store", store]) == 0
+    out = capsys.readouterr().out
+    assert "bands:" in out and "sig:" in out and "->" in out
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["-compact-store", str(empty)]) == 1
