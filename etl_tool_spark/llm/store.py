@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["band_shards", "shard_col", "sharded_files", "flat_files",
            "append_bands", "read_pinned", "probe_shards", "prune_to_shards",
-           "ensure_sharded", "compact_dir", "finish_pending_compaction"]
+           "ensure_sharded", "compact_dir", "compact_store",
+           "partition_column", "finish_pending_compaction"]
 
 
 def band_shards() -> int:

@@ -8,7 +8,8 @@ every probe's planning cost) bounded, without a table format.
 This composes the same operators the oracle-checked catalog queries
 prove: `llm_ingest_gate_fold` (gate semantics), `llm_incremental_dedup`
 (store probe semantics), `llm_store_compaction` (compaction is
-invisible to results).
+invisible to results). The same compaction runs from the CLI:
+`python -m etl_tool_spark -compact-store <store>`.
 
 Run:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python examples/ingest_store.py
@@ -27,17 +28,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def main() -> None:
-    import etl_tool_spark
+def run_lifecycle(spark: SparkSession, sf_dir: str, base: str) -> dict:
+    """Gate three batches into a store under ``base``, compact it, then
+    replay re-keyed copies of every survivor against the compacted
+    layout. Returns {survivors, leaked, compact_stats}."""
     from etl_tool_spark.llm import store as st
     from etl_tool_spark.streaming.dedup import land_near_batch
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    spark: SparkSession = etl_tool_spark.get_spark(
-        "ingest-store-example",
-        extra_conf={"spark.sql.shuffle.partitions": "8"})
-
-    base = tempfile.mkdtemp(prefix="etl_ingest_store_")
     store, landed = f"{base}/store", f"{base}/landed"
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                  .select("doc_id", "text"))
@@ -73,9 +70,23 @@ def main() -> None:
     print(f"post-compaction probe: {leaked} of {survivors_before} "
           f"re-keyed survivor copies landed (every one is an exact dup "
           f"of a stored survivor, so the gate drops them all)")
-    assert leaked == 0
+    return {"survivors": survivors_before, "leaked": leaked,
+            "compact_stats": stats}
 
-    shutil.rmtree(base, ignore_errors=True)
+
+def main() -> None:
+    import etl_tool_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark: SparkSession = etl_tool_spark.get_spark(
+        "ingest-store-example",
+        extra_conf={"spark.sql.shuffle.partitions": "8"})
+    base = tempfile.mkdtemp(prefix="etl_ingest_store_")
+    try:
+        out = run_lifecycle(spark, sf_dir, base)
+        assert out["leaked"] == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     spark.stop()
 
 

@@ -197,3 +197,19 @@ def test_tokenizer_train_example(spark, tmp_path):
     assert counts.filter("n_subwords < n_words").count() == 0
     # the artifact round-trips: encode used the RELOADED table
     assert (tmp_path / "merges").exists()
+
+
+def test_ingest_store_example(spark, tmp_path):
+    """The long-lived ingest-store lifecycle example: gated batches,
+    in-place compaction to <= one file per band shard, and a re-keyed
+    survivor replay that must be fully gated by the compacted store."""
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    try:
+        from ingest_store import run_lifecycle
+    finally:
+        sys.path.pop(0)
+    from etl_tool_spark.llm import store as st
+
+    out = run_lifecycle(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert out["survivors"] > 0 and out["leaked"] == 0
+    assert out["compact_stats"]["bands"]["after"] <= st.band_shards()
