@@ -3228,8 +3228,16 @@ def etl_zorder_pruned_scan(spark, sf_dir):
                               "sortPartitions": 16})
     write_manifest(spark, table, ["user_id", "value"])
     # one-row bound collect (index-build convention): the probe range is
-    # the bottom decile of the observed id space, same as the oracle's
-    hi = ev.agg(F.floor(F.max("user_id") / 10).cast("long")).first()[0]
+    # the bottom decile of the observed id space, same as the oracle's.
+    # The global max comes from the manifest's per-file max stats (the
+    # table holds exactly ev's rows, and max-over-files == max-over-rows
+    # exactly), so the bound costs one tiny manifest read instead of a
+    # second full scan+aggregate pass over the source (guide §6: the
+    # stats manifest IS the index — at 100 TB this is the difference
+    # between reading a KB-sized file-stats table and re-scanning the
+    # events column).
+    hi = (spark.read.parquet(f"{table}/_manifest")
+          .agg(F.floor(F.max("max_user_id") / 10).cast("long")).first()[0])
     out = pruned_read(spark, table, "user_id", 0, hi)
     n_all = len([f for f in spark.read.parquet(table).inputFiles()
                  if "/_manifest/" not in f])

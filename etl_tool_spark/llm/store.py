@@ -293,16 +293,45 @@ def compact_store(spark: SparkSession, store_dir: str,
     index dir adds cell-partitioned vectors/, which appends grow by
     one file per touched cell per batch; a PQ index dir adds the flat
     codes/ table; a bare exact-dedup store is its own flat table).
-    Returns per-table before/after file counts."""
-    out: dict = {}
-    for sub, is_sharded in (("sig", False), ("vec", False),
-                            ("fp", False), ("bands", True),
-                            ("vectors", None), ("codes", False)):
-        p = os.path.join(store_dir, sub)
-        if os.path.isdir(p):
-            out[sub] = compact_dir(spark, p, sharded=is_sharded,
-                                   target_files=target_files)
-    if not out and flat_files(store_dir):
-        out["."] = compact_dir(spark, store_dir, sharded=False,
-                               target_files=target_files)
-    return out
+    Returns per-table before/after file counts.
+
+    The per-table compactions are INDEPENDENT (distinct directories,
+    distinct staged copies, distinct manifests), so they run from a
+    small driver thread pool: the next table's rewrite job back-fills
+    executors freed by the current one's task tail instead of each job
+    paying its straggler latency back to back (optimization guide
+    §2.6). Crash safety is unchanged — each table keeps its own staged
+    copy + manifest protocol, and a crash mid-pool leaves each table
+    either untouched, staged-unmanifested (discarded on recovery), or
+    manifested (promoted on recovery), exactly as in the sequential
+    order."""
+    tables = [(sub, is_sharded)
+              for sub, is_sharded in (("sig", False), ("vec", False),
+                                      ("fp", False), ("bands", True),
+                                      ("vectors", None), ("codes", False))
+              if os.path.isdir(os.path.join(store_dir, sub))]
+    if not tables:
+        if flat_files(store_dir):
+            return {".": compact_dir(spark, store_dir, sharded=False,
+                                     target_files=target_files)}
+        return {}
+    if len(tables) == 1:
+        sub, is_sharded = tables[0]
+        return {sub: compact_dir(spark, os.path.join(store_dir, sub),
+                                 sharded=is_sharded,
+                                 target_files=target_files)}
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target(spark)
+    def one(sub: str, is_sharded: bool | None) -> dict:
+        return compact_dir(spark, os.path.join(store_dir, sub),
+                           sharded=is_sharded, target_files=target_files)
+
+    # 2-3 jobs in flight is plenty (guide §2.6): enough to fill the
+    # tail, not so many that tiny rewrite jobs fight for cores
+    with ThreadPoolExecutor(max_workers=min(3, len(tables))) as pool:
+        futs = [(sub, pool.submit(one, sub, is_sharded))
+                for sub, is_sharded in tables]
+        return {sub: f.result() for sub, f in futs}
