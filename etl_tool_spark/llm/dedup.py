@@ -586,7 +586,8 @@ def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
 def append_signatures(df: DataFrame, store_dir: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, bands: int = 8,
-                      shingle_n: int = 3, prehashed: bool = False) -> None:
+                      shingle_n: int = 3, prehashed: bool = False,
+                      banded: DataFrame | None = None) -> None:
     """Append ``df``'s minhash signatures + banded keys to an
     incremental store WITHOUT running pair discovery. The ingest-gate
     path (streaming/dedup.py:near-dup gate) uses this to remember only
@@ -595,7 +596,13 @@ def append_signatures(df: DataFrame, store_dir: str,
     kept. Parameters must match the store's (same hash family).
     ``prehashed=True`` takes ``df`` as an existing (id, _hs) signature
     frame (e.g. the gate's staged batch signatures) instead of hashing
-    ``text_col``."""
+    ``text_col``. ``banded`` supplies the matching pre-computed
+    (id, _band, _bucket) keys (the gate's staged band table) — then the
+    minhash banding never recomputes on append, and the two store
+    tables (independent directories) are written CONCURRENTLY
+    (store.overlap_writes, guide §2.6) instead of band-after-sig;
+    crash anywhere leaves the batch unmarked and wholly replayed, the
+    same recovery as the sequential order."""
     import os as _os
 
     from etl_tool_spark.llm import store as _st
@@ -603,15 +610,25 @@ def append_signatures(df: DataFrame, store_dir: str,
     spark = df.sparkSession
     _migrate_legacy_flat_store(spark, store_dir, id_col, num_hashes, bands)
     sig_dir = _os.path.join(store_dir, "sig")
+    bands_dir = _os.path.join(store_dir, "bands")
     _st.ensure_sharded(
-        spark, _os.path.join(store_dir, "bands"), ["_band", "_bucket"],
+        spark, bands_dir, ["_band", "_bucket"],
         lambda: _band_frame(spark.read.parquet(sig_dir), id_col,
                             num_hashes, bands))
     hs = (df.select(F.col(id_col), "_hs") if prehashed
           else df.select(F.col(id_col),
                          shingle_hashes(F.col(text_col), shingle_n)
                          .alias("_hs")))
-    _append_and_pin(hs, store_dir, id_col, num_hashes, bands)
+    if banded is None:
+        _append_and_pin(hs, store_dir, id_col, num_hashes, bands)
+        return
+    _st.finish_pending_compaction(sig_dir)
+    _st.overlap_writes(
+        spark,
+        lambda: hs.write.mode("append").parquet(sig_dir),
+        lambda: _st.append_bands(
+            banded.select(F.col(id_col), "_band", "_bucket"),
+            bands_dir, ["_band", "_bucket"]))
 
 
 def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
@@ -726,11 +743,16 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # shards the batch probes — old docs are never re-banded, and
         # non-matching shard directories are never read (band_files can
         # only be absent here if the store predates the bands/ table;
-        # rebuild from signatures then)
+        # rebuild from signatures then). The shard probe doubles as the
+        # broadcast row gate's count (one job, §1.2) — counted BEFORE
+        # any hot-bucket filtering, i.e. an upper bound, so the gate
+        # can only be conservative.
+        n_probe = None
         if band_files:
+            shards, n_probe = _st.probe_shards_and_count(
+                banded_new, ["_band", "_bucket"])
             banded_old = _st.prune_to_shards(
-                _st.read_pinned(spark, bands_dir, band_files),
-                _st.probe_shards(banded_new, ["_band", "_bucket"]))
+                _st.read_pinned(spark, bands_dir, band_files), shards)
         else:
             banded_old = _band_frame(hs_old, id_col, num_hashes, bands)
         if max_bucket is not None:
@@ -758,11 +780,17 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # never shuffles; the row gate falls back to sort-merge for an
         # oversized backfill batch. Only when the batch bands are
         # file-backed — the gate's count would otherwise recompute the
-        # banding pass (skew.py gated_broadcast contract).
+        # banding pass (skew.py gated_broadcast contract). The count
+        # rode the shard-probe job when one ran (n_probe).
         probe = banded_new.withColumnRenamed(id_col, "_nid")
         if new_file_backed:
-            from etl_tool_spark.operators.skew import gated_broadcast
-            probe = gated_broadcast(probe)
+            from etl_tool_spark.operators.skew import (BROADCAST_ROW_GATE,
+                                                       gated_broadcast)
+            if n_probe is not None:
+                probe = (F.broadcast(probe) if n_probe <= BROADCAST_ROW_GATE
+                         else probe)
+            else:
+                probe = gated_broadcast(probe)
         new_old = (banded_old
                    .join(probe, ["_band", "_bucket"])
                    .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),

@@ -600,8 +600,15 @@ def append_embedding_signatures(df: DataFrame, store_dir: str,
         return
     require_local_store(store_dir, "embedding signature store")
     from etl_tool_spark.llm import store as _st
-    vf.write.mode("append").parquet(_os.path.join(store_dir, "vec"))
-    _st.append_bands(banded, _os.path.join(store_dir, "bands"), ["_bkt"])
+    # two independent store tables → concurrent appends (§2.6); crash
+    # anywhere leaves the batch unmarked and wholly replayed, the same
+    # recovery as the sequential order (store.overlap_writes contract)
+    _st.overlap_writes(
+        vf.sparkSession,
+        lambda: vf.write.mode("append").parquet(
+            _os.path.join(store_dir, "vec")),
+        lambda: _st.append_bands(banded, _os.path.join(store_dir, "bands"),
+                                 ["_bkt"]))
 
 
 def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
@@ -683,13 +690,18 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
 
     new_file_backed = update_store or bool(staging_dir)
     banded_old = None
+    n_probe = None
     if not first_batch:
         # pinned pre-append and pruned to the batch's probed shards:
-        # non-matching shard directories are never read
+        # non-matching shard directories are never read. The shard
+        # probe doubles as the broadcast row gate's count (one job,
+        # §1.2) — counted before hot-bucket filtering, i.e. an upper
+        # bound, so the gate can only be conservative.
         if band_files:
+            shards, n_probe = _st.probe_shards_and_count(
+                banded_new, ["_bkt"])
             banded_old = _st.prune_to_shards(
-                _st.read_pinned(spark, bands_dir, band_files),
-                _st.probe_shards(banded_new, ["_bkt"]))
+                _st.read_pinned(spark, bands_dir, band_files), shards)
         else:
             banded_old = _banded_keys(vf_old, id_col, vec_col, dim,
                                       bands, rows_per_band)
@@ -715,11 +727,17 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         # store scan so the store never shuffles (row-gated: an
         # oversized backfill batch falls back to sort-merge). Only when
         # the batch bands are file-backed — the gate's count would
-        # otherwise recompute the sign projections.
+        # otherwise recompute the sign projections. The count rode the
+        # shard-probe job when one ran (n_probe).
         probe = banded_new.withColumnRenamed(id_col, "_nid")
         if new_file_backed:
-            from etl_tool_spark.operators.skew import gated_broadcast
-            probe = gated_broadcast(probe)
+            from etl_tool_spark.operators.skew import (BROADCAST_ROW_GATE,
+                                                       gated_broadcast)
+            if n_probe is not None:
+                probe = (F.broadcast(probe) if n_probe <= BROADCAST_ROW_GATE
+                         else probe)
+            else:
+                probe = gated_broadcast(probe)
         new_old = (banded_old
                    .join(probe, "_bkt")
                    .select(F.least(F.col(id_col), F.col("_nid")).alias("a"),

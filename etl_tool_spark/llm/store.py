@@ -47,7 +47,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["band_shards", "shard_col", "sharded_files", "flat_files",
-           "append_bands", "read_pinned", "probe_shards", "prune_to_shards",
+           "append_bands", "read_pinned", "probe_shards",
+           "probe_shards_and_count", "overlap_writes", "prune_to_shards",
            "ensure_sharded", "compact_dir", "compact_store",
            "partition_column", "finish_pending_compaction"]
 
@@ -107,6 +108,51 @@ def probe_shards(banded_new: DataFrame,
     by band_shards() rows — never batch-sized."""
     return [r["_s"] for r in banded_new
             .select(shard_col(*key_cols).alias("_s")).distinct().collect()]
+
+
+def probe_shards_and_count(banded_new: DataFrame,
+                           key_cols: Sequence[str]) -> tuple[list[int], int]:
+    """``probe_shards`` and the batch's band-row count from ONE job.
+
+    The incremental probe paths used to pay two driver round-trips per
+    micro-batch over the same staged band frame: the shard-set collect
+    and then ``gated_broadcast``'s row-count gate. A per-shard count
+    aggregate answers both (collect stays bounded by band_shards()
+    rows), halving the pre-join job latency every batch pays
+    (optimization guide §1.2: fewer passes)."""
+    rows = (banded_new.groupBy(shard_col(*key_cols).alias("_s"))
+                      .agg(F.count(F.lit(1)).alias("_n")).collect())
+    return [r["_s"] for r in rows], sum(r["_n"] for r in rows)
+
+
+def overlap_writes(spark: SparkSession, *thunks: Callable[[], None]) -> None:
+    """Run independent store writes concurrently from a small driver
+    thread pool (optimization guide §2.6: actions are only sequential
+    because driver code calls them sequentially — the next append's
+    tasks back-fill executors freed by the current one's tail).
+
+    ONLY for writes whose order is NOT a crash contract: the ingest
+    gates' land-before-store ordering must never pass through here,
+    but the per-table store appends AFTER a landing (sig/ vs bands/,
+    fp/ vs sig/) are independent directories replayed wholesale from
+    the batch marker on a crash, so any interleaving is as safe as the
+    sequential order (same argument as compact_store's pool). A thunk
+    failure propagates after all thunks finish — identical outcome to
+    a crash between sequential appends (batch unmarked → replayed)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    wrapped = [inheritable_thread_target(spark)(t) for t in thunks]
+    with ThreadPoolExecutor(max_workers=min(3, len(wrapped))) as pool:
+        futs = [pool.submit(w) for w in wrapped]
+        errs = [f.exception() for f in futs]
+        for e in errs:
+            if e is not None:
+                raise e
 
 
 def prune_to_shards(banded_old: DataFrame, shards: Sequence[int]) -> DataFrame:

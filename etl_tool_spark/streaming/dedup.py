@@ -267,8 +267,15 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     landed_ids = survivors.select(id_col).distinct()
+    # survivors' band keys come from the staged band table (banding ran
+    # once, at stage time) — with them supplied, append_signatures
+    # writes sig/ and bands/ concurrently instead of re-banding the
+    # just-appended signatures and paying the two appends back to back
+    staged_bands = spark.read.parquet(staging + "-bands")
     append_signatures(hs.join(landed_ids, id_col), store_dir,
-                      id_col=id_col, prehashed=True, **sig_kwargs)
+                      id_col=id_col, prehashed=True,
+                      banded=staged_bands.join(landed_ids, id_col),
+                      **sig_kwargs)
     commit()
     from etl_tool_spark.llm.graph import _checkpoint_rdd
     surv_rdd = _checkpoint_rdd(survivors)
@@ -429,12 +436,25 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     (survivors.drop("_hs", "_fp").withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     landed_staged = survivors
-    (landed_staged.select("_fp")
-                  .write.mode("append").parquet(os.path.join(store_dir, "fp")))
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
                   if k in ("num_hashes", "bands")}
-    append_signatures(landed_staged.select(id_col, "_hs"), store_dir,
-                      id_col=id_col, prehashed=True, **sig_kwargs)
+    # three independent store tables (fp/, sig/, bands/) — all written
+    # after the landing, all wholly replayed from the batch marker on a
+    # crash, so they overlap (store.overlap_writes, guide §2.6): the
+    # fp append runs alongside append_signatures' concurrent sig+bands
+    # pair, and the survivors' band keys reuse the staged band table
+    # instead of re-banding the appended signatures
+    from etl_tool_spark.llm.store import overlap_writes
+    staged_bands = spark.read.parquet(staging + "-bands")
+    overlap_writes(
+        spark,
+        lambda: (landed_staged.select("_fp").write.mode("append")
+                 .parquet(os.path.join(store_dir, "fp"))),
+        lambda: append_signatures(
+            landed_staged.select(id_col, "_hs"), store_dir, id_col=id_col,
+            prehashed=True,
+            banded=staged_bands.join(landed_staged.select(id_col), id_col),
+            **sig_kwargs))
     commit()
     from etl_tool_spark.llm.graph import _checkpoint_rdd
     surv_rdd = _checkpoint_rdd(survivors)
