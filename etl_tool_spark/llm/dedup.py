@@ -405,7 +405,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.7,
                         persist: bool = False,
                         staging_dir: str | None = None,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        hs_frame: DataFrame | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH banding → exact-Jaccard verify.
 
     Jaccard is computed on the 60-bit shingle hashes, not the strings:
@@ -421,21 +422,31 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     typically written to a table once and joined from there).
 
     ``max_bucket``: optional hot-bucket cap forwarded to the banding
-    stage (see _bucket_pairs) — None keeps exact-parity semantics."""
+    stage (see _bucket_pairs) — None keeps exact-parity semantics.
+
+    ``hs_frame``: an existing (id, _hs shingle-hash array) frame — a
+    caller that already materialized signatures (clean_corpus stages
+    them in the SAME write as its corpus checkpoint) passes it so the
+    shingle pass never recomputes and no second staging write runs;
+    ``staging_dir``/``persist`` are then ignored. Must have been built
+    with the same ``shingle_n`` hash family."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    hs_frame = df.select(F.col(id_col),
-                         shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
-    if staging_dir:
-        # the 100 TB pattern: write signatures ONCE to storage and join
-        # from there — the hs subtree feeds three consumers (the banding
-        # pass and both sides of the verify join), and without staging
-        # each consumer recomputes the shingle+md5 pipeline
-        hs_frame.write.mode("overwrite").parquet(staging_dir)
-        hs_frame = df.sparkSession.read.parquet(staging_dir)
-    elif persist:
-        hs_frame = hs_frame.persist()
+    if hs_frame is None:
+        hs_frame = df.select(F.col(id_col),
+                             shingle_hashes(F.col(text_col),
+                                            shingle_n).alias("_hs"))
+        if staging_dir:
+            # the 100 TB pattern: write signatures ONCE to storage and
+            # join from there — the hs subtree feeds three consumers
+            # (the banding pass and both sides of the verify join), and
+            # without staging each consumer recomputes the shingle+md5
+            # pipeline
+            hs_frame.write.mode("overwrite").parquet(staging_dir)
+            hs_frame = df.sparkSession.read.parquet(staging_dir)
+        elif persist:
+            hs_frame = hs_frame.persist()
 
     banded = _band_frame(hs_frame, id_col, num_hashes, bands)
     cands = (_bucket_pairs(banded, id_col, max_bucket=max_bucket)
@@ -573,14 +584,17 @@ def _append_and_pin(hs: DataFrame, store_dir: str, id_col: str,
                      - pre_sig)
     hs = spark.read.parquet(*new_sig)
     banded = _band_frame(hs, id_col, num_hashes, bands)
-    _st.append_bands(banded, bands_dir, ["_band", "_bucket"])
+    # the probe (shard set + row count) rides the bands append — the
+    # update-store incremental path previously paid it as its own job
+    probe = _st.append_bands(banded, bands_dir, ["_band", "_bucket"],
+                             probe=True)
     new_band = sorted(set(_st.sharded_files(bands_dir)) - pre_band)
     # a partitioned write of an EMPTY frame creates no shard dirs at
     # all (unlike the flat layout's schema-only part file) — pin the
     # schema, not a schema-less read
     banded = (spark.read.parquet(*new_band) if new_band
               else spark.createDataFrame([], banded.schema))
-    return hs, banded
+    return hs, banded, probe
 
 
 def append_signatures(df: DataFrame, store_dir: str,
@@ -714,6 +728,7 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         hs_old = spark.read.parquet(*sig_files)
 
     new_file_backed = True
+    staged_probe = None  # (shards, count) observed during a band write
     if update_store:
         # append FIRST, then pin the new side to its just-written part
         # files: hashing and banding run exactly once — the banding
@@ -721,14 +736,16 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # result all scan the store parquet instead of recomputing (the
         # same signatures-are-a-table shape minhash_dedup_pairs uses
         # via staging_dir).
-        hs_new, banded_new = _append_and_pin(hs_new, store_dir, id_col,
-                                             num_hashes, bands)
+        hs_new, banded_new, staged_probe = _append_and_pin(
+            hs_new, store_dir, id_col, num_hashes, bands)
     elif staging_dir:
         # gate path: the batch's band keys feed the shard probe, the
         # broadcast row gate, and the candidate join — staged once so
-        # none of those re-runs the minhash banding
-        _band_frame(hs_new, id_col, num_hashes, bands) \
-            .write.mode("overwrite").parquet(staging_dir)
+        # none of those re-runs the minhash banding; the probe rides
+        # the staging write (store.stage_banded), zero extra jobs
+        staged_probe = _st.stage_banded(
+            _band_frame(hs_new, id_col, num_hashes, bands), staging_dir,
+            ["_band", "_bucket"])
         banded_new = spark.read.parquet(staging_dir)
     else:
         banded_new = _band_frame(hs_new, id_col, num_hashes, bands)
@@ -744,13 +761,15 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # non-matching shard directories are never read (band_files can
         # only be absent here if the store predates the bands/ table;
         # rebuild from signatures then). The shard probe doubles as the
-        # broadcast row gate's count (one job, §1.2) — counted BEFORE
-        # any hot-bucket filtering, i.e. an upper bound, so the gate
-        # can only be conservative.
+        # broadcast row gate's count — observed during the band write
+        # when one ran (zero jobs), one aggregate job otherwise
+        # (§1.2) — counted BEFORE any hot-bucket filtering, i.e. an
+        # upper bound, so the gate can only be conservative.
         n_probe = None
         if band_files:
-            shards, n_probe = _st.probe_shards_and_count(
-                banded_new, ["_band", "_bucket"])
+            shards, n_probe = (staged_probe if staged_probe is not None
+                               else _st.probe_shards_and_count(
+                                   banded_new, ["_band", "_bucket"]))
             banded_old = _st.prune_to_shards(
                 _st.read_pinned(spark, bands_dir, band_files), shards)
         else:

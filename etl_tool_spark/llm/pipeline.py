@@ -53,6 +53,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .select(id_col))
     uniq = kept.join(reps, id_col, "left_semi")
 
+    hs = None
     if staging_dir:
         # checkpoint the filtered+exact-deduped corpus ONCE: it has
         # three downstream consumers (the signature build and both the
@@ -63,14 +64,24 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # pipeline writes between phases anyway. (AQE exchange reuse
         # can't help: the consumers aggregate differently, so their
         # exchanges never canonicalize equal.)
+        # The shingle-hash signatures ride the SAME write: one staged
+        # (id, text, _hs) table instead of a corpus checkpoint followed
+        # by a second signature-staging pass over it — one fewer full
+        # read of the cleaned corpus and one fewer write job
+        # (optimization guide §1.2 fewer passes). Hash family must match
+        # minhash_dedup_pairs' default shingle_n below.
+        from etl_tool_spark.llm.dedup import shingle_hashes
         corpus_dir = f"{staging_dir.rstrip('/')}_corpus"
-        uniq.write.mode("overwrite").parquet(corpus_dir)
-        uniq = df.sparkSession.read.parquet(corpus_dir)
+        (uniq.select("*", shingle_hashes(F.col(text_col), 3).alias("_hs"))
+             .write.mode("overwrite").parquet(corpus_dir))
+        staged = df.sparkSession.read.parquet(corpus_dir)
+        uniq = staged.drop("_hs")
+        hs = staged.select(F.col(id_col), "_hs")
 
     # near-dup: pairwise drop-higher-id, or transitive component collapse
     pairs = minhash_dedup_pairs(uniq, id_col=id_col, text_col=text_col,
-                                threshold=jaccard_threshold,
-                                staging_dir=staging_dir)
+                                shingle_n=3, threshold=jaccard_threshold,
+                                hs_frame=hs)
     if transitive:
         comp = connected_components(pairs, src="a", dst="b")
         drop_ids = (comp.filter(F.col("label") != F.col("id"))

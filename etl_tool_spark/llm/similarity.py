@@ -560,13 +560,15 @@ def _append_and_pin_vec(vf: DataFrame, store_dir: str, id_col: str,
                      - pre_vec)
     vf = spark.read.parquet(*new_vec)
     banded = _banded_keys(vf, id_col, vec_col, dim, bands, rows_per_band)
-    _st.append_bands(banded, bands_dir, ["_bkt"])
+    # the probe (shard set + row count) rides the bands append — the
+    # update-store incremental path previously paid it as its own job
+    probe = _st.append_bands(banded, bands_dir, ["_bkt"], probe=True)
     new_band = sorted(set(_st.sharded_files(bands_dir)) - pre_band)
     # empty partitioned writes create no shard dirs — pin the schema,
     # not a schema-less read (llm/dedup.py _append_and_pin rationale)
     banded = (spark.read.parquet(*new_band) if new_band
               else spark.createDataFrame([], banded.schema))
-    return vf, banded
+    return vf, banded, probe
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -669,20 +671,23 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     vf_old = (spark.createDataFrame([], vf_new.schema) if first_batch
               else spark.read.parquet(*vec_files))
 
+    staged_probe = None  # (shards, count) observed during a band write
     if update_store:
-        vf_new, banded_new = _append_and_pin_vec(
+        vf_new, banded_new, staged_probe = _append_and_pin_vec(
             vf_new, store_dir, id_col, vec_col, dim, bands, rows_per_band)
     elif staging_dir:
         # gate path: stage norms + sign projections ONCE — without this
         # the projections recompute for each self-join side, the
         # new×old probe, and the verify's vector read (same
-        # signatures-are-a-table shape as the minhash gate's stage)
+        # signatures-are-a-table shape as the minhash gate's stage);
+        # the shard probe rides the band staging write (stage_banded)
         vf_new.write.mode("overwrite").parquet(
             _os.path.join(staging_dir, "vec"))
         vf_new = spark.read.parquet(_os.path.join(staging_dir, "vec"))
-        _banded_keys(vf_new, id_col, vec_col, dim, bands, rows_per_band) \
-            .write.mode("overwrite").parquet(
-                _os.path.join(staging_dir, "bands"))
+        staged_probe = _st.stage_banded(
+            _banded_keys(vf_new, id_col, vec_col, dim, bands,
+                         rows_per_band),
+            _os.path.join(staging_dir, "bands"), ["_bkt"])
         banded_new = spark.read.parquet(_os.path.join(staging_dir, "bands"))
     else:
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
@@ -694,12 +699,14 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
     if not first_batch:
         # pinned pre-append and pruned to the batch's probed shards:
         # non-matching shard directories are never read. The shard
-        # probe doubles as the broadcast row gate's count (one job,
-        # §1.2) — counted before hot-bucket filtering, i.e. an upper
-        # bound, so the gate can only be conservative.
+        # probe doubles as the broadcast row gate's count — observed
+        # during the band write when one ran (zero jobs), one aggregate
+        # job otherwise (§1.2) — counted before hot-bucket filtering,
+        # i.e. an upper bound, so the gate can only be conservative.
         if band_files:
-            shards, n_probe = _st.probe_shards_and_count(
-                banded_new, ["_bkt"])
+            shards, n_probe = (staged_probe if staged_probe is not None
+                               else _st.probe_shards_and_count(
+                                   banded_new, ["_bkt"]))
             banded_old = _st.prune_to_shards(
                 _st.read_pinned(spark, bands_dir, band_files), shards)
         else:
@@ -1303,6 +1310,15 @@ def semdedup(df: DataFrame, threshold: float = 0.45, nlist: int = 16,
                                            id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(vf, centroids, vec_col=vec_col,
                           cluster_col="cluster")
+    # the in-cluster join carries the vectors directly: nlist distinct
+    # join keys DO cap the per-pair cosine at nlist-way parallelism,
+    # but nlist scales with the corpus by design (the paper runs ~100k
+    # clusters at billions of docs — module docstring), so the cap is
+    # a toy-nlist artifact, and a measured round-8 restructure to the
+    # narrow-candidates + verify_spread + attach-joins shape
+    # (embedding_dup_pairs') ran 30% SLOWER here (3.96 → 5.15 s at
+    # sf0.1): two extra joins plus a pair-stream shuffle cost more
+    # than the idle cores recover. Deliberately kept join-direct.
     a = assigned.select(F.col(id_col).alias("a"), F.col("cluster"),
                         F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
     b = assigned.select(F.col(id_col).alias("b"), F.col("cluster"),

@@ -48,9 +48,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["band_shards", "shard_col", "sharded_files", "flat_files",
            "append_bands", "read_pinned", "probe_shards",
-           "probe_shards_and_count", "overlap_writes", "prune_to_shards",
-           "ensure_sharded", "compact_dir", "compact_store",
-           "partition_column", "finish_pending_compaction"]
+           "probe_shards_and_count", "stage_banded", "overlap_writes",
+           "prune_to_shards", "ensure_sharded", "compact_dir",
+           "compact_store", "partition_column", "finish_pending_compaction"]
 
 
 def band_shards() -> int:
@@ -79,7 +79,8 @@ def flat_files(bands_dir: str) -> list[str]:
 
 
 def append_bands(banded: DataFrame, bands_dir: str,
-                 key_cols: Sequence[str]) -> None:
+                 key_cols: Sequence[str],
+                 probe: bool = False) -> tuple[list[int], int] | None:
     """Append ``banded`` under the sharded layout. The frame is
     hash-repartitioned ON ``_shard`` before the partitioned write —
     without it every input partition opens a writer per shard value it
@@ -88,10 +89,18 @@ def append_bands(banded: DataFrame, bands_dir: str,
     of them; llm_incremental_dedup went 2.6× slower the round sharding
     landed, entirely on this). Repartitioned, an append emits at most
     one file per (task, shard) ≈ one per shard, for one extra
-    batch-sized shuffle of narrow band rows."""
+    batch-sized shuffle of narrow band rows.
+
+    ``probe=True`` additionally returns (probed shards, band-row count)
+    observed during the write — the incremental update-store path's
+    probe job, folded into the append it already pays (guide §1.2)."""
     sharded = banded.withColumn("_shard", shard_col(*key_cols))
+    resolve = None
+    if probe:
+        sharded, resolve = _probe_observation(sharded, F.col("_shard"))
     (sharded.repartition(band_shards(), F.col("_shard"))
             .write.mode("append").partitionBy("_shard").parquet(bands_dir))
+    return resolve() if resolve else None
 
 
 def read_pinned(spark: SparkSession, bands_dir: str,
@@ -123,6 +132,38 @@ def probe_shards_and_count(banded_new: DataFrame,
     rows = (banded_new.groupBy(shard_col(*key_cols).alias("_s"))
                       .agg(F.count(F.lit(1)).alias("_n")).collect())
     return [r["_s"] for r in rows], sum(r["_n"] for r in rows)
+
+
+def _probe_observation(banded: DataFrame, shard: Column):
+    """Attach an Observation computing (probed shard set, row count) to
+    a band frame about to be WRITTEN: the next step past
+    probe_shards_and_count — the probe stops being its own job at all
+    and rides the write the batch pays anyway (guide §1.2). Returns
+    (observed frame, resolver); call the resolver AFTER the write.
+    ``collect_set`` stays bounded by band_shards() values per task."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = banded.observe(
+        obs, F.collect_set(shard).alias("_s"),
+        F.count(F.lit(1)).alias("_n"))
+
+    def resolve() -> tuple[list[int], int]:
+        m = obs.get
+        return sorted(m["_s"] or []), int(m["_n"])
+
+    return observed, resolve
+
+
+def stage_banded(banded: DataFrame, staging_dir: str,
+                 key_cols: Sequence[str]) -> tuple[list[int], int]:
+    """Overwrite-write a gate batch's band keys to ``staging_dir`` and
+    return (probed shards, band-row count) observed DURING that write —
+    zero extra jobs where the gate paths previously paid a separate
+    probe collect per micro-batch."""
+    observed, resolve = _probe_observation(banded, shard_col(*key_cols))
+    observed.write.mode("overwrite").parquet(staging_dir)
+    return resolve()
 
 
 def overlap_writes(spark: SparkSession, *thunks: Callable[[], None]) -> None:

@@ -274,9 +274,27 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
         raise ValueError(
             f"snapshot bucketed {cur['n_buckets']}-way, asked {n_buckets}")
 
+    # the latest-change frame has three consumers on this branch — the
+    # affected-bucket collect, the merged write's upsert side, and the
+    # keep anti-join's key side — so without a checkpoint the batch's
+    # dedup window re-runs for each (guide §5: cut recompute, release
+    # when done; streams call this per micro-batch forever, hence the
+    # explicit unpersist before every exit). Lazy: the collect
+    # materializes it. upserts re-derives from the CHECKPOINTED frame
+    # so the write reads blocks, not the window plan.
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+    latest = latest.localCheckpoint(eager=False)
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+
+    def _release() -> None:
+        rdd = _checkpoint_rdd(latest)
+        if rdd is not None:  # release batch blocks; streams run forever
+            rdd.unpersist(False)
+
     affected = sorted(str(r[0]) for r in
                       latest.select(BUCKET_COL).distinct().collect())
     if not affected:
+        _release()
         return
     old_paths = [f"{snapshot_dir}/{cur['buckets'][b]}/{BUCKET_COL}={b}"
                  for b in affected if b in cur["buckets"]]
@@ -290,6 +308,7 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     merged = keep.unionByName(upserts) if keep is not None else upserts
 
     merged.write.partitionBy(BUCKET_COL).parquet(out_dir)
+    _release()
     # the output partition dir names ARE the present-bucket set: one
     # driver-side listing instead of re-executing the whole merge plan
     present = _written_buckets(spark, out_dir)

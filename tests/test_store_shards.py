@@ -336,3 +336,45 @@ def test_compact_pq_index_codes(spark, tmp_path):
     assert stats["codes"]["after"] <= 4
     assert topk_set(S.pq_search(spark, idx, corpus, queries,
                                 k=3, shortlist=16)) == before
+
+
+def test_observed_probe_matches_separate_probe(spark, tmp_path):
+    """The probe that rides a band write via Observation (stage_banded /
+    append_bands(probe=True)) must report exactly the (shard set, row
+    count) the standalone probe job computes over the written rows —
+    the round-8 fusion removes a per-batch driver round-trip, never
+    changes what the probe says."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = df.select("doc_id", D.shingle_hashes(F.col("text"), 3).alias("_hs"))
+    banded = D._band_frame(hs, "doc_id", 16, 8)
+
+    staged = str(tmp_path / "staged-bands")
+    shards, n = st.stage_banded(banded, staged, ["_band", "_bucket"])
+    back = spark.read.parquet(staged)
+    want_shards, want_n = st.probe_shards_and_count(
+        back, ["_band", "_bucket"])
+    assert n == want_n == back.count()
+    assert sorted(shards) == sorted(want_shards)
+
+    bands_dir = str(tmp_path / "bands")
+    ap_shards, ap_n = st.append_bands(banded, bands_dir,
+                                      ["_band", "_bucket"], probe=True)
+    assert ap_n == want_n
+    assert sorted(ap_shards) == sorted(want_shards)
+    # directory layout agrees with the observed shard set
+    on_disk = {int(os.path.basename(d).split("=")[1])
+               for d in __import__("glob").glob(
+                   os.path.join(bands_dir, "_shard=*"))}
+    assert on_disk == set(ap_shards)
+
+
+def test_observed_probe_empty_batch(spark, tmp_path):
+    """Empty batches must observe an empty shard set and zero count
+    (collect_set yields null/[] on no rows) without erroring."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, _band int, _bucket string")
+    staged = str(tmp_path / "staged-empty")
+    shards, n = st.stage_banded(empty, staged, ["_band", "_bucket"])
+    assert shards == [] and n == 0
