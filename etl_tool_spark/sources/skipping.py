@@ -60,8 +60,13 @@ def pruned_read(spark: SparkSession, table_dir: str, col: str,
         raise ValueError(f"manifest has no stats for column {col!r}")
     overlap = (F.col(f"max_{col}") >= F.lit(lo)) \
         & (F.col(f"min_{col}") <= F.lit(hi))
-    keep = [r["_file"] for r in man.filter(overlap).select("_file").collect()]
-    known = {r["_file"] for r in man.select("_file").collect()}
+    # ONE collect answers both "which files overlap" and "which files
+    # the manifest knows" (a null overlap verdict — all-null stats —
+    # reads as not-overlapping, same as the filter it replaces); the
+    # manifest is one row per file, so the collect is file-count-sized
+    rows = man.select("_file", overlap.alias("_keep")).collect()
+    keep = [r["_file"] for r in rows if r["_keep"]]
+    known = {r["_file"] for r in rows}
     base = spark.read.parquet(table_dir)
     all_files = [f for f in base.inputFiles()
                  if f"/{MANIFEST_NAME}/" not in f]
