@@ -475,9 +475,20 @@ def _band_frame(hs_frame: DataFrame, id_col: str, num_hashes: int,
 def _jaccard_verify(hs_frame: DataFrame, cands: DataFrame, id_col: str,
                     threshold: float) -> DataFrame:
     """Exact Jaccard on candidate (a, b) pairs from the shingle-hash
-    frame: inverted-index intersection counts + per-doc distinct sizes."""
+    frame: inverted-index intersection counts + per-doc distinct sizes.
+
+    Sizes are a per-row expression (the distinct-hash array's length),
+    NOT an aggregate over the exploded inverted index — the old
+    explode+groupBy re-shuffled one row per (doc, shingle) across the
+    whole corpus just to count what each row already carries
+    (guide §2.3 aggregate cheaply before you shuffle; equal by
+    definition: count(explode(array_distinct)) == size(array_distinct),
+    and a pair only reaches the size join through ``inter``, which
+    requires a shared hash, so empty-array docs — absent under explode,
+    _sz=0 here — can never surface a pair either way)."""
     dsh = hs_frame.select(F.col(id_col), F.explode(F.array_distinct("_hs")).alias("_h"))
-    sizes = dsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sizes = hs_frame.select(F.col(id_col),
+                            F.size(F.array_distinct("_hs")).alias("_sz"))
     a = dsh.select(F.col(id_col).alias("a"), "_h")
     b = dsh.select(F.col(id_col).alias("b"), "_h")
     inter = (cands.join(a, "a").join(b, ["b", "_h"])

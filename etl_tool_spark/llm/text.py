@@ -527,8 +527,6 @@ def stupid_backoff_logprob(train: DataFrame, score: DataFrame,
     tokens carry no trigram positions and are absent, matching the SQL
     twin. avg_logprob is log10, rounded to 6 for cross-engine hashing.
     """
-    from etl_tool_spark.operators.skew import gated_broadcast
-
     a2 = float(alpha) * float(alpha)
 
     def _toks(df: DataFrame) -> DataFrame:
@@ -567,18 +565,31 @@ def stupid_backoff_logprob(train: DataFrame, score: DataFrame,
          .withColumn("_tg", F.concat_ws(" ", "w1", "w2", "w3"))
          .withColumn("_bg12", F.concat_ws(" ", "w1", "w2"))
          .withColumn("_bg23", F.concat_ws(" ", "w2", "w3")))
-    g = (g.join(gated_broadcast(tri), "_tg", "left")
-          .join(gated_broadcast(bi.select(F.col("_bg").alias("_bg12"),
-                                          F.col("_c2").alias("_c2_12"))),
+    # one row-gate count per count TABLE, not per join: bi and uni each
+    # join twice (left/right bigram context, w2/w3 unigram lookups), and
+    # gated_broadcast counts per call — the same cached checkpoint was
+    # counted twice (guide §1.2 fewer driver round-trips; 5 gate jobs
+    # → 3). The gate verdict is a property of the table, not the
+    # projection, so one count decides both joins.
+    from etl_tool_spark.operators.skew import BROADCAST_ROW_GATE
+
+    def _gate(df):
+        hint = df.count() <= BROADCAST_ROW_GATE
+        return (lambda d: F.broadcast(d)) if hint else (lambda d: d)
+
+    tri_g, bi_g, uni_g = _gate(tri), _gate(bi), _gate(uni)
+    g = (g.join(tri_g(tri), "_tg", "left")
+          .join(bi_g(bi.select(F.col("_bg").alias("_bg12"),
+                               F.col("_c2").alias("_c2_12"))),
                 "_bg12", "left")
-          .join(gated_broadcast(bi.select(F.col("_bg").alias("_bg23"),
-                                          F.col("_c2").alias("_c2_23"))),
+          .join(bi_g(bi.select(F.col("_bg").alias("_bg23"),
+                               F.col("_c2").alias("_c2_23"))),
                 "_bg23", "left")
-          .join(gated_broadcast(uni.select(F.col("_w").alias("w2"),
-                                           F.col("_c1").alias("_c1_2"))),
+          .join(uni_g(uni.select(F.col("_w").alias("w2"),
+                                 F.col("_c1").alias("_c1_2"))),
                 "w2", "left")
-          .join(gated_broadcast(uni.select(F.col("_w").alias("w3"),
-                                           F.col("_c1").alias("_c1_3"))),
+          .join(uni_g(uni.select(F.col("_w").alias("w3"),
+                                 F.col("_c1").alias("_c1_3"))),
                 "w3", "left")
           .crossJoin(F.broadcast(total)))
     sc = (F.when(F.col("_c3").isNotNull(),
