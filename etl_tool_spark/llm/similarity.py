@@ -680,15 +680,27 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         # the projections recompute for each self-join side, the
         # new×old probe, and the verify's vector read (same
         # signatures-are-a-table shape as the minhash gate's stage);
-        # the shard probe rides the band staging write (stage_banded)
-        vf_new.write.mode("overwrite").parquet(
-            _os.path.join(staging_dir, "vec"))
-        vf_new = spark.read.parquet(_os.path.join(staging_dir, "vec"))
-        staged_probe = _st.stage_banded(
-            _banded_keys(vf_new, id_col, vec_col, dim, bands,
-                         rows_per_band),
-            _os.path.join(staging_dir, "bands"), ["_bkt"])
-        banded_new = spark.read.parquet(_os.path.join(staging_dir, "bands"))
+        # the shard probe rides the band staging write (stage_banded).
+        # The two staging writes are INDEPENDENT (the band job computes
+        # its sign projections from the batch source — projections run
+        # once either way, and the norm column prunes out of the band
+        # scan), and staging is transient (a replayed batch re-stages
+        # from scratch), so they overlap (§2.6) instead of paying two
+        # write tails back to back. The minhash gate deliberately does
+        # NOT take the same overlap: its band stage reads the staged
+        # hashes precisely so the md5 shingle pass never runs twice.
+        vec_path = _os.path.join(staging_dir, "vec")
+        bands_path = _os.path.join(staging_dir, "bands")
+        probe_box: dict = {}
+        _st.overlap_writes(
+            spark,
+            lambda: vf_new.write.mode("overwrite").parquet(vec_path),
+            lambda: probe_box.update(p=_st.stage_banded(
+                _banded_keys(vf_new, id_col, vec_col, dim, bands,
+                             rows_per_band), bands_path, ["_bkt"])))
+        staged_probe = probe_box["p"]
+        vf_new = spark.read.parquet(vec_path)
+        banded_new = spark.read.parquet(bands_path)
     else:
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
                                   rows_per_band)
