@@ -455,21 +455,32 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return _jaccard_verify(hs_frame, cands, id_col, threshold)
 
 
+def _band_bucket_array(sig: Column, num_hashes: int, bands: int) -> Column:
+    """array<string> of the ``bands`` bucket keys (signature slices) —
+    element b is the _bucket value _band_frame posexplodes at position
+    b. Shared by _band_frame and the gates' FUSED staging writes, which
+    store this array per document so band keys ride the same staged
+    table as the shingle hashes (one write; consumers explode a pruned
+    (id, _bands) scan)."""
+    rows_per_band = num_hashes // bands
+    return F.array(*[
+        F.concat_ws(",", *[
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)])
+        for b in range(bands)])
+
+
 def _band_frame(hs_frame: DataFrame, id_col: str, num_hashes: int,
                 bands: int) -> DataFrame:
     """(id, _band, _bucket) — one row per (doc, band); bucket key is the
     band's signature slice rendered as a short string."""
-    rows_per_band = num_hashes // bands
     sig = hs_frame.select(
         id_col,
         minhash_from_hashes_vec(F.col("_hs"), num_hashes).alias("_sig"))
     return sig.select(
         id_col,
-        F.posexplode(F.array(*[
-            F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
-                               for r in range(rows_per_band)])
-            for b in range(bands)
-        ])).alias("_band", "_bucket"))
+        F.posexplode(_band_bucket_array(F.col("_sig"), num_hashes, bands))
+         .alias("_band", "_bucket"))
 
 
 def _jaccard_verify(hs_frame: DataFrame, cands: DataFrame, id_col: str,
@@ -663,7 +674,10 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
                               max_bucket: int | None = None,
                               update_store: bool = True,
                               prehashed: bool = False,
-                              staging_dir: str | None = None) -> DataFrame:
+                              staging_dir: str | None = None,
+                              banded_frame: DataFrame | None = None,
+                              probe: tuple[list[int], int] | None = None
+                              ) -> DataFrame:
     """Near-dup pairs for a NEW batch against a growing corpus, without
     ever re-hashing old documents — the continuous corpus-building
     workflow (nightly crawl drops, streaming ingests).
@@ -749,6 +763,17 @@ def incremental_minhash_pairs(new_df: DataFrame, store_dir: str,
         # via staging_dir).
         hs_new, banded_new, staged_probe = _append_and_pin(
             hs_new, store_dir, id_col, num_hashes, bands)
+    elif banded_frame is not None:
+        # FUSED gate staging: the caller wrote ONE staged table carrying
+        # (id, _hs, _bands array) and passes the exploded band view plus
+        # the probe it observed during that write (store.
+        # fused_probe_observation) — the separate band staging write and
+        # its probe job are gone (guide §1.2 fewer passes). Contract:
+        # ``banded_frame`` must be file-backed (a pruned scan + explode,
+        # never the banding plan itself), or the broadcast row gate and
+        # every re-execution would re-run the minhash banding.
+        staged_probe = probe
+        banded_new = banded_frame
     elif staging_dir:
         # gate path: the batch's band keys feed the shard probe, the
         # broadcast row gate, and the candidate join — staged once so

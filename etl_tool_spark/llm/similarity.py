@@ -144,6 +144,21 @@ def sign_bits(vec: Column, dim: int, planes: int) -> Column:
     return bits(vec)
 
 
+def _bucket_key_array(bits: Column, bands: int,
+                      rows_per_band: int) -> Column:
+    """array<string> of the ``bands`` 'band:signbits' bucket keys —
+    element b is the _bkt value _banded_keys explodes for band b.
+    Shared by _banded_keys and the semantic gate's FUSED staging write,
+    which stores this array per vector so band keys ride the same
+    staged table as the normed vectors."""
+    return F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.array_join(F.slice(bits, b * rows_per_band + 1,
+                                      rows_per_band), ""))
+        for b in range(bands)
+    ])
+
+
 def _banded_keys(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
                  bands: int = 64, rows_per_band: int = 6) -> DataFrame:
@@ -153,13 +168,10 @@ def _banded_keys(df: DataFrame, id_col: str = "vec_id",
     bits = df.select(F.col(id_col),
                      sign_bits(F.col(vec_col), dim,
                                bands * rows_per_band).alias("_bits"))
-    buckets = F.array(*[
-        F.concat(F.lit(f"{b}:"),
-                 F.array_join(F.slice(F.col("_bits"), b * rows_per_band + 1,
-                                      rows_per_band), ""))
-        for b in range(bands)
-    ])
-    return bits.select(id_col, F.explode(buckets).alias("_bkt"))
+    return bits.select(id_col,
+                       F.explode(_bucket_key_array(F.col("_bits"), bands,
+                                                   rows_per_band))
+                        .alias("_bkt"))
 
 
 def embedding_dup_pairs(df: DataFrame, threshold: float = 0.45,
@@ -676,31 +688,32 @@ def incremental_embedding_pairs(new_df: DataFrame, store_dir: str,
         vf_new, banded_new, staged_probe = _append_and_pin_vec(
             vf_new, store_dir, id_col, vec_col, dim, bands, rows_per_band)
     elif staging_dir:
-        # gate path: stage norms + sign projections ONCE — without this
-        # the projections recompute for each self-join side, the
-        # new×old probe, and the verify's vector read (same
-        # signatures-are-a-table shape as the minhash gate's stage);
-        # the shard probe rides the band staging write (stage_banded).
-        # The two staging writes are INDEPENDENT (the band job computes
-        # its sign projections from the batch source — projections run
-        # once either way, and the norm column prunes out of the band
-        # scan), and staging is transient (a replayed batch re-stages
-        # from scratch), so they overlap (§2.6) instead of paying two
-        # write tails back to back. The minhash gate deliberately does
-        # NOT take the same overlap: its band stage reads the staged
-        # hashes precisely so the md5 shingle pass never runs twice.
-        vec_path = _os.path.join(staging_dir, "vec")
-        bands_path = _os.path.join(staging_dir, "bands")
-        probe_box: dict = {}
-        _st.overlap_writes(
-            spark,
-            lambda: vf_new.write.mode("overwrite").parquet(vec_path),
-            lambda: probe_box.update(p=_st.stage_banded(
-                _banded_keys(vf_new, id_col, vec_col, dim, bands,
-                             rows_per_band), bands_path, ["_bkt"])))
-        staged_probe = probe_box["p"]
-        vf_new = spark.read.parquet(vec_path)
-        banded_new = spark.read.parquet(bands_path)
+        # gate path, FUSED staging: ONE write carries (id, vector,
+        # _norm, _bkts band-key array) — without staging the sign
+        # projections recompute for each self-join side, the new×old
+        # probe, and the verify's vector read; the round-8 form staged
+        # vectors and band keys as two overlapped writes, which ran the
+        # batch-scan + norm upstream TWICE (once per concurrent job).
+        # One fused write runs the upstream once, column pruning serves
+        # both consumer families from the same files ((id, vector,
+        # _norm) for verify/append, (id, _bkts) for the band view), and
+        # the shard probe rides the write as a bounded bitmask
+        # observation (guide §1.2: two staging jobs became one).
+        fused = (vf_new.withColumn("_bits",
+                                   sign_bits(F.col(vec_col), dim,
+                                             bands * rows_per_band))
+                       .withColumn("_bkts",
+                                   _bucket_key_array(F.col("_bits"), bands,
+                                                     rows_per_band))
+                       .drop("_bits"))
+        observed, resolve = _st.fused_probe_observation(
+            fused, _st.shard_array(F.col("_bkts")))
+        observed.write.mode("overwrite").parquet(staging_dir)
+        staged_probe = resolve()
+        staged = spark.read.parquet(staging_dir)
+        vf_new = staged.select(id_col, vec_col, "_norm")
+        banded_new = staged.select(id_col,
+                                   F.explode("_bkts").alias("_bkt"))
     else:
         banded_new = _banded_keys(vf_new, id_col, vec_col, dim, bands,
                                   rows_per_band)

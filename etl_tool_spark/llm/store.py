@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = ["band_shards", "shard_col", "sharded_files", "flat_files",
            "append_bands", "read_pinned", "probe_shards",
            "probe_shards_and_count", "stage_banded", "overlap_writes",
+           "shard_array", "fused_probe_observation",
            "prune_to_shards", "ensure_sharded", "compact_dir",
            "compact_store", "partition_column", "finish_pending_compaction"]
 
@@ -166,6 +167,76 @@ def stage_banded(banded: DataFrame, staging_dir: str,
     return resolve()
 
 
+def shard_array(keys_arr: Column, with_index: bool = False) -> Column:
+    """Per-row shard ids of an ARRAY of band keys — the fused-staging
+    twin of ``shard_col``. With ``with_index=True`` each element hashes
+    as (array index, element), exactly what ``shard_col("_band",
+    "_bucket")`` computes on the posexploded rows (the HOF index
+    variable is IntegerType, matching posexplode's position column, so
+    xxhash64 sees identical input types — pinned by test)."""
+    s = F.lit(band_shards())
+    if with_index:
+        return F.transform(keys_arr,
+                           lambda x, i: F.pmod(F.xxhash64(i, x), s)
+                           .cast("int"))
+    return F.transform(keys_arr,
+                       lambda x: F.pmod(F.xxhash64(x), s).cast("int"))
+
+
+def _row_shard_mask(shards_arr: Column, k: int) -> Column:
+    """bigint bitmask of the row's shard ids within [64k, 64k+64)."""
+    lo = 64 * k
+    return F.aggregate(
+        F.filter(shards_arr, lambda s: (s >= F.lit(lo))
+                 & (s < F.lit(lo + 64))),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc.bitwiseOR(
+            F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                            (s - F.lit(lo)).cast("int"))))
+
+
+def fused_probe_observation(staged: DataFrame, shards_arr: Column):
+    """Shard probe riding a FUSED staging write: ``staged`` is a
+    per-document frame carrying its band keys as an array column (the
+    gates' one-write staging), ``shards_arr`` the matching per-row
+    shard-id array (``shard_array``). Attaches an Observation computing
+    (probed shard set, band-row count) as ``bit_or`` bitmask longs —
+    ceil(band_shards()/64) fixed-width values per task, never a
+    collection that grows with the batch. Returns (observed frame,
+    resolver); call the resolver AFTER the write."""
+    from pyspark.sql import Observation
+
+    n_masks = (band_shards() + 63) // 64
+    obs = Observation()
+    observed = staged.observe(
+        obs,
+        *[F.bit_or(_row_shard_mask(shards_arr, k)).alias(f"_m{k}")
+          for k in range(n_masks)],
+        F.sum(F.size(shards_arr)).alias("_n"))
+
+    def resolve() -> tuple[list[int], int]:
+        m = obs.get
+        shards = [64 * k + b for k in range(n_masks) for b in range(64)
+                  if ((m[f"_m{k}"] or 0) >> b) & 1]
+        return shards, int(m["_n"] or 0)
+
+    return observed, resolve
+
+
+def _inheritable(spark: SparkSession, fn: Callable) -> Callable:
+    """``inheritable_thread_target`` wrapping that tolerates classic
+    mode with pinned-thread mode DISABLED (PYSPARK_PIN_THREAD=false):
+    pyspark's non-ClientServer branch there returns its argument
+    unchanged — i.e. the SparkSession, not a decorator — so blindly
+    calling the result would raise TypeError. Thread-local inheritance
+    is only meaningful in pinned mode anyway; fall back to the bare
+    thunk otherwise."""
+    from pyspark import inheritable_thread_target
+
+    w = inheritable_thread_target(spark)
+    return w(fn) if callable(w) else fn
+
+
 def overlap_writes(spark: SparkSession, *thunks: Callable[[], None]) -> None:
     """Run independent store writes concurrently from a small driver
     thread pool (optimization guide §2.6: actions are only sequential
@@ -185,9 +256,7 @@ def overlap_writes(spark: SparkSession, *thunks: Callable[[], None]) -> None:
         return
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
-
-    wrapped = [inheritable_thread_target(spark)(t) for t in thunks]
+    wrapped = [_inheritable(spark, t) for t in thunks]
     with ThreadPoolExecutor(max_workers=min(3, len(wrapped))) as pool:
         futs = [pool.submit(w) for w in wrapped]
         errs = [f.exception() for f in futs]
@@ -409,12 +478,11 @@ def compact_store(spark: SparkSession, store_dir: str,
                                  target_files=target_files)}
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
-
-    @inheritable_thread_target(spark)
-    def one(sub: str, is_sharded: bool | None) -> dict:
+    def _one(sub: str, is_sharded: bool | None) -> dict:
         return compact_dir(spark, os.path.join(store_dir, sub),
                            sharded=is_sharded, target_files=target_files)
+
+    one = _inheritable(spark, _one)
 
     # 2-3 jobs in flight is plenty (guide §2.6): enough to fill the
     # tail, not so many that tiny rewrite jobs fight for cores

@@ -239,23 +239,45 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
                   if k in ("num_hashes", "bands")}
     shingle_n = minhash_kwargs.get("shingle_n", 3)
-    # stage the batch's shingle hashes ONCE: without this the md5 shingle
-    # pass over the text re-ran for banding, both verify sides, AND the
-    # survivor append — measured 4× the necessary hash work per batch
-    # (the dominant cost of the gate folds). Fixed staging name is safe:
-    # foreachBatch batches are sequential, and a crashed batch replays
-    # from the marker, overwriting the stage.
-    from etl_tool_spark.llm.dedup import shingle_hashes
+    num_hashes = minhash_kwargs.get("num_hashes", 16)
+    bands = minhash_kwargs.get("bands", 8)
+    # FUSED staging — ONE write carries the whole batch derivation:
+    # shingle hashes (without staging, the md5 shingle pass re-ran for
+    # banding, both verify sides, and the survivor append — measured 4×
+    # the necessary hash work per batch) AND the band keys as a per-doc
+    # array column (previously a second sequential staging write over a
+    # re-read of the hashes). Parquet column pruning serves both
+    # consumer families from the same files — (id, _hs) for the verify
+    # sides and sig append, (id, _bands) for the probe/candidate
+    # join/bands append — and the shard probe rides this write as a
+    # bounded bitmask observation (guide §1.2: two staging jobs + their
+    # probe became one job). Fixed staging name is safe: foreachBatch
+    # batches are sequential, and a crashed batch replays from the
+    # marker, overwriting the stage.
+    from etl_tool_spark.llm import store as _store
+    from etl_tool_spark.llm.dedup import (_band_bucket_array,
+                                          minhash_from_hashes_vec,
+                                          shingle_hashes)
     staging = _os.path.join(store_dir, "gate-staging")
-    (batch_df.select(F.col(id_col),
+    fused = (batch_df
+             .select(F.col(id_col),
                      shingle_hashes(F.col(text_col), shingle_n).alias("_hs"))
-             .write.mode("overwrite").parquet(staging))
-    hs = spark.read.parquet(staging)
-    # band keys staged too (sibling dir): the shard probe, broadcast row
-    # gate, and candidate join all read them without re-banding
+             .withColumn("_sig", minhash_from_hashes_vec(F.col("_hs"),
+                                                         num_hashes))
+             .withColumn("_bands", _band_bucket_array(F.col("_sig"),
+                                                      num_hashes, bands))
+             .drop("_sig"))
+    observed, resolve = _store.fused_probe_observation(
+        fused, _store.shard_array(F.col("_bands"), with_index=True))
+    observed.write.mode("overwrite").parquet(staging)
+    probe = resolve()
+    staged = spark.read.parquet(staging)
+    hs = staged.select(id_col, "_hs")
+    banded_new = staged.select(
+        id_col, F.posexplode("_bands").alias("_band", "_bucket"))
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
-        staging_dir=staging + "-bands",
+        banded_frame=banded_new, probe=probe,
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
     # lazy checkpoint: the landing write materializes the gate join once
     # and the signature append reads the SAME batch-sized blocks — never
@@ -267,14 +289,13 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     landed_ids = survivors.select(id_col).distinct()
-    # survivors' band keys come from the staged band table (banding ran
-    # once, at stage time) — with them supplied, append_signatures
+    # survivors' band keys come from the staged array column (banding
+    # ran once, at stage time) — with them supplied, append_signatures
     # writes sig/ and bands/ concurrently instead of re-banding the
     # just-appended signatures and paying the two appends back to back
-    staged_bands = spark.read.parquet(staging + "-bands")
     append_signatures(hs.join(landed_ids, id_col), store_dir,
                       id_col=id_col, prehashed=True,
-                      banded=staged_bands.join(landed_ids, id_col),
+                      banded=banded_new.join(landed_ids, id_col),
                       **sig_kwargs)
     commit()
     from etl_tool_spark.llm.graph import _checkpoint_rdd
@@ -282,7 +303,6 @@ def land_near_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     if surv_rdd is not None:  # release batch blocks; streams run forever
         surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
-    _shutil.rmtree(staging + "-bands", ignore_errors=True)
 
 
 def near_dedup_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,
@@ -328,8 +348,9 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     if applied:
         return
     spark = batch_df.sparkSession
-    # norms + sign projections stage once (see land_near_batch); the
-    # survivor append below reuses the staged tables, so the batch is
+    # norms + sign projections + band keys stage once in ONE fused
+    # write (see incremental_embedding_pairs' staging branch); the
+    # survivor append below reuses the staged table, so the batch is
     # projected exactly once per landing
     staging = _os.path.join(store_dir, "gate-staging")
     pairs = incremental_embedding_pairs(
@@ -343,12 +364,13 @@ def land_semantic_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     (survivors.withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     landed_ids = survivors.select(id_col).distinct()
-    staged_vf = spark.read.parquet(_os.path.join(staging, "vec"))
-    staged_bands = spark.read.parquet(_os.path.join(staging, "bands"))
+    staged = spark.read.parquet(staging)
     append_embedding_signatures(
-        staged_vf.join(landed_ids, id_col), store_dir, id_col=id_col,
-        vec_col=vec_col, prenormed=True,
-        banded=staged_bands.join(landed_ids, id_col), **lsh_kwargs)
+        staged.select(id_col, vec_col, "_norm").join(landed_ids, id_col),
+        store_dir, id_col=id_col, vec_col=vec_col, prenormed=True,
+        banded=staged.select(id_col, F.explode("_bkts").alias("_bkt"))
+                     .join(landed_ids, id_col),
+        **lsh_kwargs)
     commit()
     from etl_tool_spark.llm.graph import _checkpoint_rdd
     surv_rdd = _checkpoint_rdd(survivors)
@@ -411,57 +433,80 @@ def land_clean_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     fresh = incremental_exact_dedup(batch_df, os.path.join(store_dir, "fp"),
                                     id_col=id_col, text_col=text_col,
                                     update_store=False)
-    # stage the exact-dedup survivors WITH their shingle hashes and
-    # fingerprint in one pass: `fresh` is an anti-join plan and the md5
-    # shingle pass is the batch's dominant cost — without staging both
-    # re-ran for banding, each verify side, the landing write, and both
-    # store appends (same rationale as land_near_batch's stage)
-    from etl_tool_spark.llm.dedup import shingle_hashes
+    # FUSED staging — one write carries the exact-dedup survivors WITH
+    # their shingle hashes, fingerprint, AND band-key array: `fresh` is
+    # an anti-join plan and the md5 shingle pass is the batch's dominant
+    # cost — without staging both re-ran for banding, each verify side,
+    # the landing write, and the store appends; the band keys previously
+    # cost a SECOND staging write over a re-read of the hashes. Column
+    # pruning serves every consumer from the one staged table, and the
+    # shard probe rides this write as a bounded bitmask observation
+    # (land_near_batch rationale, guide §1.2).
+    from etl_tool_spark.llm import store as _store
+    from etl_tool_spark.llm.dedup import (_band_bucket_array,
+                                          minhash_from_hashes_vec,
+                                          shingle_hashes)
     shingle_n = minhash_kwargs.get("shingle_n", 3)
+    num_hashes = minhash_kwargs.get("num_hashes", 16)
+    bands = minhash_kwargs.get("bands", 8)
     staging = os.path.join(store_dir, "gate-staging")
-    (fresh.withColumn("_hs", shingle_hashes(F.col(text_col), shingle_n))
-          .withColumn("_fp", fingerprint(F.col(text_col)))
-          .write.mode("overwrite").parquet(staging))
+    fused = (fresh.withColumn("_hs", shingle_hashes(F.col(text_col),
+                                                    shingle_n))
+                  .withColumn("_fp", fingerprint(F.col(text_col)))
+                  .withColumn("_sig", minhash_from_hashes_vec(F.col("_hs"),
+                                                              num_hashes))
+                  .withColumn("_bands", _band_bucket_array(F.col("_sig"),
+                                                           num_hashes,
+                                                           bands))
+                  .drop("_sig"))
+    observed, resolve = _store.fused_probe_observation(
+        fused, _store.shard_array(F.col("_bands"), with_index=True))
+    observed.write.mode("overwrite").parquet(staging)
+    probe = resolve()
     staged = spark.read.parquet(staging)
     hs = staged.select(id_col, "_hs")
+    banded_new = staged.select(
+        id_col, F.posexplode("_bands").alias("_band", "_bucket"))
     pairs = incremental_minhash_pairs(
         hs, store_dir, id_col=id_col, update_store=False, prehashed=True,
-        staging_dir=staging + "-bands",
+        banded_frame=banded_new, probe=probe,
         **{k: v for k, v in minhash_kwargs.items() if k != "shingle_n"})
-    # survivors carry their own staged _hs/_fp columns, so the store
-    # appends read the checkpoint blocks directly — no out_dir re-scan,
-    # no join-back through `staged`
+    # survivors carry their own staged _hs/_fp/_bands columns, so the
+    # store appends read the checkpoint blocks directly — no out_dir
+    # re-scan, no join-back through `staged`
     survivors = _gate_survivors(staged, pairs, id_col) \
         .localCheckpoint(eager=False)
-    (survivors.drop("_hs", "_fp").withColumn("batch_id", F.lit(batch_id))
+    (survivors.drop("_hs", "_fp", "_bands")
+              .withColumn("batch_id", F.lit(batch_id))
               .write.mode("append").parquet(out_dir))
     landed_staged = survivors
     sig_kwargs = {k: v for k, v in minhash_kwargs.items()
                   if k in ("num_hashes", "bands")}
-    # three independent store tables (fp/, sig/, bands/) — all written
-    # after the landing, all wholly replayed from the batch marker on a
-    # crash, so they overlap (store.overlap_writes, guide §2.6): the
-    # fp append runs alongside append_signatures' concurrent sig+bands
-    # pair, and the survivors' band keys reuse the staged band table
-    # instead of re-banding the appended signatures
-    from etl_tool_spark.llm.store import overlap_writes
-    staged_bands = spark.read.parquet(staging + "-bands")
-    overlap_writes(
-        spark,
-        lambda: (landed_staged.select("_fp").write.mode("append")
-                 .parquet(os.path.join(store_dir, "fp"))),
-        lambda: append_signatures(
-            landed_staged.select(id_col, "_hs"), store_dir, id_col=id_col,
-            prehashed=True,
-            banded=staged_bands.join(landed_staged.select(id_col), id_col),
-            **sig_kwargs))
+    # fp/ appends SEQUENTIALLY FIRST: it is the replay idempotence
+    # guard — incremental_exact_dedup anti-joins fp/, so a crash-replay
+    # after fp committed re-appends nothing. Overlapping fp with the
+    # sig+bands pair (as one round-8 revision did) breaks that: a crash
+    # could leave sig/ committed with fp/ absent, the replayed batch
+    # would be judged fresh and re-append everything, and the duplicate
+    # (id, _hs) rows would permanently inflate _jaccard_verify's
+    # intersection counts (jaccard > true value, spurious drops in every
+    # later batch). Only the sig/bands pair overlaps (inside
+    # append_signatures) — those two are guarded by fp, not by each
+    # other.
+    (landed_staged.select("_fp").write.mode("append")
+                  .parquet(os.path.join(store_dir, "fp")))
+    append_signatures(
+        landed_staged.select(id_col, "_hs"), store_dir, id_col=id_col,
+        prehashed=True,
+        banded=landed_staged.select(
+            id_col, F.posexplode("_bands").alias("_band", "_bucket")),
+        **sig_kwargs)
     commit()
     from etl_tool_spark.llm.graph import _checkpoint_rdd
     surv_rdd = _checkpoint_rdd(survivors)
     if surv_rdd is not None:
         surv_rdd.unpersist(False)
     _shutil.rmtree(staging, ignore_errors=True)
-    _shutil.rmtree(staging + "-bands", ignore_errors=True)
 
 
 def full_clean_ingest_stream(docs: DataFrame, store_dir: str, out_dir: str,

@@ -378,3 +378,61 @@ def test_observed_probe_empty_batch(spark, tmp_path):
     staged = str(tmp_path / "staged-empty")
     shards, n = st.stage_banded(empty, staged, ["_band", "_bucket"])
     assert shards == [] and n == 0
+
+
+def test_fused_probe_matches_exploded_probe(spark, tmp_path):
+    """The probe that rides the gates' FUSED staging write (round 9:
+    band keys stored per-doc as an array column, shard set observed as
+    bit_or bitmasks) must report exactly the (shard set, row count) the
+    exploded-frame probe computes — same xxhash64 inputs (the HOF index
+    variable must hash like posexplode's pos), same counts, bit 63 and
+    multi-mask shard ids included."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + f" tail{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = df.select("doc_id", D.shingle_hashes(F.col("text"), 3).alias("_hs"))
+
+    # minhash shape: two-column shard key (_band index, _bucket string)
+    fused = (hs.withColumn("_sig", D.minhash_from_hashes_vec(F.col("_hs"), 16))
+               .withColumn("_bands", D._band_bucket_array(F.col("_sig"), 16, 8))
+               .drop("_sig"))
+    observed, resolve = st.fused_probe_observation(
+        fused, st.shard_array(F.col("_bands"), with_index=True))
+    staged = str(tmp_path / "fused")
+    observed.write.mode("overwrite").parquet(staged)
+    shards, n = resolve()
+    back = spark.read.parquet(staged)
+    exploded = back.select(
+        "doc_id", F.posexplode("_bands").alias("_band", "_bucket"))
+    want_shards, want_n = st.probe_shards_and_count(
+        exploded, ["_band", "_bucket"])
+    assert n == want_n == exploded.count()
+    assert sorted(shards) == sorted(want_shards)
+
+    # embedding shape: single string key; force >64 shards so the
+    # observation needs several mask longs (bit-63 boundary crossed)
+    keys = fused.select("doc_id",
+                        F.col("_bands").alias("_bkts"))
+    old = os.environ.get("SPARK_GRAFT_BAND_SHARDS")
+    os.environ["SPARK_GRAFT_BAND_SHARDS"] = "130"
+    try:
+        observed2, resolve2 = st.fused_probe_observation(
+            keys, st.shard_array(F.col("_bkts")))
+        observed2.write.mode("overwrite").parquet(str(tmp_path / "fused2"))
+        shards2, n2 = resolve2()
+        expl2 = keys.select("doc_id", F.explode("_bkts").alias("_bkt"))
+        want2, want_n2 = st.probe_shards_and_count(expl2, ["_bkt"])
+        assert n2 == want_n2
+        assert sorted(shards2) == sorted(want2)
+        assert max(shards2) > 63  # the multi-mask path actually exercised
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_BAND_SHARDS"]
+        else:
+            os.environ["SPARK_GRAFT_BAND_SHARDS"] = old
+
+    # empty-batch edge: no rows → no shards, zero count, no error
+    observed3, resolve3 = st.fused_probe_observation(
+        fused.limit(0), st.shard_array(F.col("_bands"), with_index=True))
+    observed3.write.mode("overwrite").parquet(str(tmp_path / "fused3"))
+    assert resolve3() == ([], 0)
