@@ -82,6 +82,108 @@ def write_json(df: DataFrame, path: str, options: dict[str, Any]) -> None:
 _Z_BITS = 8  # quantile buckets per z-order dimension (256 each)
 
 
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Murmur3_x86_32.hashInt — the hash Spark's HashPartitioning
+    applies to an IntegerType column (seed 42), reimplemented so the
+    driver can pick partition-routing tokens without a Spark job.
+    Returns the signed int32 Spark produces (pinned against F.hash in
+    tests)."""
+    M = 0xFFFFFFFF
+    k = (v & M) * 0xCC9E2D51 & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = k * 0x1B873593 & M
+    h = (seed ^ k) & M
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # fmix(h ^ len=4 bytes)
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & M
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _partition_tokens(n: int) -> list[int]:
+    """token[p] = the smallest int whose murmur3 hash pmods to p — so
+    ``repartition(n, token_col)`` places rows tagged token[p] in exactly
+    output partition p. This is how an explicit range partitioner is
+    expressed through the DataFrame API: compute the range bucket as an
+    expression, map bucket → token, hash-repartition on the token.
+    Expected n·H(n) ≈ n·ln n probes; driver-side, microseconds."""
+    tokens: list[int | None] = [None] * n
+    found = t = 0
+    while found < n:
+        if tokens[_murmur3_int32(t) % n] is None:  # % == pmod on ints
+            tokens[_murmur3_int32(t) % n] = t
+            found += 1
+        t += 1
+    return tokens  # type: ignore[return-value]
+
+
+def _rank_pmf(bs: list[float]):
+    """Approximate pmf of the quantile-rank value (0..2^Z_BITS-1) a
+    column's rows take under boundary list ``bs`` — derived from the
+    boundaries ALONE, on the driver. Each of the 256 inter-boundary
+    slots carries 1/256 of the rows; a run of DUPLICATE boundaries is a
+    point mass whose rank is the index past the run (rank = #bs ≤ v,
+    duplicates included) — the duplicate-boundary handling that keeps
+    low-cardinality columns from fooling the estimate."""
+    import bisect
+
+    import numpy as np
+
+    m = len(bs)
+    mass = np.zeros(m + 1)
+    for j in range(m + 1):
+        lo = bs[j - 1] if j > 0 else None
+        hi = bs[j] if j < m else None
+        if lo is not None and hi is not None and lo == hi:
+            r = bisect.bisect_right(bs, lo)  # point mass at duplicate
+        else:
+            r = j
+        mass[r] += 1.0 / (m + 1)
+    return mass[:m + 1]
+
+
+def _morton_range_bounds(bounds: list[list[float]], k: int,
+                         n: int) -> list[int] | None:
+    """Driver-derived morton range boundaries for ``n`` partitions —
+    the explicit range partitioner that replaces repartitionByRange's
+    SAMPLING PASS (which re-evaluated the whole rank+morton expression
+    over every row just to learn ranges the quantile grid already
+    implies). The joint rank distribution is estimated as the product
+    of the per-column rank pmfs (exact for k=1; an independence
+    approximation for k=2 whose error costs only file-size balance,
+    never correctness — every partition still covers a contiguous
+    morton range, so min/max pruning is unaffected). Returns the n-1
+    boundary values, or None when the rank grid is too large to
+    enumerate (k > 2) and the caller should fall back to sampling."""
+    if k > 2 or n < 2:
+        return None if k > 2 else []
+    import numpy as np
+
+    def spread(i: int):
+        r = np.arange(1 << _Z_BITS, dtype=np.int64)
+        out = np.zeros_like(r)
+        for bit in range(_Z_BITS):
+            out += ((r >> bit) & 1) << (bit * k + i)
+        return out
+
+    if k == 1:
+        morton = spread(0)
+        pmf = _rank_pmf(bounds[0])[:1 << _Z_BITS]
+    else:
+        morton = (spread(0)[:, None] + spread(1)[None, :]).ravel()
+        pmf = (_rank_pmf(bounds[0])[:1 << _Z_BITS, None]
+               * _rank_pmf(bounds[1])[None, :1 << _Z_BITS]).ravel()
+    order = np.argsort(morton, kind="stable")
+    cum = np.cumsum(pmf[order])
+    cells = morton[order]
+    idx = np.searchsorted(cum, [t / n for t in range(1, n)], side="left")
+    return [int(cells[min(i, len(cells) - 1)]) for i in idx]
+
+
 def _zorder(df: DataFrame, cols: list[str], n_partitions=None) -> DataFrame:
     """Multi-dimensional clustering (Delta OPTIMIZE ZORDER analogue):
     map each numeric column to a 256-bucket quantile rank, interleave
@@ -152,8 +254,37 @@ def _zorder(df: DataFrame, cols: list[str], n_partitions=None) -> DataFrame:
                 bit * k + i)
     out = out.withColumn("_zorder", morton) \
              .drop(*[f"_zb{i}" for i in range(k)])
-    out = (out.repartitionByRange(int(n_partitions), "_zorder")
-           if n_partitions else out.repartitionByRange("_zorder"))
+    # EXPLICIT range partitioner (round 9): repartitionByRange pays a
+    # SAMPLING pass that re-executes the whole upstream plan — scan +
+    # rank block-search + morton interleave — over every row, just to
+    # learn range bounds the quantile grid already implies. The bounds
+    # are instead derived on the driver from the per-column rank pmfs
+    # (zero data passes, duplicate-boundary point masses handled; see
+    # _morton_range_bounds), the range bucket becomes a per-row
+    # expression, and a murmur3 token computed per bucket routes each
+    # bucket to its own hash partition (_partition_tokens) — one
+    # evaluation pass total where there were two. Every partition still
+    # covers a contiguous morton range, so the files' min/max stats
+    # prune exactly as before; the independence approximation in the
+    # joint pmf can only skew partition SIZES (§2.5 risk accepted and
+    # bounded: k ≤ 2 here, correlated columns degrade file-size balance,
+    # not pruning or results). k > 2 falls back to sampled ranges.
+    n = (int(n_partitions) if n_partitions
+         else int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    mb = _morton_range_bounds(bounds, k, n)
+    if mb is None:
+        out = out.repartitionByRange(n, "_zorder")
+    else:
+        tokens = _partition_tokens(n)
+        if mb:
+            mb_arr = F.array(*[F.lit(b).cast("bigint") for b in mb])
+            zpart = F.size(F.filter(mb_arr,
+                                    lambda b: b <= F.col("_zorder")))
+        else:
+            zpart = F.lit(0)
+        tok = F.element_at(F.array(*[F.lit(t) for t in tokens]), zpart + 1)
+        out = (out.withColumn("_ztok", tok)
+                  .repartition(n, F.col("_ztok")).drop("_ztok"))
     return out.sortWithinPartitions("_zorder").drop("_zorder")
 
 

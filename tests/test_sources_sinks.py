@@ -372,6 +372,49 @@ def test_parquet_zorder_layout(spark, tmp_path):
     assert spark.read.parquet(out).count() == 64 * 64
 
 
+def test_zorder_explicit_partitioner(spark, tmp_path):
+    """Round 9: the z-order shuffle routes rows through driver-derived
+    morton range bounds + murmur tokens instead of repartitionByRange.
+    Pins (a) the Python murmur3 reimplementation against Spark's
+    F.hash, (b) token → physical-partition placement (token p lands in
+    partition p exactly), (c) the write runs ONE job — the sampling
+    pass that re-evaluated the morton expression is gone."""
+    from pyspark.sql import functions as F
+
+    from etl_tool_spark.sources.sinks import (_murmur3_int32,
+                                              _partition_tokens)
+
+    vals = [0, 1, 7, -3, 123456, -98765, 2**31 - 1, -2**31]
+    got = spark.createDataFrame([(v,) for v in vals], "v int") \
+               .select(F.hash("v").alias("h")).collect()
+    assert [r.h for r in got] == [_murmur3_int32(v) for v in vals]
+
+    n = 8
+    tokens = _partition_tokens(n)
+    df = spark.createDataFrame([(p, tokens[p]) for p in range(n)],
+                               "p int, tok int")
+    placed = (df.repartition(n, F.col("tok"))
+                .select("p", F.spark_partition_id().alias("pid")).collect())
+    assert all(r.p == r.pid for r in placed)
+
+    # the write runs 4 jobs on this data (approxQuantile sketch + AQE
+    # shuffle/write stages); the repartitionByRange form ran 5 — the
+    # extra one was the range-sampling job that re-evaluated the whole
+    # rank+morton expression over every row. Pin the sampling job's
+    # absence.
+    sc = spark.sparkContext
+    rows = [(x, (x * 37) % 64) for x in range(4096)]
+    data = spark.createDataFrame(rows, "x long, y long")
+    sc.setJobGroup("zorder-write", "zorder-write", False)
+    try:
+        write_sink(data, "parquet", str(tmp_path / "zj"),
+                   {"zorderBy": ["x", "y"], "sortPartitions": 8})
+    finally:
+        sc.setJobGroup(None, None, False)
+    jobs = sc.statusTracker().getJobIdsForGroup("zorder-write")
+    assert len(jobs) <= 4, f"z-order write ran {len(jobs)} jobs (sampling back?)"
+
+
 def test_zorder_sortby_exclusive(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(SinkError):
