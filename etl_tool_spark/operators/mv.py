@@ -72,16 +72,29 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
     crash between the merge and the MV write recomputes the SAME delta
     (a current-snapshot read would see the batch already applied, fold
     a zero delta, and silently lose the batch from the MV forever). A
-    fully-written MV version (_SUCCESS present) short-circuits the
-    replay; a partial one is overwritten.
-    """
+    fully-applied batch is marked by ``_MV_COMMITTED`` — written only
+    AFTER the snapshot manifest commit, so the short-circuit can never
+    hide an uncommitted merge — and short-circuits the replay; a
+    partial MV directory is overwritten.
+
+    Write overlap (guide §2.6): on the non-replay path the MV fold is
+    computed from the PRE-merge snapshot version plus the batch's
+    checkpointed surviving rows — never from the just-written snapshot
+    — so the snapshot data write and the MV version write are
+    independent jobs and run concurrently; only the (driver-side,
+    metadata-only) manifest commit and MV marker are ordered after
+    them. The equivalences that make this exact: post-merge touched
+    rows == the batch's upserts (every upsert key is a touched key,
+    and touched keys' old rows are all replaced), and the post-merge
+    snapshot == pre-merge rows anti-joined on the touched keys ∪
+    upserts (buckets are a pure function of the key)."""
     from etl_tool_spark.streaming.cdc import (_fs, _load_manifest,
+                                              _prepare_merge, _write_text,
                                               list_versions,
-                                              merge_cdc_batch,
                                               read_snapshot)
 
     mv_path = f"{mv_dir}/v{batch_id}"
-    fs, marker, _ = _fs(spark, f"{mv_path}/_SUCCESS")
+    fs, marker, _ = _fs(spark, f"{mv_path}/_MV_COMMITTED")
     if fs.exists(marker):  # replay of a fully-applied batch: no-op
         return spark.read.parquet(mv_path)
 
@@ -92,27 +105,6 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                 return n
         return None
 
-    applied_at = batch_version()
-    if applied_at is None:
-        merge_cdc_batch(changes, snapshot_dir, keys=keys,
-                        seq_col=seq_col, op_col=op_col, batch_id=batch_id)
-        applied_at = batch_version()
-    if applied_at is None:
-        # batch touched no buckets → no version committed → zero delta:
-        # pin old and new to the SAME (current) version so differences
-        # from other batches can never leak into this fold
-        vs = list_versions(spark, snapshot_dir)
-        applied_at = vs[-1] if vs else None
-        pre_versions = [applied_at] if applied_at is not None else []
-    else:
-        pre_versions = [n for n in list_versions(spark, snapshot_dir)
-                        if n < applied_at]
-        if applied_at > 1 and not pre_versions:
-            raise RuntimeError(
-                f"cannot refresh MV for batch {batch_id}: snapshot version "
-                f"{applied_at - 1} (the pre-batch state) was vacuumed; keep "
-                "at least 2 versions while MV refreshes can still be retried")
-
     tk = changes.select(*keys).distinct()
 
     def touched(snapshot: DataFrame) -> DataFrame:
@@ -120,12 +112,51 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                 .select(F.col(group_col).alias("_g"),
                         F.col(value_col).cast("long").alias("_val")))
 
-    old_t = (touched(read_snapshot(spark, snapshot_dir,
-                                   version=pre_versions[-1]))
-             if pre_versions else touched(changes.limit(0)))
-    snap = (read_snapshot(spark, snapshot_dir, version=applied_at)
-            if applied_at is not None else changes.limit(0))
-    new_t = touched(snap)
+    def gv(df: DataFrame) -> DataFrame:
+        return df.select(F.col(group_col).alias("_g"),
+                         F.col(value_col).cast("long").alias("_val"))
+
+    applied_at = batch_version()
+    prep = None
+    if applied_at is None:
+        prep = _prepare_merge(changes, snapshot_dir, keys, seq_col, op_col,
+                              batch_id=batch_id, checkpoint_first=True)
+
+    if prep is not None:
+        # fast path: this call performs the merge itself, so the MV
+        # delta derives from the pre-merge version + the checkpointed
+        # upserts — the snapshot write below overlaps the MV write
+        pre_version = prep["pre_version"]
+        old = (read_snapshot(spark, snapshot_dir, version=pre_version)
+               if pre_version is not None else changes.limit(0))
+        old_t = touched(old)
+        new_t = gv(prep["upserts"])
+        snap = (gv(old.join(tk, keys, "left_anti"))
+                .unionByName(gv(prep["upserts"])))
+    else:
+        if applied_at is None:
+            # batch touched no buckets → no version committed → zero
+            # delta: pin old and new to the SAME (current) version so
+            # differences from other batches can never leak in
+            vs = list_versions(spark, snapshot_dir)
+            applied_at = vs[-1] if vs else None
+            pre_versions = [applied_at] if applied_at is not None else []
+        else:
+            pre_versions = [n for n in list_versions(spark, snapshot_dir)
+                            if n < applied_at]
+            if applied_at > 1 and not pre_versions:
+                raise RuntimeError(
+                    f"cannot refresh MV for batch {batch_id}: snapshot "
+                    f"version {applied_at - 1} (the pre-batch state) was "
+                    "vacuumed; keep at least 2 versions while MV refreshes "
+                    "can still be retried")
+        old_t = (touched(read_snapshot(spark, snapshot_dir,
+                                       version=pre_versions[-1]))
+                 if pre_versions else touched(changes.limit(0)))
+        full = (read_snapshot(spark, snapshot_dir, version=applied_at)
+                if applied_at is not None else changes.limit(0))
+        new_t = touched(full)
+        snap = gv(full)
 
     def signed(df: DataFrame, sign: int) -> DataFrame:
         return df.select("_g", (F.col("_val") * sign).alias("_v"),
@@ -167,12 +198,11 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
                   & ((F.col("_omin") <= F.col("mv_min"))
                      | (F.col("_omax") >= F.col("mv_max")))))
         merged = merged.withColumn("_lossy", F.coalesce(lossy, F.lit(False)))
-        redo = (snap.join(merged.filter("_lossy")
-                          .select(F.col("_g").alias(group_col)).distinct(),
-                          group_col, "semi")
-                .groupBy(F.col(group_col).alias("_g"))
-                .agg(F.min(F.col(value_col).cast("long")).alias("_rmin"),
-                     F.max(F.col(value_col).cast("long")).alias("_rmax")))
+        redo = (snap.join(merged.filter("_lossy").select("_g").distinct(),
+                          "_g", "semi")
+                .groupBy("_g")
+                .agg(F.min("_val").alias("_rmin"),
+                     F.max("_val").alias("_rmax")))
         merged = (merged.join(redo, "_g", "left")
                   .withColumn("mv_min", F.when(F.col("_lossy"), F.col("_rmin"))
                               .otherwise(F.least(
@@ -185,7 +215,28 @@ def update_agg_mv(spark: SparkSession, snapshot_dir: str, mv_dir: str,
 
     out = merged.select(F.col("_g").alias(group_col), *mv_cols)
     # overwrite, not error-if-exists: a crashed earlier attempt may have
-    # left a partial v{batch_id} dir (no _SUCCESS — the short-circuit at
-    # the top only accepts complete writes)
-    out.write.mode("overwrite").parquet(mv_path)
+    # left a partial v{batch_id} dir (no _MV_COMMITTED — the
+    # short-circuit at the top only accepts marked writes)
+    if prep is not None:
+        # the two store writes are independent (the MV plan reads only
+        # the pre-merge version's immutable files, the prev MV version,
+        # and the batch's materialized checkpoint blocks) → overlap
+        # them; the ordered part — manifest rename, marker — is
+        # driver-side metadata. Crash anywhere before the manifest
+        # commit leaves no version and no marker (full replay re-merges
+        # and overwrites the partial MV); between manifest and marker,
+        # the replay takes the pinned pre-batch-version path below.
+        from etl_tool_spark.llm.store import overlap_writes
+        overlap_writes(
+            spark, prep["write"],
+            lambda: out.write.mode("overwrite").parquet(mv_path))
+        prep["commit"]()
+        prep["release"]()
+    else:
+        out.write.mode("overwrite").parquet(mv_path)
+    # _MV_COMMITTED only after the snapshot manifest commit: Spark's own
+    # _SUCCESS lands when the MV write job finishes, which under the
+    # overlap can PRECEDE the manifest — short-circuiting on it could
+    # skip a replay whose merge never committed (silent snapshot loss)
+    _write_text(spark, f"{mv_path}/_MV_COMMITTED", "")
     return spark.read.parquet(mv_path)

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -233,12 +234,34 @@ def read_snapshot(spark: SparkSession, snapshot_dir: str,
     return spark.read.parquet(*paths)
 
 
-def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
-                    keys: list[str], seq_col: str = "seq",
-                    op_col: str = "op", n_buckets: int = 16,
-                    batch_id: int | None = None) -> None:
-    """Fold one batch of change records into the snapshot (see module
-    docstring). ``batch`` columns: keys + seq_col + op_col + payload."""
+def _prepare_merge(batch: DataFrame, snapshot_dir: str,
+                   keys: list[str], seq_col: str = "seq",
+                   op_col: str = "op", n_buckets: int = 16,
+                   batch_id: int | None = None,
+                   checkpoint_first: bool = False) -> dict | None:
+    """Everything ``merge_cdc_batch`` does up to (but not including)
+    the merged data write, with the write and manifest commit DEFERRED
+    as closures — so a caller maintaining a second store (the MV
+    refresh) can run its own write CONCURRENTLY with the snapshot write
+    (guide §2.6) and still commit the manifest afterwards. Returns None
+    when the batch touches no buckets (nothing to write or commit), else
+
+        {"write":   run the snapshot data write,
+         "commit":  list written buckets + commit the version manifest,
+         "release": unpersist the batch checkpoint blocks,
+         "upserts": the batch's surviving rows (reads MATERIALIZED
+                    checkpoint blocks — safe to consume from a
+                    concurrent job),
+         "pre_version": the version preceding this merge (None on the
+                    first merge)}.
+
+    ``checkpoint_first`` additionally checkpoints the first-ever merge
+    EAGERLY (the versioned branch is always materialized by its
+    affected-bucket collect): a caller that consumes ``upserts`` from a
+    second concurrent job needs the window's tie-resolution pinned once
+    — two racing materializations of a lazy checkpoint could otherwise
+    disagree on row_number ties. ``merge_cdc_batch`` passes False and
+    keeps its historical single-pass behavior."""
     spark = batch.sparkSession
 
     # latest change per key this batch; on equal seq a delete loses
@@ -248,7 +271,6 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     latest = (batch.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn")
                    .withColumn(BUCKET_COL, bucket))
-    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
 
     versions = list_versions(spark, snapshot_dir)
     attempt = (f"b{batch_id}-" if batch_id is not None else "") \
@@ -256,17 +278,38 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     out_rel = f"{DATA_DIR}/{attempt}"
     out_dir = f"{snapshot_dir}/{out_rel}"
 
+    from etl_tool_spark.llm.graph import _checkpoint_rdd
+
+    def _releaser(frame) -> Callable[[], None]:
+        def _release() -> None:
+            rdd = _checkpoint_rdd(frame)
+            if rdd is not None:  # release batch blocks; streams run forever
+                rdd.unpersist(False)
+        return _release
+
     if not versions:
         _reject_legacy_layout(spark, snapshot_dir)
-        upserts.write.partitionBy(BUCKET_COL).parquet(out_dir)
-        written = _written_buckets(spark, out_dir)
-        manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
-                    "keys": list(keys),
-                    "schema_ddl": upserts.drop(BUCKET_COL)._jdf.schema().toDDL(),
-                    "buckets": {b: out_rel for b in written}}
-        if not _commit_manifest(spark, snapshot_dir, 1, manifest):
-            _require_same_batch(spark, snapshot_dir, 1, batch_id)
-        return
+        release = lambda: None  # noqa: E731
+        if checkpoint_first:
+            latest = latest.localCheckpoint(eager=True)
+            release = _releaser(latest)
+        upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+
+        def write_first() -> None:
+            upserts.write.partitionBy(BUCKET_COL).parquet(out_dir)
+
+        def commit_first() -> None:
+            written = _written_buckets(spark, out_dir)
+            manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                        "keys": list(keys),
+                        "schema_ddl": upserts.drop(BUCKET_COL)
+                        ._jdf.schema().toDDL(),
+                        "buckets": {b: out_rel for b in written}}
+            if not _commit_manifest(spark, snapshot_dir, 1, manifest):
+                _require_same_batch(spark, snapshot_dir, 1, batch_id)
+
+        return {"write": write_first, "commit": commit_first,
+                "release": release, "upserts": upserts, "pre_version": None}
 
     cur_n = versions[-1]
     cur = _load_manifest(spark, snapshot_dir, cur_n)
@@ -282,20 +325,15 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
     # explicit unpersist before every exit). Lazy: the collect
     # materializes it. upserts re-derives from the CHECKPOINTED frame
     # so the write reads blocks, not the window plan.
-    from etl_tool_spark.llm.graph import _checkpoint_rdd
     latest = latest.localCheckpoint(eager=False)
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
-
-    def _release() -> None:
-        rdd = _checkpoint_rdd(latest)
-        if rdd is not None:  # release batch blocks; streams run forever
-            rdd.unpersist(False)
+    release = _releaser(latest)
 
     affected = sorted(str(r[0]) for r in
                       latest.select(BUCKET_COL).distinct().collect())
     if not affected:
-        _release()
-        return
+        release()
+        return None
     old_paths = [f"{snapshot_dir}/{cur['buckets'][b]}/{BUCKET_COL}={b}"
                  for b in affected if b in cur["buckets"]]
     keep = None
@@ -307,20 +345,40 @@ def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
                   .withColumn(BUCKET_COL, bucket)
     merged = keep.unionByName(upserts) if keep is not None else upserts
 
-    merged.write.partitionBy(BUCKET_COL).parquet(out_dir)
-    _release()
-    # the output partition dir names ARE the present-bucket set: one
-    # driver-side listing instead of re-executing the whole merge plan
-    present = _written_buckets(spark, out_dir)
+    def write() -> None:
+        merged.write.partitionBy(BUCKET_COL).parquet(out_dir)
 
-    buckets = {b: d for b, d in cur["buckets"].items() if b not in set(affected)}
-    buckets.update({b: out_rel for b in present})
-    manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
-                "keys": list(keys),
-                "schema_ddl": cur["schema_ddl"],
-                "buckets": dict(sorted(buckets.items()))}
-    if not _commit_manifest(spark, snapshot_dir, cur_n + 1, manifest):
-        _require_same_batch(spark, snapshot_dir, cur_n + 1, batch_id)
+    def commit() -> None:
+        # the output partition dir names ARE the present-bucket set: one
+        # driver-side listing instead of re-executing the whole merge plan
+        present = _written_buckets(spark, out_dir)
+        buckets = {b: d for b, d in cur["buckets"].items()
+                   if b not in set(affected)}
+        buckets.update({b: out_rel for b in present})
+        manifest = {"batch_id": batch_id, "n_buckets": n_buckets,
+                    "keys": list(keys),
+                    "schema_ddl": cur["schema_ddl"],
+                    "buckets": dict(sorted(buckets.items()))}
+        if not _commit_manifest(spark, snapshot_dir, cur_n + 1, manifest):
+            _require_same_batch(spark, snapshot_dir, cur_n + 1, batch_id)
+
+    return {"write": write, "commit": commit, "release": release,
+            "upserts": upserts, "pre_version": cur_n}
+
+
+def merge_cdc_batch(batch: DataFrame, snapshot_dir: str,
+                    keys: list[str], seq_col: str = "seq",
+                    op_col: str = "op", n_buckets: int = 16,
+                    batch_id: int | None = None) -> None:
+    """Fold one batch of change records into the snapshot (see module
+    docstring). ``batch`` columns: keys + seq_col + op_col + payload."""
+    prep = _prepare_merge(batch, snapshot_dir, keys, seq_col, op_col,
+                          n_buckets, batch_id)
+    if prep is None:
+        return
+    prep["write"]()
+    prep["release"]()
+    prep["commit"]()
 
 
 def _require_same_batch(spark: SparkSession, snapshot_dir: str, n: int,
